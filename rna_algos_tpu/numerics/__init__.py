@@ -1,0 +1,15 @@
+from .logsumexp import (
+    ln_exp_1p,
+    expf,
+    lse_pair,
+    lse_reduce,
+    lse_accumulate,
+)
+
+__all__ = [
+    "ln_exp_1p",
+    "expf",
+    "lse_pair",
+    "lse_reduce",
+    "lse_accumulate",
+]
