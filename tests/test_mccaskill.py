@@ -1,0 +1,99 @@
+"""Parity + property tests of the vectorized McCaskill against the NumPy oracle.
+
+The oracle (tests/oracle/fold_oracle.py) re-derives the reference recurrences
+(`/root/reference/src/mccaskill_algo.rs:282-723`) scalar-by-scalar in streaming
+order and is itself validated against brute-force ensemble enumeration
+(tests/test_oracle.py).  Here we pin the production wavefront implementation to
+it, and keep the reference's probability-bound property test
+(`/root/reference/tests/tests.rs:7-43`).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rna_algos_tpu.constants import (
+    PSEUDO_BASE,
+    PROB_BOUND_LOWER,
+    PROB_BOUND_UPPER,
+)
+from rna_algos_tpu.params import build_fold_score_sets
+from rna_algos_tpu.ops import scores as S
+from rna_algos_tpu.models import mccaskill as M
+from rna_algos_tpu.utils import read_fasta
+
+from .oracle.fold_oracle import mccaskill_oracle
+
+FSS = build_fold_score_sets()
+CT = S.contra_table_pytree(FSS)
+TT = S.turner_table_pytree()
+
+
+def _pad(seq, N):
+    out = np.full(N, PSEUDO_BASE, dtype=np.int32)
+    out[: len(seq)] = seq
+    return jnp.asarray(out)
+
+
+def _oracle_mat(seq, N, contra, ash=False):
+    obpp, _, _ = mccaskill_oracle(
+        seq, uses_contra_model=contra, allows_short_hairpins=ash, fss=FSS
+    )
+    ref = np.zeros((N, N), dtype=np.float32)
+    for (i, j), p in obpp.items():
+        ref[i, j] = p
+    return ref
+
+
+@pytest.mark.parametrize("contra", [False, True])
+def test_mccaskill_random_vs_oracle(contra):
+    rng = np.random.default_rng(7)
+    N = 32
+    for _ in range(4):
+        n = int(rng.integers(8, 22))
+        seq = rng.integers(0, 4, size=n).astype(np.int32)
+        bpp, _ = M.mccaskill_bpp(_pad(seq, N), jnp.int32(n), CT if contra else TT,
+                                 N=N, contra=contra)
+        err = np.abs(np.asarray(bpp) - _oracle_mat(seq, N, contra)).max()
+        assert err < 2e-4, err
+
+
+@pytest.mark.parametrize("contra,ash", [(False, False), (True, False), (True, True)])
+def test_mccaskill_trna_vs_oracle(contra, ash):
+    rec = read_fasta("assets/sampled_trnas.fa")[1]
+    seq = np.asarray(rec.seq, dtype=np.int32)
+    N = 96
+    bpp, _ = M.mccaskill_bpp(
+        _pad(seq, N), jnp.int32(len(seq)), CT if contra else TT,
+        N=N, contra=contra, allows_short_hairpins=ash,
+    )
+    err = np.abs(np.asarray(bpp) - _oracle_mat(seq, N, contra, ash)).max()
+    assert err < 5e-4, err
+
+
+def test_mccaskill_batch_prob_bounds():
+    """Reference bounds property (tests/tests.rs:33,38) over the whole fixture."""
+    recs = read_fasta("assets/sampled_trnas.fa")
+    N = 96
+    seqs = jnp.stack([_pad(np.asarray(r.seq), N) for r in recs])
+    ns = jnp.asarray([len(r.seq) for r in recs], dtype=jnp.int32)
+    for contra, tbl in ((False, TT), (True, CT)):
+        bpp = np.asarray(M.mccaskill_bpp_batch(seqs, ns, tbl, N=N, contra=contra))
+        assert bpp.shape == (len(recs), N, N)
+        assert (bpp > PROB_BOUND_LOWER).all()
+        assert (bpp < PROB_BOUND_UPPER).all()
+        # padded area stays exactly zero
+        for k, r in enumerate(recs):
+            assert bpp[k, len(r.seq):, :].sum() == 0.0
+            assert bpp[k, :, len(r.seq):].sum() == 0.0
+
+
+def test_mccaskill_batch_matches_single():
+    recs = read_fasta("assets/sampled_trnas.fa")[:3]
+    N = 96
+    seqs = jnp.stack([_pad(np.asarray(r.seq), N) for r in recs])
+    ns = jnp.asarray([len(r.seq) for r in recs], dtype=jnp.int32)
+    batch = np.asarray(M.mccaskill_bpp_batch(seqs, ns, CT, N=N, contra=True))
+    for k in range(3):
+        single, _ = M.mccaskill_bpp(seqs[k], ns[k], CT, N=N, contra=True)
+        np.testing.assert_allclose(batch[k], np.asarray(single), atol=1e-6)
