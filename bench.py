@@ -1,0 +1,76 @@
+"""Headline benchmark: sustained McCaskill BPP throughput on tRNA-scale batches.
+
+Criterion-equivalent of `/root/reference/benches/benches.rs:28-55` (whole-batch
+McCaskill wall time on the 6 sampled tRNAs), scaled to a TPU-sized batch: the
+6 tRNAs are tiled to a large padded batch, the CONTRAfold model runs the full
+inside+outside wavefront per sequence, and we report sequences/second.
+
+The reference publishes no numbers (BASELINE.md): ``REFERENCE_EST_SEQS_PER_S``
+is an explicit single-host Rust estimate (multi-threaded, ~5-10 ms/seq at
+~80 nt) used for ``vs_baseline`` until a cargo toolchain can measure the real
+reference; the raw value is the durable metric.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+REFERENCE_EST_SEQS_PER_S = 800.0  # est. Rust reference, 1 host / all cores
+BATCH = int(os.environ.get("BENCH_BATCH", "192"))
+REPS = int(os.environ.get("BENCH_REPS", "5"))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from rna_algos_tpu.models.mccaskill import mccaskill_bpp_batch
+    from rna_algos_tpu.ops import scores as S
+    from rna_algos_tpu.params import build_fold_score_sets
+    from rna_algos_tpu.parallel.runner import pad_seqs, pick_bucket
+    from rna_algos_tpu.utils import read_fasta
+
+    recs = read_fasta(os.path.join(os.path.dirname(__file__), "assets/sampled_trnas.fa"))
+    seqs = [r.seq for r in recs]
+    reps = (BATCH + len(seqs) - 1) // len(seqs)
+    batch = (seqs * reps)[:BATCH]
+    N = pick_bucket(max(len(s) for s in batch))
+    arr = jnp.asarray(pad_seqs(batch, N))
+    ns = jnp.asarray(np.array([len(s) for s in batch], dtype=np.int32))
+    tbl = S.contra_table_pytree(build_fold_score_sets())
+
+    # compile + warm
+    out = mccaskill_bpp_batch(arr, ns, tbl, N=N, contra=True)
+    jax.block_until_ready(out)
+
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        out = mccaskill_bpp_batch(arr, ns, tbl, N=N, contra=True)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    seqs_per_s = BATCH / dt
+    print(
+        json.dumps(
+            {
+                "metric": "mccaskill_contra_trna_batch_throughput",
+                "value": round(seqs_per_s, 2),
+                "unit": "seqs/s",
+                "vs_baseline": round(seqs_per_s / REFERENCE_EST_SEQS_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""End-to-end accuracy-evaluation pipeline.
+
+Re-creation of `/root/reference/scripts/run_ss_estimation_programs.py` +
+`run_all.py`: run the centroid estimator over every compiled family for both
+models and the full gamma grid, then aggregate PPV/sens/FPR/F1/MCC per gamma
+(PR/ROC/F1/MCC curve data).  Results are written as JSON (plot-ready); the
+wall time per model is reported like the reference's elapsed-time printouts
+(run_ss_estimation_programs.py:70-86).
+"""
+
+import json
+import os
+import time
+
+from ..models.centroid import DEFAULT_GAMMAS
+from ..utils import read_fasta
+from ..utils.output import _fmt
+from . import stats
+
+
+def run_estimation(rna_dir, out_root, models=("turner", "contra")):
+    """Fold every family once per model, write gamma-grid structure files.
+
+    Layout mirrors the reference eval tree:
+    ``{out_root}/centroid_estimator_{model}/{family}/centroid_threshold={g}.fa``.
+    """
+    from ..cli.centroid_fold import write_gamma_file
+    from ..parallel.runner import FoldEngine
+
+    timings = {}
+    for model in models:
+        t0 = time.time()
+        engine = FoldEngine(uses_contra_model=(model == "contra"))
+        model_dir = os.path.join(out_root, f"centroid_estimator_{model}")
+        for fam_file in sorted(os.listdir(rna_dir)):
+            if not fam_file.endswith(".fa"):
+                continue
+            fam = os.path.splitext(fam_file)[0]
+            records = read_fasta(os.path.join(rna_dir, fam_file))
+            folded = engine.fold_batch([r.seq for r in records])
+            results = [
+                (bpp, presence, len(records[k].seq))
+                for k, (bpp, presence) in enumerate(folded)
+            ]
+            fam_dir = os.path.join(model_dir, fam)
+            os.makedirs(fam_dir, exist_ok=True)
+            for gamma in DEFAULT_GAMMAS:
+                path = os.path.join(fam_dir, f"centroid_threshold={_fmt(gamma)}.fa")
+                write_gamma_file(path, results, gamma)
+        timings[model] = time.time() - t0
+    return timings
+
+
+def compute_stats(out_root, rna_dir, ref_ss_dir, models=("turner", "contra")):
+    """Aggregate accuracy curves (get_stats_of_ss_estimation_programs.py:46-111)."""
+    curves = {}
+    for model in models:
+        model_dir = os.path.join(out_root, f"centroid_estimator_{model}")
+        per_gamma = []
+        for gamma in DEFAULT_GAMMAS:
+            counts = []
+            for fam_file in sorted(os.listdir(rna_dir)):
+                if not fam_file.endswith(".fa"):
+                    continue
+                fam = os.path.splitext(fam_file)[0]
+                est_path = os.path.join(
+                    model_dir, fam, f"centroid_threshold={_fmt(gamma)}.fa"
+                )
+                seq_lens = [
+                    len(r.seq) for r in read_fasta(os.path.join(rna_dir, fam_file))
+                ]
+                est = stats.read_sss(est_path)
+                ref = stats.read_sss(os.path.join(ref_ss_dir, fam_file))
+                counts.append(stats.pos_neg_counts(est, ref, seq_lens))
+            tp, tn, fp, fn = stats.final_sum(counts)
+            per_gamma.append({"gamma": gamma, **stats.summarize(tp, tn, fp, fn)})
+        curves[model] = per_gamma
+    return curves
+
+
+def run_all(sth_path, work_dir, models=("turner", "contra")):
+    """Full pipeline: compile families -> estimate -> stats (run_all.py:7-10)."""
+    from .rfam import compile_rna_fams
+
+    seq_dir = os.path.join(work_dir, "compiled_rna_fams")
+    ss_dir = os.path.join(work_dir, "ref_sss")
+    out_root = os.path.join(work_dir, "estimates")
+    n_fams = compile_rna_fams(sth_path, seq_dir, ss_dir)
+    timings = run_estimation(seq_dir, out_root, models)
+    curves = compute_stats(out_root, seq_dir, ss_dir, models)
+    report = {"num_families": n_fams, "timings_s": timings, "curves": curves}
+    with open(os.path.join(work_dir, "eval_report.json"), "w") as f:
+        json.dump(report, f, indent=2)
+    return report

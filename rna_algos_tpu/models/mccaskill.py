@@ -327,24 +327,31 @@ def mccaskill_bpp(seq, n, tbl, N, contra=False, allows_short_hairpins=False):
     bppo = _outside(seq, n, N, tbl, pre, inside, contra, allows_short_hairpins)
     bpp_left = expf(bppo)
     bpp = _square_from_left(bpp_left, n, N, 0.0)
+    # The reference's sparse map contains every pair with a finite outside sum
+    # (mccaskill_algo.rs:602-609) — including expf-underflowed zeros; CLI
+    # output parity needs this presence set, not just bpp > 0.
+    presence = _square_from_left(
+        jnp.isfinite(bppo).astype(jnp.float32), n, N, 0.0
+    ) > 0.5
     memos = {
         "hairpin": pre["H"],
         "multibranch_close": pre["MBC"],
         "accessible": pre["ACC"],
         "close": inside["P_close"],
         "external": inside["P_ext"],
+        "presence": presence,
     }
     return bpp, memos
 
 
 @partial(jax.jit, static_argnames=("N", "contra", "allows_short_hairpins"))
 def mccaskill_bpp_batch(seqs, ns, tbl, N, contra=False, allows_short_hairpins=False):
-    """vmapped batch variant: seqs (B, N), ns (B,) -> bpp (B, N, N)."""
+    """vmapped batch variant: seqs (B, N), ns (B,) -> (bpp, presence) (B, N, N)."""
 
     def one(seq, n):
-        bpp, _ = mccaskill_bpp(
+        bpp, memos = mccaskill_bpp(
             seq, n, tbl, N=N, contra=contra, allows_short_hairpins=allows_short_hairpins
         )
-        return bpp
+        return bpp, memos["presence"]
 
     return jax.vmap(one)(seqs, ns)

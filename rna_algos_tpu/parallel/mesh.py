@@ -1,0 +1,57 @@
+"""Device-mesh data parallelism for batch folding.
+
+The reference's only parallelism is a scoped thread pool with one task per
+sequence (`/root/reference/src/bin/mccaskill_algo.rs:58,64-93`; SURVEY C16).
+The TPU equivalent is a 1-D ``data`` mesh over all chips: padded batches are
+sharded along the batch axis with `NamedSharding`, every chip runs the same
+compiled wavefront program on its shard, score tables are replicated, and the
+only collective is the implicit result gather — nothing inside the DP loop.
+
+Multi-host: `initialize_distributed()` wires `jax.distributed` when driver
+env vars are present; the mesh then spans all processes' devices and each
+host feeds its local shard (see parallel/runner.py).
+"""
+
+import os
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_distributed():
+    """Call jax.distributed.initialize() when running under a multi-host driver."""
+    if "JAX_COORDINATOR_ADDRESS" in os.environ and jax.process_count() == 1:
+        jax.distributed.initialize()
+
+
+def data_mesh(devices=None):
+    """1-D mesh over all (or the given) devices with a single 'data' axis."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.array(devices), ("data",))
+
+
+def batch_sharding(mesh, ndim):
+    """Shard axis 0 over 'data', replicate the rest."""
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def shard_batch(mesh, *arrays):
+    """Place each array with its batch axis sharded over the mesh."""
+    return tuple(
+        jax.device_put(a, batch_sharding(mesh, a.ndim)) for a in arrays
+    )
+
+
+def pad_to_multiple(arrays, multiple, pad_rows):
+    """Pad axis 0 of each array to a multiple (dummy rows from ``pad_rows``)."""
+    b = arrays[0].shape[0]
+    rem = (-b) % multiple
+    if rem == 0:
+        return arrays, b
+    out = []
+    for a, pad_row in zip(arrays, pad_rows):
+        pad = np.broadcast_to(pad_row, (rem,) + a.shape[1:])
+        out.append(np.concatenate([a, pad], axis=0))
+    return tuple(out), b

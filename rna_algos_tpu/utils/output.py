@@ -38,8 +38,7 @@ def probs2str(prob_items) -> str:
 
 
 def _fmt(p) -> str:
-    """Rust's `{}` float Display: shortest representation that round-trips f32."""
-    p = float(p)
-    if p == int(p):
-        return str(int(p))
-    return repr(p)
+    """Rust's `{}` f32 Display: shortest positional repr that round-trips f32."""
+    import numpy as np
+
+    return np.format_float_positional(np.float32(p), unique=True, trim="-")

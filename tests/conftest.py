@@ -8,6 +8,11 @@ Must run before jax is imported anywhere.
 
 import os
 
+# Persistent compilation cache: the axon TPU tunnel recompiles per process
+# otherwise, dominating test wall time.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

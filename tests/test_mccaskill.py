@@ -78,7 +78,8 @@ def test_mccaskill_batch_prob_bounds():
     seqs = jnp.stack([_pad(np.asarray(r.seq), N) for r in recs])
     ns = jnp.asarray([len(r.seq) for r in recs], dtype=jnp.int32)
     for contra, tbl in ((False, TT), (True, CT)):
-        bpp = np.asarray(M.mccaskill_bpp_batch(seqs, ns, tbl, N=N, contra=contra))
+        bpp, _ = M.mccaskill_bpp_batch(seqs, ns, tbl, N=N, contra=contra)
+        bpp = np.asarray(bpp)
         assert bpp.shape == (len(recs), N, N)
         assert (bpp > PROB_BOUND_LOWER).all()
         assert (bpp < PROB_BOUND_UPPER).all()
@@ -93,7 +94,8 @@ def test_mccaskill_batch_matches_single():
     N = 96
     seqs = jnp.stack([_pad(np.asarray(r.seq), N) for r in recs])
     ns = jnp.asarray([len(r.seq) for r in recs], dtype=jnp.int32)
-    batch = np.asarray(M.mccaskill_bpp_batch(seqs, ns, CT, N=N, contra=True))
+    batch, _ = M.mccaskill_bpp_batch(seqs, ns, CT, N=N, contra=True)
+    batch = np.asarray(batch)
     for k in range(3):
         single, _ = M.mccaskill_bpp(seqs[k], ns[k], CT, N=N, contra=True)
         np.testing.assert_allclose(batch[k], np.asarray(single), atol=1e-6)
