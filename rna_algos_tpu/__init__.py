@@ -23,3 +23,12 @@ __version__ = "0.1.0"
 from . import constants
 
 __all__ = ["constants", "__version__"]
+
+
+def __getattr__(name):
+    # lazy subpackage access without importing jax at package import time
+    if name in ("models", "params", "ops", "parallel", "utils", "eval", "cli", "numerics"):
+        import importlib
+
+        return importlib.import_module(f".{name}", __name__)
+    raise AttributeError(name)

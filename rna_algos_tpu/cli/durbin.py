@@ -15,7 +15,7 @@ import numpy as np
 from ..constants import PSEUDO_BASE
 from ..parallel.runner import AlignEngine
 from ..utils import read_fasta
-from ..utils.output import probs2str
+from ..utils.output import probs2str_arrays
 
 HEADER = (
     "# Format = >{RNA sequence id 1},{RNA sequence id 2} {line break} "
@@ -48,13 +48,11 @@ def main(argv=None):
     parts = [HEADER]
     for (a, b) in pairs:
         mat = probs[(a, b)]
-        triples = (
-            (i - 1, j - 1, mat[i, j])
-            for i in range(mat.shape[0])
-            for j in range(mat.shape[1])
-            if mat[i, j] > 0.0
+        iv, jv = np.nonzero(mat > 0.0)  # row-major, like the reference walk
+        parts.append(
+            f"\n\n>{a},{b}\n"
+            + probs2str_arrays(iv - 1, jv - 1, mat[iv, jv])
         )
-        parts.append(f"\n\n>{a},{b}\n" + probs2str(triples))
     with open(args.o, "w") as f:
         f.write("".join(parts))
     return 0

@@ -11,9 +11,11 @@ the reference iterates a hashmap.
 import argparse
 import sys
 
+import numpy as np
+
 from ..parallel.runner import FoldEngine
 from ..utils import read_fasta
-from ..utils.output import probs2str
+from ..utils.output import probs2str_arrays
 
 HEADER = (
     "# Format = >{RNA sequence id} {line break} {basepairing left nucleotide}, "
@@ -32,14 +34,6 @@ def build_parser():
     return p
 
 
-def record_triples(bpp, presence):
-    n = bpp.shape[0]
-    for i in range(n):
-        for j in range(n):
-            if presence[i, j]:
-                yield i, j, bpp[i, j]
-
-
 def main(argv=None):
     args = build_parser().parse_args(argv)
     records = read_fasta(args.i)
@@ -47,7 +41,10 @@ def main(argv=None):
     results = engine.fold_batch([r.seq for r in records])
     parts = [HEADER]
     for rna_id, (bpp, presence) in enumerate(results):
-        parts.append(f"\n\n>{rna_id}\n" + probs2str(record_triples(bpp, presence)))
+        iv, jv = np.nonzero(presence)  # row-major, deterministic
+        parts.append(
+            f"\n\n>{rna_id}\n" + probs2str_arrays(iv, jv, bpp[iv, jv])
+        )
     with open(args.o, "w") as f:
         f.write("".join(parts))
     return 0

@@ -97,11 +97,24 @@ def mea_fill_gammas(bpp, gammas, N):
 def traceback(M, bpp, gamma, n):
     """Stack traceback by float-equality re-derivation (centroid_fold.rs:66-102).
 
-    Host NumPy over the device float32 fill; candidate order and float32
+    Host pass over the device float32 fill; candidate order and float32
     expressions mirror the reference exactly.  Returns (pairs, expect_accuracy).
+    Uses the native C kernel (native/rna_algos_native.c) when built; the
+    NumPy path below is the reference fallback.
     """
+    from .._native import native
+
     M = np.asarray(M, dtype=np.float32)
     bpp = np.asarray(bpp, dtype=np.float32)
+    if (
+        native is not None
+        and M.ndim == 2
+        and M.shape[0] == M.shape[1]
+        and M.flags.c_contiguous
+    ):
+        bppc = np.ascontiguousarray(bpp, dtype=np.float32)
+        pairs = native.traceback(M, bppc, M.shape[1], int(n), float(gamma))
+        return pairs, float(M[0, n - 1])
     gamma = np.float32(gamma)
     one = np.float32(1.0)
     pairs = []

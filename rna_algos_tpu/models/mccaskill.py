@@ -77,7 +77,9 @@ def _inside(seq, n, N, tbl, pre, contra, allows_short_hairpins):
     i_idx = jnp.arange(N)
     neg = jnp.full((N, N), NEG_INF, dtype=jnp.float32)
     state = {
-        "P_close": neg,
+        # close is carried in padded form: the 2-loop window reads it every
+        # step, and re-padding per step would re-materialize the buffer
+        "P_close_pad": diag.pad_table(neg),
         "P_rm": neg,
         "P_ext": jnp.zeros((N, N), dtype=jnp.float32),
         "P_mb": neg,
@@ -102,7 +104,7 @@ def _inside(seq, n, N, tbl, pre, contra, allows_short_hairpins):
             TL = S.twoloop_inside_contra(seq, tbl, pre, d, N)
         else:
             TL = S.twoloop_inside_turner(seq, tbl, pre, d, N)
-        Wc = diag.window_gather(diag.pad_table(st["P_close"]), 1, +1, d - 2, -1, N)
+        Wc = diag.window_gather(st["P_close_pad"], 1, +1, d - 2, -1, N)
         two = lse_reduce((Wc + TL).reshape(N, -1), axis=1)
         mb_in = jnp.where(d >= 2, _shift_up(_col(st["P_mb"], d - 2)), NEG_INF)
         mb_term = mb_in + _col(MBC, d)
@@ -153,7 +155,7 @@ def _inside(seq, n, N, tbl, pre, contra, allows_short_hairpins):
         one_new = lse_pair(s1, s2)
 
         new = {
-            "P_close": diag.write_col(st["P_close"], d, close_new),
+            "P_close_pad": diag.write_col_padded(st["P_close_pad"], d, close_new),
             "P_rm": diag.write_col(st["P_rm"], d, rm_new),
             "P_ext": diag.write_col(st["P_ext"], d, ext_new),
             "P_mb": diag.write_col(st["P_mb"], d, mb_new),
@@ -166,6 +168,7 @@ def _inside(seq, n, N, tbl, pre, contra, allows_short_hairpins):
         return new, None
 
     state, _ = lax.scan(step, state, jnp.arange(N))
+    state["P_close"] = diag.unpad_table(state["P_close_pad"], N)
     return state
 
 
@@ -206,7 +209,7 @@ def _outside(seq, n, N, tbl, pre, inside, contra, allows_short_hairpins):
         min_span = MIN_SPAN_HAIRPIN_CLOSE
 
     neg = jnp.full((N, N), NEG_INF, dtype=jnp.float32)
-    state = {"P_bppo": neg, "Q_pm": neg, "Q_pm2": neg}
+    state = {"P_bppo_pad": diag.pad_table(neg), "Q_pm": neg, "Q_pm2": neg}
     t_idx = jnp.arange(N)[None, :].astype(jnp.float32)
     t_int = jnp.arange(N)[None, :]
 
@@ -216,8 +219,9 @@ def _outside(seq, n, N, tbl, pre, inside, contra, allows_short_hairpins):
         span_valid = span >= min_span
 
         # --- pm / pm2: k > j context (mccaskill_algo.rs:542-555,643-659) ---
+        P_bppo = diag.unpad_table(st["P_bppo_pad"], N)
         G = jnp.where(
-            jnp.isfinite(P_close), st["P_bppo"] + MBC - P_close, NEG_INF
+            jnp.isfinite(P_close), P_bppo + MBC - P_close, NEG_INF
         )
         Xr = diag.roll_cols_at(G, d)  # Xr[i, t] = G[i, d+t], t = k - j
         S_one = diag.shift_cols_left(diag.shift_rows(P_one, d + 1), 2)
@@ -249,7 +253,7 @@ def _outside(seq, n, N, tbl, pre, inside, contra, allows_short_hairpins):
             TLo = S.twoloop_outside_contra(seq, tbl, pre, d, N)
         else:
             TLo = S.twoloop_outside_turner(seq, tbl, pre, d, N)
-        Wb = diag.window_gather(diag.pad_table(st["P_bppo"]), -1, -1, d + 2, +1, N)
+        Wb = diag.window_gather(st["P_bppo_pad"], -1, -1, d + 2, +1, N)
         Wcl = diag.window_gather(P_close_pad, -1, -1, d + 2, +1, N)
         two_terms = jnp.where(
             jnp.isfinite(Wcl),
@@ -286,7 +290,7 @@ def _outside(seq, n, N, tbl, pre, inside, contra, allows_short_hairpins):
         )
 
         return {
-            "P_bppo": diag.write_col(st["P_bppo"], d, bppo_new),
+            "P_bppo_pad": diag.write_col_padded(st["P_bppo_pad"], d, bppo_new),
             "Q_pm": diag.write_col(st["Q_pm"], d, diag.left_to_right_col(pm_new, d)),
             "Q_pm2": diag.write_col(
                 st["Q_pm2"], d, diag.left_to_right_col(pm2_new, d)
@@ -295,7 +299,7 @@ def _outside(seq, n, N, tbl, pre, inside, contra, allows_short_hairpins):
 
     dvals = jnp.arange(N - 1, -1, -1)
     state, _ = lax.scan(step, state, dvals)
-    return state["P_bppo"]
+    return diag.unpad_table(state["P_bppo_pad"], N)
 
 
 # ---------------------------------------------------------------------------

@@ -72,13 +72,24 @@ _EXPF_COEFFS = np.array(
 
 
 def _piecewise_cubic(x, breaks, coeffs):
-    """Evaluate a piecewise cubic: segment = #breaks below x, then Horner."""
+    """Evaluate a piecewise cubic via per-break coefficient selects.
+
+    Gather-free: each break upgrades the four Horner coefficients with a
+    `where` — pure VPU select chains, which XLA fuses into surrounding
+    elementwise code (a per-element gather would serialize on TPU).
+    """
     x = x.astype(jnp.float32)
-    seg = jnp.sum(
-        x[..., None] >= jnp.asarray(breaks, dtype=jnp.float32), axis=-1
-    ).astype(jnp.int32)
-    c = jnp.asarray(coeffs, dtype=jnp.float32)[seg]
-    return ((c[..., 0] * x + c[..., 1]) * x + c[..., 2]) * x + c[..., 3]
+    c3 = jnp.full_like(x, float(coeffs[0][0]))
+    c2 = jnp.full_like(x, float(coeffs[0][1]))
+    c1 = jnp.full_like(x, float(coeffs[0][2]))
+    c0 = jnp.full_like(x, float(coeffs[0][3]))
+    for k in range(len(breaks)):
+        above = x >= float(breaks[k])
+        c3 = jnp.where(above, float(coeffs[k + 1][0]), c3)
+        c2 = jnp.where(above, float(coeffs[k + 1][1]), c2)
+        c1 = jnp.where(above, float(coeffs[k + 1][2]), c1)
+        c0 = jnp.where(above, float(coeffs[k + 1][3]), c0)
+    return ((c3 * x + c2) * x + c1) * x + c0
 
 
 def ln_exp_1p(x):
@@ -99,25 +110,23 @@ def expf(x):
 def lse_pair(a, b):
     """Symmetric pairwise log-add with the reference's skip/threshold semantics.
 
-    Mirrors `logsumexp` (utils.rs:579-596): non-finite operands are skipped; for
-    finite a, b the result is min + (z if z >= threshold else ln_exp_1p(z)) with
-    z = max - min.
+    Mirrors `logsumexp` (utils.rs:579-596).  Operands in every DP state are
+    finite or -inf (never NaN/+inf), which lets the skip logic collapse to a
+    single select: z = max - min is NaN (both -inf) or +inf (one -inf) exactly
+    when the finite-pair branch must not be taken, and both compare false
+    against the threshold — so `where(z < thresh, min + f(z), max)` returns
+    the surviving operand (or -inf) in every skip case and the reference's
+    `min + ln_exp_1p(z)` in the finite case.
     """
     a = jnp.asarray(a, dtype=jnp.float32)
     b = jnp.asarray(b, dtype=jnp.float32)
-    y = jnp.minimum(a, b)
-    z = jnp.maximum(a, b) - y
-    # Guard z for non-finite operands so the arithmetic below never produces NaN;
-    # the select at the end discards those lanes anyway.
-    z_safe = jnp.where(jnp.isfinite(z), z, 0.0)
-    combined = y + jnp.where(
-        z_safe >= LOGSUMEXP_THRESHOLD_UPPER, z_safe, ln_exp_1p(z_safe)
-    )
-    a_ok = jnp.isfinite(a)
-    b_ok = jnp.isfinite(b)
-    return jnp.where(
-        a_ok & b_ok, combined, jnp.where(a_ok, a, jnp.where(b_ok, b, NEG_INF))
-    )
+    lo = jnp.minimum(a, b)
+    hi = jnp.maximum(a, b)
+    z = hi - lo
+    # large-z branch is the reference's `y + z` (1-ulp-faithful), except when
+    # an operand was -inf (z = inf/nan) where the survivor `hi` is returned
+    big = jnp.where(lo > NEG_INF, lo + z, hi)
+    return jnp.where(z < LOGSUMEXP_THRESHOLD_UPPER, lo + ln_exp_1p(z), big)
 
 
 def lse_accumulate(sum_val, x):

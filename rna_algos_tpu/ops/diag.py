@@ -42,6 +42,23 @@ def pad_table(M, fill=NEG_INF):
     )
 
 
+def write_col_padded(Mpad, col, values):
+    """Write a diagonal column into a pad_table buffer (carry tables padded
+    across scan steps so window reads need no per-step re-padding)."""
+    return lax.dynamic_update_slice(
+        Mpad, values[:, None], (_ROW_PAD, _COL_PAD + col)
+    )
+
+
+def col_padded(Mpad, col, N):
+    """v[i] = M[i, col] from a pad_table buffer (traced col; pad fill OOB)."""
+    return lax.dynamic_slice(Mpad, (_ROW_PAD, _COL_PAD + col), (N, 1))[:, 0]
+
+
+def unpad_table(Mpad, N):
+    return Mpad[_ROW_PAD : _ROW_PAD + N, _COL_PAD : _COL_PAD + N]
+
+
 def window_gather(Mpad, row_off, row_sign, col_off, col_sign, N):
     """W[i, a, b] = M[i + row_off + row_sign*a, col_off + col_sign*(a+b)].
 

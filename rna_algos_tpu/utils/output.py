@@ -28,6 +28,20 @@ def pairs_from_fold_str(s: str):
     return pairs
 
 
+def probs2str_arrays(iv, jv, pv) -> str:
+    """Vector form of probs2str; uses the native formatter when built."""
+    import numpy as np
+
+    from .._native import native
+
+    iv = np.ascontiguousarray(iv, dtype=np.int32)
+    jv = np.ascontiguousarray(jv, dtype=np.int32)
+    pv = np.ascontiguousarray(pv, dtype=np.float32)
+    if native is not None:
+        return native.probs2str(iv, jv, pv, len(pv))
+    return probs2str(zip(iv, jv, pv))
+
+
 def probs2str(prob_items) -> str:
     """`i,j,p ` triple text for one record (bin/mccaskill_algo.rs:103-113).
 
