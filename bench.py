@@ -33,7 +33,7 @@ def main():
     import jax.numpy as jnp
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from rna_algos_tpu.models.mccaskill import mccaskill_bpp_batch
+    from rna_algos_tpu.models.mccaskill import mccaskill_bpp_batch_auto as mccaskill_bpp_batch
     from rna_algos_tpu.ops import scores as S
     from rna_algos_tpu.params import build_fold_score_sets
     from rna_algos_tpu.parallel.runner import pad_seqs, pick_bucket
@@ -43,7 +43,11 @@ def main():
     seqs = [r.seq for r in recs]
     reps = (BATCH + len(seqs) - 1) // len(seqs)
     batch = (seqs * reps)[:BATCH]
+    from rna_algos_tpu.models.mccaskill import pallas_available
+
     N = pick_bucket(max(len(s) for s in batch))
+    if N == 96 and pallas_available(True, 128):
+        N = 128  # fused-kernel buckets are power-of-two
     arr = jnp.asarray(pad_seqs(batch, N))
     ns = jnp.asarray(np.array([len(s) for s in batch], dtype=np.int32))
     tbl = S.contra_table_pytree(build_fold_score_sets())

@@ -359,3 +359,71 @@ def mccaskill_bpp_batch(seqs, ns, tbl, N, contra=False, allows_short_hairpins=Fa
         return bpp, memos["presence"]
 
     return jax.vmap(one)(seqs, ns)
+
+
+@partial(jax.jit, static_argnames=("N", "allows_short_hairpins"))
+def mccaskill_bpp_batch_pallas(seqs, ns, tbl, N, allows_short_hairpins=False):
+    """CONTRA batch through the fused VMEM-resident Pallas kernels.
+
+    Same outputs as mccaskill_bpp_batch(contra=True); requires a TPU backend
+    and N <= 128 (whole-DP-state-in-VMEM budget, ops/pallas_fold.py).
+    """
+    from ..ops import pallas_fold as PF
+
+    bppo, _close, _ext, _one = PF.mccaskill_contra_pallas(
+        seqs, ns, tbl, N=N, allows_short_hairpins=allows_short_hairpins
+    )
+    bppo_left = jnp.swapaxes(bppo, 1, 2)  # [d, i] -> [i, d]
+
+    def finish(P, n):
+        bpp = _square_from_left(expf(P), n, N, 0.0)
+        presence = (
+            _square_from_left(jnp.isfinite(P).astype(jnp.float32), n, N, 0.0)
+            > 0.5
+        )
+        return bpp, presence
+
+    return jax.vmap(finish)(bppo_left, ns)
+
+
+# flips to True once the fused kernels are validated on real hardware
+_PALLAS_DEFAULT_ON = False
+
+
+def pallas_available(contra, N):
+    """Whether the fused kernel path applies (TPU backend, VMEM budget)."""
+    import jax as _jax
+
+    try:
+        backend = _jax.default_backend()
+    except Exception:
+        return False
+    # power-of-two N keeps the in-kernel tree reductions concat-free
+    return (
+        bool(contra)
+        and N <= 128
+        and (N & (N - 1)) == 0
+        and backend not in ("cpu",)
+    )
+
+
+def mccaskill_bpp_batch_auto(seqs, ns, tbl, N, contra=False,
+                             allows_short_hairpins=False):
+    """Dispatch to the Pallas kernels when they apply, else the XLA scan."""
+    import os
+
+    forced = os.environ.get("RNA_ALGOS_BACKEND")
+    if forced == "pallas":
+        use_pallas = True
+    elif forced == "xla":
+        use_pallas = False
+    else:
+        use_pallas = _PALLAS_DEFAULT_ON and pallas_available(contra, N)
+    if use_pallas:
+        return mccaskill_bpp_batch_pallas(
+            seqs, ns, tbl, N=N, allows_short_hairpins=allows_short_hairpins
+        )
+    return mccaskill_bpp_batch(
+        seqs, ns, tbl, N=N, contra=contra,
+        allows_short_hairpins=allows_short_hairpins,
+    )

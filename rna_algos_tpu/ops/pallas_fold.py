@@ -3,29 +3,33 @@
 The XLA scan in models/mccaskill.py re-materializes padded state buffers and
 window tensors in HBM every span.  At RNA scale the *entire* DP state is a few
 hundred KB, so these kernels keep every state table resident in VMEM for the
-whole wavefront and unroll the 31-wide 2-loop window as static sublane
-blocks — zero HBM traffic inside the span loop, no gather ops.
+whole wavefront - zero HBM traffic inside the span loop, no gathers.
 
-Layout: span-major ``[d, i]`` — row d of a table is the whole anti-diagonal
-(span d+1) with sequence position on the 128-lane axis.  The three access
-patterns of the recurrences then map to hardware-friendly reads:
+Mosaic constraints shape the design:
 
-* 2-loop window  ``close(i+1+a, d-2-a-b)``  -> for each static a: one
-  (31, N) sublane block at dynamic row offset, static lane shift, flipped;
-* bifurcations   ``rm(i+t, i+d)``           -> one (N, N) block of the
-  right-layout table at dynamic row offset, flipped sublanes;
-* incremental    ``rm(i, d-1)``             -> single-row reads.
+* no `rev`, no dynamic-lane slicing, and dynamic multi-row loads must be
+  8-aligned - so every recurrence that walks *relative* to the current span
+  uses a **sliding scratch**: per span the buffer shifts by one row (a static
+  overlapping copy) and the freshly computed diagonal is inserted at slot 0,
+  making all block reads fully static:
+    - the 31x31 2-loop window over `close`/junction scores: a 64-row slide
+      whose row r holds span d-1-r, read as static (32, N) blocks per lane
+      shift a (mccaskill_algo.rs:412-420);
+    - the O(span) bifurcation terms `rm(i+t, i+d)`: an (N, N) slide in
+      [t, i] layout whose transition is rows+1/lanes+1 (all static);
+* the only remaining dynamic-lane reads (outside-pass context rows anchored
+  at j = i+d) go through `pltpu.roll` (dynamic rotate is supported);
+* single-row reads/writes at a traced span index address the full tables.
 
-Scoring is fully precomputed per sequence as [d, i] matrices so the kernel is
-pure log-space arithmetic.  Reference recurrences:
-/root/reference/src/mccaskill_algo.rs:380-516 (inside).
+Scoring is fully precomputed per sequence as span-major [d, i] matrices so
+the kernels are pure log-space arithmetic.  Reference recurrences:
+/root/reference/src/mccaskill_algo.rs:380-516 (inside), :612-723 (outside).
 """
 
 import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -34,49 +38,49 @@ from ..constants import (
     MAX_LOOP_LEN,
     MIN_SPAN_HAIRPIN_CLOSE,
     NEG_INF,
-    PSEUDO_BASE,
 )
 from ..numerics import lse_pair
 from . import scores as S
 
-W = 31        # 2-loop window extent (MAX_LOOP_LEN + 1)
-ROWPAD = 32   # top row padding of windowed scratch/input tables
-LANEPAD = 33  # left lane padding for the static +1+a shifts
+W = 31    # 2-loop window extent (MAX_LOOP_LEN + 1)
+W2 = 32   # loaded window rows (the extra row is masked by the length cap)
+WROWS = 64            # sliding window depth (>= 2*W)
+LPAD = 33             # lane padding of window slides
 
 
 def _lse_rows(x):
-    """Tree-LSE over axis 0 (sublanes), returns (1, lanes)."""
-    n = x.shape[0]
-    p = 1
-    while p < n:
-        p *= 2
-    if p != n:
-        x = jnp.concatenate(
-            [x, jnp.full((p - n,) + x.shape[1:], NEG_INF, x.dtype)], axis=0
-        )
+    """Tree-LSE over axis 0 (sublanes), returns (1, lanes).  Row counts here
+    are powers of two, so no padding/concat is needed."""
+    assert (x.shape[0] & (x.shape[0] - 1)) == 0, x.shape
     while x.shape[0] > 1:
         h = x.shape[0] // 2
         x = lse_pair(x[:h], x[h:])
     return x
 
 
-def _row2(ref, r):
-    """(1, lanes) dynamic row read of a 2-D scratch ref."""
-    return ref[pl.ds(r, 1), :]
-
-
 def _row3(ref, r):
-    """(1, lanes) dynamic row read of a (1, R, C) input ref."""
+    """(1, lanes) dynamic single-row read of a (1, R, C) input ref."""
     return ref[0, pl.ds(r, 1), :]
 
 
+def _shift_insert(buf, row, lane_off=0):
+    """Slide a window scratch one row down and insert ``row`` at slot 0."""
+    R = buf.shape[0]
+    shifted = buf[pl.ds(0, R - 1), :]
+    buf[pl.ds(1, R - 1), :] = shifted
+    buf[pl.ds(0, 1), pl.ds(lane_off, row.shape[1])] = row
+
+
+# ---------------------------------------------------------------------------
+# Inside kernel
+# ---------------------------------------------------------------------------
+
 def _contra_inside_kernel(
     SCAL,                                   # (1, 1, 8) SMEM scalars
-    H, MBC, ACC, JS, STK, I11, B0R, B0L, CANON,   # (1, N, N) [d, i]
-    JBPAD,                                  # (1, ROWPAD+N, LANEPAD+N+W+2)
-    LEN,                                    # (1, W, W) [b, a]
+    H, MBC, ACC, JS, STK, I11, B0R, B0L, CANON, JB,   # (1, N, N) [d, i]
+    LEN,                                    # (1, W2, W) [b, a]
     close_out, ext_out, one_out,            # (1, N, N)
-    closeS, qrmS, qrmmbS, rmS, rmmbS, extS, extrS, mbS, oneS,
+    CB, JBW, FQ, FQM, extS, extrS, mbS, oneS, closeF,
     *, N,
 ):
     ext_unpair = SCAL[0, 0, 0]
@@ -84,29 +88,31 @@ def _contra_inside_kernel(
     mb_unpair = SCAL[0, 0, 2]
     mb_bp = SCAL[0, 0, 3]
 
-    closeS[:] = jnp.full_like(closeS[:], NEG_INF)
-    qrmS[:] = jnp.full_like(qrmS[:], NEG_INF)
-    qrmmbS[:] = jnp.full_like(qrmmbS[:], NEG_INF)
-    rmS[:] = jnp.full_like(rmS[:], NEG_INF)
-    rmmbS[:] = jnp.full_like(rmmbS[:], NEG_INF)
+    CB[:] = jnp.full_like(CB[:], NEG_INF)
+    JBW[:] = jnp.full_like(JBW[:], NEG_INF)
+    FQ[:] = jnp.full_like(FQ[:], NEG_INF)
+    FQM[:] = jnp.full_like(FQM[:], NEG_INF)
     extS[:] = jnp.zeros_like(extS[:])
     extrS[:] = jnp.zeros_like(extrS[:])
     mbS[:] = jnp.full_like(mbS[:], NEG_INF)
     oneS[:] = jnp.full_like(oneS[:], NEG_INF)
+    closeF[:] = jnp.full_like(closeF[:], NEG_INF)
 
-    b_idx = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+    b_idx = jax.lax.broadcasted_iota(jnp.int32, (W2, 1), 0)
     t_idx = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
+    neg_row = jnp.full((1, N), NEG_INF)
 
     def span_step(d, carry):
+        rm_prev, rmmb_prev = carry
+
         # ---- close: hairpin + 2-loop window + multibranch closure ----
+        # CB invariant: CB[r, k] = close(k, k + d - 1 - r); the (k, l) window
+        # term close(i+1+a, i+d-1-b) sits at rows a+b+1, lanes i+1+a.
         js_row = _row3(JS, d)
-        two = jnp.full((1, N), NEG_INF)
+        two = neg_row
         for a in range(W):
-            r0 = ROWPAD + d - 2 - a - (W - 1)
-            blk_c = closeS[pl.ds(r0, W), pl.ds(LANEPAD + 1 + a, N)]
-            blk_j = JBPAD[0, pl.ds(r0, W), pl.ds(LANEPAD + 1 + a, N)]
-            blk_c = jnp.flip(blk_c, axis=0)
-            blk_j = jnp.flip(blk_j, axis=0)
+            blk_c = CB[pl.ds(a + 1, W2), pl.ds(1 + a, N)]
+            blk_j = JBW[pl.ds(a + 1, W2), pl.ds(1 + a, N)]
             body = js_row + blk_j + LEN[0, :, a : a + 1]
             if a == 0:
                 body = jnp.where(b_idx == 0, _row3(STK, d), body)
@@ -116,36 +122,30 @@ def _contra_inside_kernel(
                 body = jnp.where(b_idx == 1, body + _row3(I11, d), body)
             tl = jnp.where(a + b_idx <= MAX_LOOP_LEN, body, NEG_INF) + blk_c
             two = lse_pair(two, _lse_rows(tl))
-        mb_row = _row2(mbS, jnp.maximum(d - 2, 0))
-        mb_in = jnp.concatenate(
-            [mb_row[:, 1:], jnp.full((1, 1), NEG_INF)], axis=1
-        )
+        mb_in = mbS[pl.ds(jnp.maximum(d - 2, 0), 1), pl.ds(1, N)]  # mb(i+1, .)
         mb_term = jnp.where(d >= 2, mb_in + _row3(MBC, d), NEG_INF)
         close_new = lse_pair(lse_pair(_row3(H, d), two), mb_term)
         close_new = close_new + _row3(CANON, d)     # 0 / -inf mask
         close_new = jnp.where(
             d + 1 >= MIN_SPAN_HAIRPIN_CLOSE, close_new, NEG_INF
         )
-        closeS[pl.ds(ROWPAD + d, 1), pl.ds(LANEPAD, N)] = close_new
+        closeF[pl.ds(d, 1), :] = close_new
         acc_new = close_new + _row3(ACC, d)
 
-        # ---- rightmost-basepair sums (incremental across spans) ----
-        prev_rm = jnp.where(
-            d >= 1, _row2(rmS, jnp.maximum(d - 1, 0)), NEG_INF
-        )
-        rm_new = lse_pair(prev_rm + ext_unpair, acc_new + ext_bp)
-        prev_rmmb = jnp.where(
-            d >= 1, _row2(rmmbS, jnp.maximum(d - 1, 0)), NEG_INF
-        )
-        rmmb_new = lse_pair(prev_rmmb + mb_unpair, acc_new + mb_bp)
-        rmS[pl.ds(d, 1), :] = rm_new
-        rmmbS[pl.ds(d, 1), :] = rmmb_new
-        # right layout: Q[N + dd, j] = rm(j - dd, j); row d at lane offset d
-        qrmS[pl.ds(N + d, 1), pl.ds(d, N)] = rm_new
-        qrmmbS[pl.ds(N + d, 1), pl.ds(d, N)] = rmmb_new
+        # ---- rightmost-basepair sums (incremental; carried rows) ----
+        rm_new = lse_pair(rm_prev + ext_unpair, acc_new + ext_bp)
+        rmmb_new = lse_pair(rmmb_prev + mb_unpair, acc_new + mb_bp)
+
+        # ---- bifurcation slides: FQ[t, i] = rm(i+t, i+d) ----
+        # transition d-1 -> d is rows+1 / lanes+1; lane N-1 shifts in the
+        # -inf lane pad, slot 0 takes the fresh row.
+        for buf, row in ((FQ, rm_new), (FQM, rmmb_new)):
+            shifted = buf[pl.ds(0, N - 1), pl.ds(1, N + 7)]
+            buf[pl.ds(1, N - 1), pl.ds(0, N + 7)] = shifted
+            buf[pl.ds(0, 1), pl.ds(0, N)] = row
 
         # ---- external: terms[t, i] = rm(i+t, i+d) + ext(i, i+t-1) ----
-        qblk = jnp.flip(qrmS[pl.ds(d + 1, N), pl.ds(d, N)], axis=0)
+        qblk = FQ[pl.ds(0, N), pl.ds(0, N)]
         eblk = extrS[pl.ds(0, N), :]
         terms = jnp.where(t_idx <= d - 1, qblk + eblk, NEG_INF)
         base = ext_unpair * (d + 1).astype(jnp.float32)
@@ -154,36 +154,161 @@ def _contra_inside_kernel(
         extrS[pl.ds(d + 1, 1), :] = ext_new
 
         # ---- multibranch / one-or-more: t in [1, d-1] ----
-        qmblk = jnp.flip(qrmmbS[pl.ds(d + 1, N), pl.ds(d, N)], axis=0)
+        qmblk = FQM[pl.ds(0, N), pl.ds(0, N)]
         x = jnp.where((t_idx >= 1) & (t_idx <= d - 1), qmblk, NEG_INF)
         s1 = lse_pair(
             rmmb_new, _lse_rows(x + mb_unpair * t_idx.astype(jnp.float32))
         )
-        oblk = jnp.concatenate(
-            [jnp.full((1, N), NEG_INF), oneS[pl.ds(0, N - 1), :]], axis=0
-        )
+        oblk = oneS[pl.ds(0, N), :]                 # one(i, i+t-1): row t
         s2 = _lse_rows(oblk + x)
-        mbS[pl.ds(d, 1), :] = s2
-        oneS[pl.ds(d, 1), :] = lse_pair(s1, s2)
+        mbS[pl.ds(d, 1), pl.ds(0, N)] = s2
+        oneS[pl.ds(d + 1, 1), :] = lse_pair(s1, s2)
+
+        # ---- window slides pick up span d for the next steps ----
+        _shift_insert(CB, close_new)
+        _shift_insert(JBW, _row3(JB, d))
+        return (rm_new, rmmb_new)
+
+    lax.fori_loop(0, N, span_step, (neg_row, neg_row))
+
+    close_out[0] = closeF[:]
+    ext_out[0] = extS[:]
+    one_out[0] = oneS[pl.ds(1, N), :]
+
+
+# ---------------------------------------------------------------------------
+# Outside kernel
+# ---------------------------------------------------------------------------
+
+def _contra_outside_kernel(
+    SCAL,                                    # (1, 1, 8) SMEM
+    CLOSE, MBC, ACC, STKO, I11O, B0RO, JRB, JSN,  # (1, N, N) [d, i]
+    ONEP,                                    # (1, N, 2N) one(j+1, k-1) rows
+    QONE,                                    # (1, N, N)  one(k+1, i-1) block
+    B0LO, EXTL,                              # (1, 1, N)
+    EXTR,                                    # (1, 1, 2N)
+    LEN,                                     # (1, W2, W) [b, a]
+    bppo_out,                                # (1, N, N)
+    OBB, OBC, OBJ, XS, RPM, RPM2, bppoF,
+    *, N, min_span,
+):
+    ext_bp = SCAL[0, 0, 1]
+    mb_unpair = SCAL[0, 0, 2]
+    mb_bp = SCAL[0, 0, 3]
+    glob = SCAL[0, 0, 4]
+
+    OBB[:] = jnp.full_like(OBB[:], NEG_INF)
+    OBC[:] = jnp.full_like(OBC[:], NEG_INF)
+    OBJ[:] = jnp.full_like(OBJ[:], NEG_INF)
+    XS[:] = jnp.full_like(XS[:], NEG_INF)
+    RPM[:] = jnp.full_like(RPM[:], NEG_INF)
+    RPM2[:] = jnp.full_like(RPM2[:], NEG_INF)
+    bppoF[:] = jnp.full_like(bppoF[:], NEG_INF)
+
+    b_idx = jax.lax.broadcasted_iota(jnp.int32, (W2, 1), 0)
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
+    s_qone = QONE[0, pl.ds(0, N), pl.ds(0, N)]   # [t', i] = one(i-t'+1, i-1)
+
+    def span_step(step, carry):
+        d = N - 1 - step
+        span_ok = (d + 1) >= min_span
+
+        # ---- pm / pm2 (k > j context): XS[s, i] = G(i, i+d+s+1) ----
+        Xr = XS[pl.ds(0, N), :]
+        s_one = pltpu.roll(
+            ONEP[0, pl.ds(0, N), :], 2 * N - (d + 1), 1
+        )[:, :N]                                     # [s, i] = one(j+1, j+s)
+        pm_new = jnp.where(span_ok, _lse_rows(Xr + s_one)[0:1], NEG_INF)
+        pm2_new = jnp.where(
+            span_ok,
+            _lse_rows(Xr + mb_unpair * t_idx.astype(jnp.float32))[0:1],
+            NEG_INF,
+        )
+
+        # ---- RPM slides: RPM[t', i] = pm(i-t', i+d), rows+1 / lanes+1 ----
+        for buf, row in ((RPM, pm_new), (RPM2, pm2_new)):
+            shifted = buf[pl.ds(0, N - 1), pl.ds(0, N - 1)]
+            buf[pl.ds(1, N - 1), pl.ds(1, N - 1)] = shifted
+            buf[pl.ds(1, N - 1), pl.ds(0, 1)] = jnp.full((N - 1, 1), NEG_INF)
+            buf[pl.ds(0, 1), pl.ds(0, N)] = row
+
+        # ---- bpp outside ----
+        close_row = _row3(CLOSE, d)
+        acc_row = close_row + _row3(ACC, d)
+        lt = EXTL[0, pl.ds(0, 1), :]
+        rt = pltpu.roll(EXTR[0, pl.ds(0, 1), :], 2 * N - (d + 1), 1)[:, :N]
+        base = lt + acc_row + rt - glob + ext_bp
+
+        # 2-loop context: OB*[r, 32+k] = state(k, k + d + 1 + r); the outer
+        # pair (i-1-a, i+d+1+b) sits at rows a+b+1, lanes 31-a+i.
+        jrb_row = _row3(JRB, d)
+        two = jnp.full((1, N), NEG_INF)
+        for a in range(W):
+            blk_b = OBB[pl.ds(a + 1, W2), pl.ds(31 - a, N)]
+            blk_c = OBC[pl.ds(a + 1, W2), pl.ds(31 - a, N)]
+            blk_j = OBJ[pl.ds(a + 1, W2), pl.ds(31 - a, N)]
+            body = jrb_row + blk_j + LEN[0, :, a : a + 1]
+            if a == 0:
+                body = jnp.where(b_idx == 0, _row3(STKO, d), body)
+                body = jnp.where(b_idx == 1, body + _row3(B0RO, d), body)
+            elif a == 1:
+                body = jnp.where(
+                    b_idx == 0, body + B0LO[0, pl.ds(0, 1), :], body
+                )
+                body = jnp.where(b_idx == 1, body + _row3(I11O, d), body)
+            tl = jnp.where(a + b_idx <= MAX_LOOP_LEN, body, NEG_INF)
+            term = jnp.where(
+                blk_c > NEG_INF, blk_b - blk_c + tl, NEG_INF
+            ) + close_row
+            two = lse_pair(two, _lse_rows(term))
+
+        # multibranch context: k < i, t' = i - k in [1, i]
+        acc_mb = acc_row + mb_bp
+        r_pm = RPM[pl.ds(0, N), pl.ds(0, N)]
+        r_pm2 = RPM2[pl.ds(0, N), pl.ds(0, N)]
+        m1 = t_idx >= 1
+        terms_a = jnp.where(m1, acc_mb + r_pm2 + s_qone, NEG_INF)
+        terms_b = jnp.where(
+            m1,
+            acc_mb + r_pm + mb_unpair * (t_idx - 1).astype(jnp.float32),
+            NEG_INF,
+        )
+        terms_c = jnp.where(m1, acc_mb + r_pm + s_qone, NEG_INF)
+        mb_ctx = lse_pair(
+            lse_pair(_lse_rows(terms_a), _lse_rows(terms_b)),
+            _lse_rows(terms_c),
+        )
+
+        bppo_new = lse_pair(lse_pair(base, two), mb_ctx)
+        bppo_new = jnp.where(
+            (close_row > NEG_INF) & span_ok, bppo_new, NEG_INF
+        )
+        bppoF[pl.ds(d, 1), :] = bppo_new
+
+        # ---- slides pick up span d for smaller spans ----
+        _shift_insert(OBB, bppo_new, lane_off=32)
+        _shift_insert(OBC, close_row, lane_off=32)
+        _shift_insert(OBJ, _row3(JSN, d), lane_off=32)
+        g_row = jnp.where(
+            close_row > NEG_INF,
+            bppo_new + _row3(MBC, d) - close_row,
+            NEG_INF,
+        )
+        shifted = XS[pl.ds(0, N - 1), :]
+        XS[pl.ds(1, N - 1), :] = shifted
+        XS[pl.ds(0, 1), :] = g_row
         return carry
 
     lax.fori_loop(0, N, span_step, 0)
-
-    close_out[0] = closeS[pl.ds(ROWPAD, N), pl.ds(LANEPAD, N)]
-    ext_out[0] = extS[:]
-    one_out[0] = oneS[:]
+    bppo_out[0] = bppoF[:]
 
 
 # ---------------------------------------------------------------------------
-# Host-side wrapper
+# Host-side preparation
 # ---------------------------------------------------------------------------
 
 def contra_precompute_di(seqs, ns, ct, N):
-    """Per-sequence [d, i]-layout score matrices for the kernel (batched).
-
-    Same quantities as ops.scores.precompute_contra plus the per-cell 2-loop
-    corrections (stack / 0x1 / 1x1), transposed to span-major.
-    """
+    """Per-sequence [d, i]-layout score matrices for the inside kernel."""
 
     def one(seq, n):
         pre = S.precompute_contra(seq, n, N, ct)
@@ -203,11 +328,7 @@ def contra_precompute_di(seqs, ns, ct, N):
         I11 = ct["interior_scores_1x1"][s_i1, s_j1]
         canon_f = jnp.where(pre["canon"], 0.0, NEG_INF).astype(jnp.float32)
         JB = pre["JSrev"] + pre["BP"]
-        JBPAD = jnp.full(
-            (ROWPAD + N, LANEPAD + N + W + 2), 0.0, dtype=jnp.float32
-        )
-        JBPAD = lax.dynamic_update_slice(JBPAD, JB.T, (ROWPAD, LANEPAD))
-        mats = {
+        return {
             "H": pre["H"].T,
             "MBC": pre["MBC"].T,
             "ACC": pre["ACC"].T,
@@ -217,209 +338,25 @@ def contra_precompute_di(seqs, ns, ct, N):
             "B0R": B0R.T,
             "B0L": B0L.T,
             "CANON": canon_f.T,
-            "JBPAD": JBPAD,
+            "JB": JB.T,
         }
-        return mats
 
     return jax.vmap(one)(seqs, ns)
 
 
 def _contra_len_di(ct):
-    """(W, W) [b, a] length/feature constants of the 2-loop body."""
+    """(W2, W) [b, a] length/feature constants of the 2-loop body.
+
+    Row b = W is a zero pad so 32-row window blocks add it directly (that
+    row is always masked by the loop-length cap)."""
     bulge, interior = S._contra_len_consts(ct)  # [a, b]
     a, b = S._AGRID, S._BGRID
     body = jnp.where((a == 0) | (b == 0), bulge, interior)
-    return body.T  # [b, a]
+    return jnp.concatenate([body.T, jnp.zeros((1, W))], axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("N", "interpret"))
-def contra_inside_pallas(seqs, ns, ct, N, interpret=False):
-    """Batched CONTRA inside pass via the fused kernel.
-
-    Returns (close, ext, one) in [d, i] layout, shape (B, N, N).
-    """
-    B = seqs.shape[0]
-    mats = contra_precompute_di(seqs, ns, ct, N)
-    LEN = jnp.broadcast_to(_contra_len_di(ct)[None], (B, W, W))
-    scal = jnp.broadcast_to(
-        jnp.stack(
-            [
-                ct["external_score_unpair"],
-                ct["external_score_basepair"],
-                ct["multibranch_score_unpair"],
-                ct["multibranch_score_basepair"],
-                jnp.float32(0.0),
-                jnp.float32(0.0),
-                jnp.float32(0.0),
-                jnp.float32(0.0),
-            ]
-        )[None, None],
-        (B, 1, 8),
-    )
-
-    nn = lambda *shape: pl.BlockSpec(
-        (1,) + shape, lambda b: (b,) + (0,) * len(shape),
-        memory_space=pltpu.VMEM,
-    )
-    out_shape = tuple(
-        jax.ShapeDtypeStruct((B, N, N), jnp.float32) for _ in range(3)
-    )
-    kernel = functools.partial(_contra_inside_kernel, N=N)
-    close, ext, one = pl.pallas_call(
-        kernel,
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, 8), lambda b: (b, 0, 0), memory_space=pltpu.SMEM
-            ),
-            *(nn(N, N) for _ in range(9)),
-            nn(ROWPAD + N, LANEPAD + N + W + 2),
-            nn(W, W),
-        ],
-        out_specs=(nn(N, N), nn(N, N), nn(N, N)),
-        out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((ROWPAD + N, LANEPAD + N + W + 2), jnp.float32),  # closeS
-            pltpu.VMEM((2 * N, 2 * N), jnp.float32),  # qrmS
-            pltpu.VMEM((2 * N, 2 * N), jnp.float32),  # qrmmbS
-            pltpu.VMEM((N, N), jnp.float32),          # rmS
-            pltpu.VMEM((N, N), jnp.float32),          # rmmbS
-            pltpu.VMEM((N, N), jnp.float32),          # extS
-            pltpu.VMEM((N + 1, N), jnp.float32),      # extrS
-            pltpu.VMEM((N, N), jnp.float32),          # mbS
-            pltpu.VMEM((N, N), jnp.float32),          # oneS
-        ],
-        interpret=interpret,
-    )(
-        scal,
-        mats["H"], mats["MBC"], mats["ACC"], mats["JS"], mats["STK"],
-        mats["I11"], mats["B0R"], mats["B0L"], mats["CANON"],
-        mats["JBPAD"], LEN,
-    )
-    return close, ext, one
-
-
-# ---------------------------------------------------------------------------
-# Outside pass (mccaskill_algo.rs:612-723)
-# ---------------------------------------------------------------------------
-
-BOTPAD = 64  # bottom row padding for the upward 2-loop window
-
-
-def _contra_outside_kernel(
-    SCAL,                                    # (1, 1, 8) SMEM
-    CLOSEPAD, JSPAD,                         # (1, N+BOTPAD, LANEPAD+N+W+2)
-    ONEPAD,                                  # (1, N+2, 2N+2) one(j+1, k-1) reads
-    QONE,                                    # (1, N, N)  one(k+1, i-1) reads
-    CLOSE, MBC, ACC, STKO, I11O, B0RO, JRB,  # (1, N, N) [d, i]
-    B0LO, EXTL,                              # (1, N)
-    EXTR,                                    # (1, 2N)
-    LEN,                                     # (1, W, W) [b, a]
-    bppo_out,                                # (1, N, N)
-    bppoS, GS, qpmS, qpm2S,
-    *, N, min_span,
-):
-    ext_bp = SCAL[0, 1]
-    mb_unpair = SCAL[0, 2]
-    mb_bp = SCAL[0, 3]
-    glob = SCAL[0, 4]
-
-    bppoS[:] = jnp.full_like(bppoS[:], NEG_INF)
-    GS[:] = jnp.full_like(GS[:], NEG_INF)
-    qpmS[:] = jnp.full_like(qpmS[:], NEG_INF)
-    qpm2S[:] = jnp.full_like(qpm2S[:], NEG_INF)
-
-    b_idx = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
-    t_idx = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
-    s_qone = QONE[0, pl.ds(0, N), pl.ds(0, N)]   # [t', i] = one(i-t'+1, i-1)
-
-    def span_step(step, carry):
-        d = N - 1 - step
-        span_ok = (d + 1) >= min_span
-
-        # ---- pm / pm2: X[t, i] = G(i, i+d+t), t = k - j >= 1 ----
-        Xr = GS[pl.ds(d, N), :]                      # rows d+t
-        s_one = ONEPAD[0, pl.ds(0, N), pl.ds(d + 1, N)]  # one(j+1, k-1)
-        pm_terms = jnp.where(t_idx >= 1, Xr + s_one, NEG_INF)
-        pm_new = jnp.where(span_ok, _lse_rows(pm_terms), NEG_INF)
-        pm2_terms = jnp.where(
-            t_idx >= 1,
-            Xr + mb_unpair * (t_idx - 1).astype(jnp.float32),
-            NEG_INF,
-        )
-        pm2_new = jnp.where(span_ok, _lse_rows(pm2_terms), NEG_INF)
-        qpmS[pl.ds(d, 1), pl.ds(d, N)] = pm_new
-        qpm2S[pl.ds(d, 1), pl.ds(d, N)] = pm2_new
-
-        # ---- bpp outside ----
-        close_row = _row3(CLOSE, d)
-        acc_row = close_row + _row3(ACC, d)
-        lt = EXTL[pl.ds(0, 1), pl.ds(0, N)]
-        rt = EXTR[pl.ds(0, 1), pl.ds(d + 1, N)]
-        base = lt + acc_row + rt - glob + ext_bp
-
-        # 2-loop context: outer (i-1-a, j+1+b)
-        jrb_row = _row3(JRB, d)
-        two = jnp.full((1, N), NEG_INF)
-        for a in range(W):
-            r0 = d + 2 + a
-            lane0 = LANEPAD - 1 - a
-            blk_b = bppoS[pl.ds(r0, W), pl.ds(lane0, N)]
-            blk_c = CLOSEPAD[0, pl.ds(r0, W), pl.ds(lane0, N)]
-            blk_j = JSPAD[0, pl.ds(r0, W), pl.ds(lane0, N)]
-            body = jrb_row + blk_j + LEN[0, :, a : a + 1]
-            if a == 0:
-                body = jnp.where(b_idx == 0, _row3(STKO, d), body)
-                body = jnp.where(b_idx == 1, body + _row3(B0RO, d), body)
-            elif a == 1:
-                body = jnp.where(b_idx == 0, body + B0LO[pl.ds(0, 1), pl.ds(0, N)], body)
-                body = jnp.where(b_idx == 1, body + _row3(I11O, d), body)
-            tl = jnp.where(a + b_idx <= MAX_LOOP_LEN, body, NEG_INF)
-            term = jnp.where(
-                blk_c > NEG_INF, blk_b - blk_c + tl, NEG_INF
-            ) + close_row
-            two = lse_pair(two, _lse_rows(term))
-
-        # multibranch context: k < i, t' = i - k in [1, i]
-        acc_mb = acc_row + mb_bp
-        r_pm = qpmS[pl.ds(d, N), pl.ds(d, N)]        # [t', i] = pm(i-t', i+d)
-        r_pm2 = qpm2S[pl.ds(d, N), pl.ds(d, N)]
-        m1 = t_idx >= 1
-        terms_a = jnp.where(m1, acc_mb + r_pm2 + s_qone, NEG_INF)
-        terms_b = jnp.where(
-            m1,
-            acc_mb + r_pm + mb_unpair * (t_idx - 1).astype(jnp.float32),
-            NEG_INF,
-        )
-        terms_c = jnp.where(m1, acc_mb + r_pm + s_qone, NEG_INF)
-        mb_ctx = lse_pair(
-            lse_pair(_lse_rows(terms_a), _lse_rows(terms_b)),
-            _lse_rows(terms_c),
-        )
-
-        bppo_new = lse_pair(lse_pair(base, two), mb_ctx)
-        bppo_new = jnp.where(
-            (close_row > NEG_INF) & span_ok, bppo_new, NEG_INF
-        )
-        bppoS[pl.ds(d, 1), pl.ds(LANEPAD, N)] = bppo_new
-        g_row = jnp.where(
-            close_row > NEG_INF,
-            bppo_new + _row3(MBC, d) - close_row,
-            NEG_INF,
-        )
-        GS[pl.ds(d, 1), :] = g_row
-        return carry
-
-    lax.fori_loop(0, N, span_step, 0)
-    bppo_out[0] = bppoS[pl.ds(0, N), pl.ds(LANEPAD, N)]
-
-
-def _skew_di(one_di, N):
-    """QONE_PAD[t, l] = one(l-t+1, l-1) with -inf out of range (host prep).
-
-    one_di is the inside kernel's [d, i] output: one_di[q, p] = one(p, p+q).
-    s_qone[t', i] = one(i-t'+1, i-1) = one_di[t'-2, i-t'+1].
-    """
+def _skew_qone(one_di, N):
+    """QONE[t, l] = one(l-t+1, l-1) with -inf out of range (host prep)."""
     t = jnp.arange(N)[:, None]
     l = jnp.arange(N)[None, :]
     q = t - 2
@@ -450,11 +387,17 @@ def contra_outside_precompute_di(seqs, ns, ct, N, close_di, ext_di, one_di):
         I11O = ct["interior_scores_1x1"][s_im1, s_jp1]
         JRB = pre["JSrev"] + pre["BP"]
 
-        def botpad(M_di, fill):
-            buf = jnp.full(
-                (N + BOTPAD, LANEPAD + N + W + 2), fill, dtype=jnp.float32
-            )
-            return lax.dynamic_update_slice(buf, M_di, (0, LANEPAD))
+        # ONEP[s, c] = one_d[s-1, c] (top pad row; lanes padded to 2N with
+        # -inf): the kernel rolls lanes by j+1 to read one(j+1, j+s).
+        ONEP = jnp.concatenate(
+            [
+                jnp.full((1, 2 * N), NEG_INF),
+                jnp.concatenate(
+                    [one_d[: N - 1], jnp.full((N - 1, N), NEG_INF)], axis=1
+                ),
+            ],
+            axis=0,
+        )
 
         pvec = jnp.arange(N)
         extL = ext_d[:, 0]                              # ext(0, p)
@@ -467,19 +410,6 @@ def contra_outside_precompute_di(seqs, ns, ct, N, close_di, ext_di, one_di):
         extR_pad = jnp.concatenate([extR, jnp.zeros((N,))])
         glob = extR[0]
         return {
-            "CLOSEPAD": botpad(close_d, NEG_INF),
-            "JSPAD": botpad(pre["JS"].T, 0.0),
-            "ONEPAD": jnp.concatenate(
-                [
-                    jnp.full((2, 2 * N), NEG_INF),
-                    jnp.concatenate(
-                        [one_d[: N - 2], jnp.full((N - 2, N), NEG_INF)],
-                        axis=1,
-                    ),
-                ],
-                axis=0,
-            ),
-            "QONE": _skew_di(one_d, N),
             "CLOSE": close_d,
             "MBC": pre["MBC"].T,
             "ACC": pre["ACC"].T,
@@ -487,6 +417,9 @@ def contra_outside_precompute_di(seqs, ns, ct, N, close_di, ext_di, one_di):
             "I11O": I11O.T,
             "B0RO": B0RO.T,
             "JRB": JRB.T,
+            "JSN": pre["JS"].T,
+            "ONEP": ONEP,
+            "QONE": _skew_qone(one_d, N),
             "B0LO": B0LO,
             "EXTL": extL_sh,
             "EXTR": extR_pad,
@@ -494,6 +427,76 @@ def contra_outside_precompute_di(seqs, ns, ct, N, close_di, ext_di, one_di):
         }
 
     return jax.vmap(one_seq)(seqs, ns, close_di, ext_di, one_di)
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers
+# ---------------------------------------------------------------------------
+
+def _nn(*shape):
+    return pl.BlockSpec(
+        (1,) + shape,
+        lambda b: (b,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM,
+    )
+
+
+_SMEM_SPEC = pl.BlockSpec(
+    (1, 1, 8), lambda b: (b, 0, 0), memory_space=pltpu.SMEM
+)
+
+
+@functools.partial(jax.jit, static_argnames=("N", "interpret"))
+def contra_inside_pallas(seqs, ns, ct, N, interpret=False):
+    """Batched CONTRA inside pass; returns (close, ext, one) in [d, i]."""
+    B = seqs.shape[0]
+    mats = contra_precompute_di(seqs, ns, ct, N)
+    LEN = jnp.broadcast_to(_contra_len_di(ct)[None], (B, W2, W))
+    scal = jnp.broadcast_to(
+        jnp.stack(
+            [
+                ct["external_score_unpair"],
+                ct["external_score_basepair"],
+                ct["multibranch_score_unpair"],
+                ct["multibranch_score_basepair"],
+            ]
+            + [jnp.float32(0.0)] * 4
+        )[None, None],
+        (B, 1, 8),
+    )
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((B, N, N), jnp.float32) for _ in range(3)
+    )
+    kernel = functools.partial(_contra_inside_kernel, N=N)
+    close, ext, one = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            _SMEM_SPEC,
+            *(_nn(N, N) for _ in range(10)),
+            _nn(W2, W),
+        ],
+        out_specs=(_nn(N, N), _nn(N, N), _nn(N, N)),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # CB
+            pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # JBW
+            pltpu.VMEM((N, N + 8), jnp.float32),          # FQ
+            pltpu.VMEM((N, N + 8), jnp.float32),          # FQM
+            pltpu.VMEM((N, N), jnp.float32),              # extS
+            pltpu.VMEM((N + 1, N), jnp.float32),          # extrS
+            pltpu.VMEM((N, N + 8), jnp.float32),          # mbS
+            pltpu.VMEM((N + 1, N), jnp.float32),          # oneS
+            pltpu.VMEM((N, N), jnp.float32),              # closeF
+        ],
+        interpret=interpret,
+    )(
+        scal,
+        mats["H"], mats["MBC"], mats["ACC"], mats["JS"], mats["STK"],
+        mats["I11"], mats["B0R"], mats["B0L"], mats["CANON"], mats["JB"],
+        LEN,
+    )
+    return close, ext, one
 
 
 @functools.partial(
@@ -504,15 +507,14 @@ def mccaskill_contra_pallas(
 ):
     """Full CONTRA McCaskill (inside + outside) through the fused kernels.
 
-    Returns (bppo, close, ext, one) in [d, i] layout, each (B, N, N); callers
-    convert to probability space / square layout (models/mccaskill.py).
+    Returns (bppo, close, ext, one) in [d, i] layout, each (B, N, N).
     """
     B = seqs.shape[0]
     close, ext, one = contra_inside_pallas(
         seqs, ns, ct, N=N, interpret=interpret
     )
     pre = contra_outside_precompute_di(seqs, ns, ct, N, close, ext, one)
-    LEN = jnp.broadcast_to(_contra_len_di(ct)[None], (B, W, W))
+    LEN = jnp.broadcast_to(_contra_len_di(ct)[None], (B, W2, W))
     scal_base = jnp.stack(
         [
             ct["external_score_unpair"],
@@ -530,44 +532,39 @@ def mccaskill_contra_pallas(
         axis=1,
     ).astype(jnp.float32)[:, None, :]
 
-    nn = lambda *shape: pl.BlockSpec(
-        (1,) + shape, lambda b: (b,) + (0,) * len(shape),
-        memory_space=pltpu.VMEM,
-    )
     min_span = 2 if allows_short_hairpins else MIN_SPAN_HAIRPIN_CLOSE
     kernel = functools.partial(_contra_outside_kernel, N=N, min_span=min_span)
-    PADW = LANEPAD + N + W + 2
     bppo = pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec(
-                (1, 1, 8), lambda b: (b, 0, 0), memory_space=pltpu.SMEM
-            ),
-            nn(N + BOTPAD, PADW),       # CLOSEPAD
-            nn(N + BOTPAD, PADW),       # JSPAD
-            nn(N, 2 * N),               # ONEPAD
-            nn(N, N),                   # QONE
-            *(nn(N, N) for _ in range(7)),  # CLOSE MBC ACC STKO I11O B0RO JRB
-            nn(N),                      # B0LO
-            nn(N),                      # EXTL
-            nn(2 * N),                  # EXTR
-            nn(W, W),                   # LEN
+            _SMEM_SPEC,
+            *(_nn(N, N) for _ in range(8)),  # CLOSE..JSN
+            _nn(N, 2 * N),                   # ONEP
+            _nn(N, N),                       # QONE
+            _nn(1, N),                       # B0LO
+            _nn(1, N),                       # EXTL
+            _nn(1, 2 * N),                   # EXTR
+            _nn(W2, W),                      # LEN
         ],
-        out_specs=nn(N, N),
+        out_specs=_nn(N, N),
         out_shape=jax.ShapeDtypeStruct((B, N, N), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((N + BOTPAD, PADW), jnp.float32),  # bppoS
-            pltpu.VMEM((2 * N, N), jnp.float32),          # GS
-            pltpu.VMEM((2 * N, 2 * N), jnp.float32),      # qpmS
-            pltpu.VMEM((2 * N, 2 * N), jnp.float32),      # qpm2S
+            pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # OBB
+            pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # OBC
+            pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # OBJ
+            pltpu.VMEM((N, N), jnp.float32),              # XS
+            pltpu.VMEM((N, N), jnp.float32),              # RPM
+            pltpu.VMEM((N, N), jnp.float32),              # RPM2
+            pltpu.VMEM((N, N), jnp.float32),              # bppoF
         ],
         interpret=interpret,
     )(
         scal,
-        pre["CLOSEPAD"], pre["JSPAD"], pre["ONEPAD"], pre["QONE"],
         pre["CLOSE"], pre["MBC"], pre["ACC"], pre["STKO"], pre["I11O"],
-        pre["B0RO"], pre["JRB"],
-        pre["B0LO"], pre["EXTL"], pre["EXTR"], LEN,
+        pre["B0RO"], pre["JRB"], pre["JSN"],
+        pre["ONEP"], pre["QONE"],
+        pre["B0LO"][:, None, :], pre["EXTL"][:, None, :],
+        pre["EXTR"][:, None, :], LEN,
     )
     return bppo, close, ext, one

@@ -9,6 +9,8 @@ wavefront over the batch, and optionally shard the batch axis over a 1-D
 device mesh (parallel/mesh.py).
 """
 
+from functools import partial
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -62,8 +64,12 @@ class FoldEngine:
         order = sorted(range(len(seqs)), key=lambda k: len(seqs[k]))
         results = [None] * len(seqs)
         by_bucket = {}
+        prefer_pow2 = self.mesh is None and M.pallas_available(self.contra, 64)
         for k in order:
-            by_bucket.setdefault(pick_bucket(len(seqs[k])), []).append(k)
+            N = pick_bucket(len(seqs[k]))
+            if prefer_pow2 and N == 96:
+                N = 128  # fused-kernel buckets are power-of-two
+            by_bucket.setdefault(N, []).append(k)
         for N, idxs in by_bucket.items():
             arr = pad_seqs([seqs[k] for k in idxs], N)
             ns = np.array([len(seqs[k]) for k in idxs], dtype=np.int32)
@@ -77,7 +83,13 @@ class FoldEngine:
                 arr, ns = mesh_lib.shard_batch(self.mesh, arr, ns)
             else:
                 true_b = len(idxs)
-            bpp, presence = M.mccaskill_bpp_batch(
+            # fused Pallas path for unsharded batches; the mesh path stays on
+            # the XLA scan (pallas_call is not shard_map-wrapped yet)
+            batch_fn = (
+                M.mccaskill_bpp_batch_auto if self.mesh is None
+                else partial(M.mccaskill_bpp_batch)
+            )
+            bpp, presence = batch_fn(
                 jnp.asarray(arr), jnp.asarray(ns), self.tbl, N=N,
                 contra=self.contra,
                 allows_short_hairpins=self.allows_short_hairpins,

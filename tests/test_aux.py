@@ -1,0 +1,58 @@
+"""Auxiliary subsystems: checkpoint/resume store, tracing, batch engines."""
+
+import numpy as np
+
+from rna_algos_tpu.utils.checkpoint import BppStore, cached_fold_batch, fold_key
+from rna_algos_tpu.utils.trace import PhaseTimer, dp_cells
+
+
+class FakeEngine:
+    contra = True
+    allows_short_hairpins = False
+
+    def __init__(self):
+        self.calls = []
+
+    def fold_batch(self, seqs):
+        self.calls.append(len(seqs))
+        return [
+            (np.full((len(s), len(s)), 0.5, np.float32),
+             np.ones((len(s), len(s)), bool))
+            for s in seqs
+        ]
+
+
+def test_bpp_store_roundtrip(tmp_path):
+    store = BppStore(str(tmp_path))
+    key = fold_key(np.array([0, 1, 2, 3]), True)
+    assert store.get(key) is None
+    bpp = np.eye(4, dtype=np.float32)
+    store.put(key, bpp, bpp > 0)
+    got_bpp, got_pres = store.get(key)
+    np.testing.assert_array_equal(got_bpp, bpp)
+    assert got_pres.dtype == bool
+
+
+def test_cached_fold_batch_resumes(tmp_path):
+    store = BppStore(str(tmp_path))
+    engine = FakeEngine()
+    seqs = [np.array([0, 1, 2]), np.array([3, 2, 1, 0])]
+    r1 = cached_fold_batch(engine, seqs, store)
+    assert engine.calls == [2]
+    r2 = cached_fold_batch(engine, seqs, store)
+    assert engine.calls == [2]  # second run fully served from the store
+    np.testing.assert_array_equal(r1[0][0], r2[0][0])
+    # a new sequence only folds the missing one
+    seqs.append(np.array([0, 0, 1, 1, 2]))
+    cached_fold_batch(engine, seqs, store)
+    assert engine.calls == [2, 1]
+
+
+def test_phase_timer_metrics():
+    t = PhaseTimer()
+    with t.phase("inside", cells=dp_cells(100), items=4):
+        pass
+    s = t.summary()["inside"]
+    assert s["calls"] == 1 and s["items"] == 4
+    assert s["cells"] == dp_cells(100)
+    assert "cells_per_s" in s
