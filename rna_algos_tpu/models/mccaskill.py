@@ -361,18 +361,24 @@ def mccaskill_bpp_batch(seqs, ns, tbl, N, contra=False, allows_short_hairpins=Fa
     return jax.vmap(one)(seqs, ns)
 
 
-@partial(jax.jit, static_argnames=("N", "allows_short_hairpins"))
-def mccaskill_bpp_batch_pallas(seqs, ns, tbl, N, allows_short_hairpins=False):
-    """CONTRA batch through the fused VMEM-resident Pallas kernels.
+@partial(jax.jit, static_argnames=("N", "contra", "allows_short_hairpins"))
+def mccaskill_bpp_batch_pallas(seqs, ns, tbl, N, contra=True,
+                               allows_short_hairpins=False):
+    """Batch through the fused VMEM-resident Pallas kernels.
 
-    Same outputs as mccaskill_bpp_batch(contra=True); requires a TPU backend
-    and N <= 128 (whole-DP-state-in-VMEM budget, ops/pallas_fold.py).
+    Same outputs as mccaskill_bpp_batch; requires a TPU backend and
+    N <= 128 (whole-DP-state-in-VMEM budget, ops/pallas_fold.py).
     """
     from ..ops import pallas_fold as PF
 
-    bppo, _close, _ext, _one = PF.mccaskill_contra_pallas(
-        seqs, ns, tbl, N=N, allows_short_hairpins=allows_short_hairpins
-    )
+    if contra:
+        bppo, _close, _ext, _one = PF.mccaskill_contra_pallas(
+            seqs, ns, tbl, N=N, allows_short_hairpins=allows_short_hairpins
+        )
+    else:
+        bppo, _close, _ext, _one = PF.mccaskill_turner_pallas(
+            seqs, ns, tbl, N=N
+        )
     bppo_left = jnp.swapaxes(bppo, 1, 2)  # [d, i] -> [i, d]
 
     def finish(P, n):
@@ -386,8 +392,10 @@ def mccaskill_bpp_batch_pallas(seqs, ns, tbl, N, allows_short_hairpins=False):
     return jax.vmap(finish)(bppo_left, ns)
 
 
-# flips to True once the fused kernels are validated on real hardware
-_PALLAS_DEFAULT_ON = False
+# validated on TPU v5e (Mosaic compile + parity vs the XLA scan <= 4e-5)
+_PALLAS_DEFAULT_ON = True
+# Turner kernels: interpret-verified; flips on once Mosaic-validated on HW
+_PALLAS_TURNER_ON = False
 
 
 def pallas_available(contra, N):
@@ -400,7 +408,7 @@ def pallas_available(contra, N):
         return False
     # power-of-two N keeps the in-kernel tree reductions concat-free
     return (
-        bool(contra)
+        (bool(contra) or _PALLAS_TURNER_ON)
         and N <= 128
         and (N & (N - 1)) == 0
         and backend not in ("cpu",)
@@ -421,7 +429,8 @@ def mccaskill_bpp_batch_auto(seqs, ns, tbl, N, contra=False,
         use_pallas = _PALLAS_DEFAULT_ON and pallas_available(contra, N)
     if use_pallas:
         return mccaskill_bpp_batch_pallas(
-            seqs, ns, tbl, N=N, allows_short_hairpins=allows_short_hairpins
+            seqs, ns, tbl, N=N, contra=contra,
+            allows_short_hairpins=allows_short_hairpins,
         )
     return mccaskill_bpp_batch(
         seqs, ns, tbl, N=N, contra=contra,

@@ -122,7 +122,7 @@ def _contra_inside_kernel(
                 body = jnp.where(b_idx == 1, body + _row3(I11, d), body)
             tl = jnp.where(a + b_idx <= MAX_LOOP_LEN, body, NEG_INF) + blk_c
             two = lse_pair(two, _lse_rows(tl))
-        mb_in = mbS[pl.ds(jnp.maximum(d - 2, 0), 1), pl.ds(1, N)]  # mb(i+1, .)
+        mb_in = mbS[pl.ds(jnp.maximum(d - 2, 0), 1), :]  # mb(i+1, j-1)
         mb_term = jnp.where(d >= 2, mb_in + _row3(MBC, d), NEG_INF)
         close_new = lse_pair(lse_pair(_row3(H, d), two), mb_term)
         close_new = close_new + _row3(CANON, d)     # 0 / -inf mask
@@ -161,7 +161,11 @@ def _contra_inside_kernel(
         )
         oblk = oneS[pl.ds(0, N), :]                 # one(i, i+t-1): row t
         s2 = _lse_rows(oblk + x)
-        mbS[pl.ds(d, 1), pl.ds(0, N)] = s2
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+        s2_shift = jnp.where(
+            lane < N - 1, pltpu.roll(s2, N - 1, 1), NEG_INF
+        )
+        mbS[pl.ds(d, 1), :] = s2_shift
         oneS[pl.ds(d + 1, 1), :] = lse_pair(s1, s2)
 
         # ---- window slides pick up span d for the next steps ----
@@ -485,7 +489,7 @@ def contra_inside_pallas(seqs, ns, ct, N, interpret=False):
             pltpu.VMEM((N, N + 8), jnp.float32),          # FQM
             pltpu.VMEM((N, N), jnp.float32),              # extS
             pltpu.VMEM((N + 1, N), jnp.float32),          # extrS
-            pltpu.VMEM((N, N + 8), jnp.float32),          # mbS
+            pltpu.VMEM((N, N), jnp.float32),              # mbS (pre-shifted rows)
             pltpu.VMEM((N + 1, N), jnp.float32),          # oneS
             pltpu.VMEM((N, N), jnp.float32),              # closeF
         ],
@@ -566,5 +570,447 @@ def mccaskill_contra_pallas(
         pre["ONEP"], pre["QONE"],
         pre["B0LO"][:, None, :], pre["EXTL"][:, None, :],
         pre["EXTR"][:, None, :], LEN,
+    )
+    return bppo, close, ext, one
+
+
+# ---------------------------------------------------------------------------
+# Turner kernels (utils.rs:162-411 scoring; same wavefront/slide machinery)
+# ---------------------------------------------------------------------------
+
+def _turner_tl_block(
+    a, b_idx, d, blk_aug, blk_t1, blk_t2, blk_t3,
+    STKT, B01, B10, I11T, I12T, I21T, I22T, TMo1, TMo2, TMo3, AUGT,
+    LENB, LENI,
+):
+    """(W2, N) Turner 2-loop score block for static lane shift ``a``.
+
+    Everything except the window terms comes in as single [d, :] rows; the
+    family select (utils.rs:331-366) is static per (a, b).
+    """
+    aug_row = _row3(AUGT, d)
+    is_1 = (a == 1) | (b_idx == 1)
+    is_23 = ((a == 2) & (b_idx == 3)) | ((a == 3) & (b_idx == 2))
+    tmo = jnp.where(
+        is_1, _row3(TMo2, d), jnp.where(is_23, _row3(TMo3, d), _row3(TMo1, d))
+    )
+    w_tmi = jnp.where(is_1, blk_t2, jnp.where(is_23, blk_t3, blk_t1))
+    body_int = LENI[0, :, a : a + 1] + tmo + w_tmi + aug_row + blk_aug
+    body_bulge = LENB[0, :, a : a + 1] + aug_row + blk_aug
+    body = jnp.where((a == 0) | (b_idx == 0), body_bulge, body_int)
+    if a == 0:
+        body = jnp.where(b_idx == 0, _row3(STKT, d), body)
+        body = jnp.where(b_idx == 1, _row3(B01, d), body)
+    elif a == 1:
+        body = jnp.where(b_idx == 0, _row3(B10, d), body)
+        body = jnp.where(b_idx == 1, _row3(I11T, d), body)
+        body = jnp.where(b_idx == 2, _row3(I12T, d), body)
+    elif a == 2:
+        body = jnp.where(b_idx == 1, _row3(I21T, d), body)
+        body = jnp.where(b_idx == 2, _row3(I22T, d), body)
+    return body
+
+
+def _turner_inside_kernel(
+    SCAL,
+    H, MBC, ACC, CANON,
+    STKT, B01, B10, I11T, I12T, I21T, I22T,
+    TMo1, TMo2, TMo3, AUGT, TMi1N, TMi2N, TMi3N,
+    LENB, LENI,
+    close_out, ext_out, one_out,
+    CB, AUGW, T1W, T2W, T3W, FQ, extS, extrS, mbS, oneS, closeF,
+    *, N,
+):
+    coeff = SCAL[0, 0, 0]  # COEFF_NUM_BRANCHES
+
+    for buf in (CB, FQ, mbS, oneS, closeF, AUGW, T1W, T2W, T3W):
+        buf[:] = jnp.full_like(buf[:], NEG_INF)
+    extS[:] = jnp.zeros_like(extS[:])
+    extrS[:] = jnp.zeros_like(extrS[:])
+
+    b_idx = jax.lax.broadcasted_iota(jnp.int32, (W2, 1), 0)
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
+    neg_row = jnp.full((1, N), NEG_INF)
+
+    def span_step(d, carry):
+        (rm_prev,) = carry
+        two = neg_row
+        for a in range(W):
+            blk_c = CB[pl.ds(a + 1, W2), pl.ds(1 + a, N)]
+            body = _turner_tl_block(
+                a, b_idx, d,
+                AUGW[pl.ds(a + 1, W2), pl.ds(1 + a, N)],
+                T1W[pl.ds(a + 1, W2), pl.ds(1 + a, N)],
+                T2W[pl.ds(a + 1, W2), pl.ds(1 + a, N)],
+                T3W[pl.ds(a + 1, W2), pl.ds(1 + a, N)],
+                STKT, B01, B10, I11T, I12T, I21T, I22T,
+                TMo1, TMo2, TMo3, AUGT, LENB, LENI,
+            )
+            tl = jnp.where(a + b_idx <= MAX_LOOP_LEN, body, NEG_INF) + blk_c
+            two = lse_pair(two, _lse_rows(tl))
+        mb_in = mbS[pl.ds(jnp.maximum(d - 2, 0), 1), :]  # mb(i+1, j-1)
+        mb_term = jnp.where(d >= 2, mb_in + _row3(MBC, d), NEG_INF)
+        close_new = lse_pair(lse_pair(_row3(H, d), two), mb_term)
+        close_new = close_new + _row3(CANON, d)
+        close_new = jnp.where(
+            d + 1 >= MIN_SPAN_HAIRPIN_CLOSE, close_new, NEG_INF
+        )
+        closeF[pl.ds(d, 1), :] = close_new
+        acc_new = close_new + _row3(ACC, d)
+
+        rm_new = lse_pair(rm_prev, acc_new)
+        shifted = FQ[pl.ds(0, N - 1), pl.ds(1, N + 7)]
+        FQ[pl.ds(1, N - 1), pl.ds(0, N + 7)] = shifted
+        FQ[pl.ds(0, 1), pl.ds(0, N)] = rm_new
+
+        qblk = FQ[pl.ds(0, N), pl.ds(0, N)]
+        eblk = extrS[pl.ds(0, N), :]
+        terms = jnp.where(t_idx <= d - 1, qblk + eblk, NEG_INF)
+        ext_new = lse_pair(jnp.full((1, N), 0.0), _lse_rows(terms))
+        extS[pl.ds(d, 1), :] = ext_new
+        extrS[pl.ds(d + 1, 1), :] = ext_new
+
+        # multibranch: x = rm(k, j) + coeff, t in [1, d-1] (mccaskill:364-374)
+        x = jnp.where(
+            (t_idx >= 1) & (t_idx <= d - 1), qblk + coeff, NEG_INF
+        )
+        s1 = lse_pair(rm_new + coeff, _lse_rows(x))
+        oblk = oneS[pl.ds(0, N), :]
+        s2 = _lse_rows(oblk + x)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
+        s2_shift = jnp.where(
+            lane < N - 1, pltpu.roll(s2, N - 1, 1), NEG_INF
+        )
+        mbS[pl.ds(d, 1), :] = s2_shift
+        oneS[pl.ds(d + 1, 1), :] = lse_pair(s1, s2)
+
+        _shift_insert(CB, close_new)
+        _shift_insert(AUGW, _row3(AUGT, d))
+        _shift_insert(T1W, _row3(TMi1N, d))
+        _shift_insert(T2W, _row3(TMi2N, d))
+        _shift_insert(T3W, _row3(TMi3N, d))
+        return (rm_new,)
+
+    lax.fori_loop(0, N, span_step, (neg_row,))
+
+    close_out[0] = closeF[:]
+    ext_out[0] = extS[:]
+    one_out[0] = oneS[pl.ds(1, N), :]
+
+
+def _turner_outside_kernel(
+    SCAL,
+    CLOSE, MBC, ACC,
+    STKT, B01, B10, I11T, I12T, I21T, I22T,
+    TMo1N, TMo2N, TMo3N, AUGT, TMi1R, TMi2R, TMi3R,
+    ONEP, QONE,
+    EXTL, EXTR,
+    LENB, LENI,
+    bppo_out,
+    OBB, OBC, AUGW, T1W, T2W, T3W, XS, RPM, RPM2, bppoF,
+    *, N, min_span,
+):
+    coeff = SCAL[0, 0, 0]
+    glob = SCAL[0, 0, 4]
+
+    for buf in (OBB, OBC, AUGW, T1W, T2W, T3W, XS, RPM, RPM2, bppoF):
+        buf[:] = jnp.full_like(buf[:], NEG_INF)
+
+    b_idx = jax.lax.broadcasted_iota(jnp.int32, (W2, 1), 0)
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
+    s_qone = QONE[0, pl.ds(0, N), pl.ds(0, N)]
+
+    def span_step(step, carry):
+        d = N - 1 - step
+        span_ok = (d + 1) >= min_span
+
+        Xr = XS[pl.ds(0, N), :]
+        s_one = pltpu.roll(
+            ONEP[0, pl.ds(0, N), :], 2 * N - (d + 1), 1
+        )[:, :N]
+        pm_new = jnp.where(span_ok, _lse_rows(Xr + s_one), NEG_INF)
+        pm2_new = jnp.where(span_ok, _lse_rows(Xr), NEG_INF)
+
+        for buf, row in ((RPM, pm_new), (RPM2, pm2_new)):
+            shifted = buf[pl.ds(0, N - 1), pl.ds(0, N - 1)]
+            buf[pl.ds(1, N - 1), pl.ds(1, N - 1)] = shifted
+            buf[pl.ds(1, N - 1), pl.ds(0, 1)] = jnp.full((N - 1, 1), NEG_INF)
+            buf[pl.ds(0, 1), pl.ds(0, N)] = row
+
+        close_row = _row3(CLOSE, d)
+        acc_row = close_row + _row3(ACC, d)
+        lt = EXTL[0, pl.ds(0, 1), :]
+        rt = pltpu.roll(EXTR[0, pl.ds(0, 1), :], 2 * N - (d + 1), 1)[:, :N]
+        base = lt + acc_row + rt - glob
+
+        two = jnp.full((1, N), NEG_INF)
+        for a in range(W):
+            blk_b = OBB[pl.ds(a + 1, W2), pl.ds(31 - a, N)]
+            blk_c = OBC[pl.ds(a + 1, W2), pl.ds(31 - a, N)]
+            body = _turner_tl_block(
+                a, b_idx, d,
+                AUGW[pl.ds(a + 1, W2), pl.ds(31 - a, N)],
+                T1W[pl.ds(a + 1, W2), pl.ds(31 - a, N)],
+                T2W[pl.ds(a + 1, W2), pl.ds(31 - a, N)],
+                T3W[pl.ds(a + 1, W2), pl.ds(31 - a, N)],
+                STKT, B01, B10, I11T, I12T, I21T, I22T,
+                TMi1R, TMi2R, TMi3R, AUGT, LENB, LENI,
+            )
+            tl = jnp.where(a + b_idx <= MAX_LOOP_LEN, body, NEG_INF)
+            term = jnp.where(
+                blk_c > NEG_INF, blk_b - blk_c + tl, NEG_INF
+            ) + close_row
+            two = lse_pair(two, _lse_rows(term))
+
+        acc_mb = acc_row + coeff
+        r_pm = RPM[pl.ds(0, N), pl.ds(0, N)]
+        r_pm2 = RPM2[pl.ds(0, N), pl.ds(0, N)]
+        m1 = t_idx >= 1
+        terms_a = jnp.where(m1, acc_mb + r_pm2 + s_qone, NEG_INF)
+        terms_b = jnp.where(m1, acc_mb + r_pm, NEG_INF)
+        terms_c = jnp.where(m1, acc_mb + r_pm + s_qone, NEG_INF)
+        mb_ctx = lse_pair(
+            lse_pair(_lse_rows(terms_a), _lse_rows(terms_b)),
+            _lse_rows(terms_c),
+        )
+
+        bppo_new = lse_pair(lse_pair(base, two), mb_ctx)
+        bppo_new = jnp.where(
+            (close_row > NEG_INF) & span_ok, bppo_new, NEG_INF
+        )
+        bppoF[pl.ds(d, 1), :] = bppo_new
+
+        _shift_insert(OBB, bppo_new, lane_off=32)
+        _shift_insert(OBC, close_row, lane_off=32)
+        _shift_insert(AUGW, _row3(AUGT, d), lane_off=32)
+        _shift_insert(T1W, _row3(TMo1N, d), lane_off=32)
+        _shift_insert(T2W, _row3(TMo2N, d), lane_off=32)
+        _shift_insert(T3W, _row3(TMo3N, d), lane_off=32)
+        g_row = jnp.where(
+            close_row > NEG_INF,
+            bppo_new + _row3(MBC, d) - close_row,
+            NEG_INF,
+        )
+        shifted = XS[pl.ds(0, N - 1), :]
+        XS[pl.ds(1, N - 1), :] = shifted
+        XS[pl.ds(0, 1), :] = g_row
+        return carry
+
+    lax.fori_loop(0, N, span_step, 0)
+    bppo_out[0] = bppoF[:]
+
+
+def turner_precompute_di(seqs, ns, tt, N):
+    """Per-sequence [d, i] Turner score matrices for both kernels."""
+
+    def one(seq, n):
+        pre = S.precompute_turner(seq, n, N, tt)
+        i = jnp.arange(N)[:, None]
+        dd = jnp.arange(N)[None, :]
+        j = i + dd
+        xi = seq[:, None] * jnp.ones_like(dd)
+        xj = S.sget(seq, j)
+        s_i1 = S.sget(seq, i + 1) * jnp.ones_like(dd)
+        s_i2 = S.sget(seq, i + 2) * jnp.ones_like(dd)
+        s_i3 = S.sget(seq, i + 3) * jnp.ones_like(dd)
+        s_j1 = S.sget(seq, j - 1)
+        s_j2 = S.sget(seq, j - 2)
+        s_j3 = S.sget(seq, j - 3)
+        s_im1 = S.sget(seq, i - 1) * jnp.ones_like(dd)
+        s_im2 = S.sget(seq, i - 2) * jnp.ones_like(dd)
+        s_im3 = S.sget(seq, i - 3) * jnp.ones_like(dd)
+        s_jp1 = S.sget(seq, j + 1)
+        s_jp2 = S.sget(seq, j + 2)
+        s_jp3 = S.sget(seq, j + 3)
+        stk = tt["stack"]
+        b1 = tt["bulge_init"][1]
+        canon_f = jnp.where(pre["canon"], 0.0, NEG_INF).astype(jnp.float32)
+        mats = {
+            "H": pre["H"].T,
+            "MBC": pre["MBC"].T,
+            "ACC": pre["ACC"].T,
+            "CANON": canon_f.T,
+            "AUGT": pre["AUGU"].T,
+            "TMo1": pre["TMo_int"].T,
+            "TMo2": pre["TMo_1xmany"].T,
+            "TMo3": pre["TMo_2x3"].T,
+            "TMi1": pre["TMi_int"].T,
+            "TMi2": pre["TMi_1xmany"].T,
+            "TMi3": pre["TMi_2x3"].T,
+            # inside small-loop cases (utils.rs:207-321)
+            "STKT": stk[xi, xj, s_i1, s_j1].T,
+            "B01": (b1 + stk[xi, xj, s_i1, s_j2]).T,
+            "B10": (b1 + stk[xi, xj, s_i2, s_j1]).T,
+            "I11T": tt["int_1x1"][xi, xj, s_i1, s_j1, s_i2, s_j2].T,
+            "I12T": tt["int_1x2"][xi, xj, s_i1, s_j1, s_j2, s_i2, s_j3].T,
+            "I21T": tt["int_1x2"][s_j2, s_i3, s_j1, s_i2, s_i1, xj, xi].T,
+            "I22T": tt["int_2x2"][xi, xj, s_i1, s_j1, s_i2, s_j2, s_i3, s_j3].T,
+            # outside small-loop cases (outer (i-1-a, j+1+b), inner (i, j))
+            "STKO": stk[s_im1, s_jp1, xi, xj].T,
+            "B01O": (b1 + stk[s_im1, s_jp2, xi, xj]).T,
+            "B10O": (b1 + stk[s_im2, s_jp1, xi, xj]).T,
+            "I11O": tt["int_1x1"][s_im2, s_jp2, s_im1, s_jp1, xi, xj].T,
+            "I12O": tt["int_1x2"][s_im2, s_jp3, s_im1, s_jp2, s_jp1, xi, xj].T,
+            "I21O": tt["int_1x2"][xj, xi, s_jp1, s_im1, s_im2, s_jp2, s_im3].T,
+            "I22O": tt["int_2x2"][s_im3, s_jp3, s_im2, s_jp2, s_im1, s_jp1, xi, xj].T,
+        }
+        return mats
+
+    return jax.vmap(one)(seqs, ns)
+
+
+def _turner_len_di(tt):
+    """(W2, W) bulge-init and interior-init+NINIO constants ([b, a])."""
+    init_int, init_bulge, ninio = S._turner_len_consts(tt)  # [a, b]
+    LENI = (init_int + ninio).T
+    LENB = init_bulge.T
+    pad = jnp.zeros((1, W))
+    return (
+        jnp.concatenate([LENB, pad], axis=0),
+        jnp.concatenate([LENI, pad], axis=0),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("N", "interpret"))
+def turner_inside_pallas(seqs, ns, tt, N, interpret=False):
+    """Batched Turner inside pass; returns (close, ext, one) in [d, i]."""
+    B = seqs.shape[0]
+    mats = turner_precompute_di(seqs, ns, tt, N)
+    LENB, LENI = _turner_len_di(tt)
+    LENB = jnp.broadcast_to(LENB[None], (B, W2, W))
+    LENI = jnp.broadcast_to(LENI[None], (B, W2, W))
+    scal = jnp.broadcast_to(
+        jnp.stack(
+            [tt["coeff_num_branches"]] + [jnp.float32(0.0)] * 7
+        )[None, None],
+        (B, 1, 8),
+    )
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((B, N, N), jnp.float32) for _ in range(3)
+    )
+    kernel = functools.partial(_turner_inside_kernel, N=N)
+    close, ext, one = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            _SMEM_SPEC,
+            *(_nn(N, N) for _ in range(18)),
+            _nn(W2, W), _nn(W2, W),
+        ],
+        out_specs=(_nn(N, N), _nn(N, N), _nn(N, N)),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # CB
+            pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # AUGW
+            pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # T1W
+            pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # T2W
+            pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # T3W
+            pltpu.VMEM((N, N + 8), jnp.float32),          # FQ
+            pltpu.VMEM((N, N), jnp.float32),              # extS
+            pltpu.VMEM((N + 1, N), jnp.float32),          # extrS
+            pltpu.VMEM((N, N), jnp.float32),              # mbS (pre-shifted rows)
+            pltpu.VMEM((N + 1, N), jnp.float32),          # oneS
+            pltpu.VMEM((N, N), jnp.float32),              # closeF
+        ],
+        interpret=interpret,
+    )(
+        scal,
+        mats["H"], mats["MBC"], mats["ACC"], mats["CANON"],
+        mats["STKT"], mats["B01"], mats["B10"], mats["I11T"],
+        mats["I12T"], mats["I21T"], mats["I22T"],
+        mats["TMo1"], mats["TMo2"], mats["TMo3"], mats["AUGT"],
+        mats["TMi1"], mats["TMi2"], mats["TMi3"],
+        LENB, LENI,
+    )
+    return close, ext, one
+
+
+@functools.partial(jax.jit, static_argnames=("N", "interpret"))
+def mccaskill_turner_pallas(seqs, ns, tt, N, interpret=False):
+    """Full Turner McCaskill (inside + outside) through the fused kernels."""
+    B = seqs.shape[0]
+    close, ext, one = turner_inside_pallas(
+        seqs, ns, tt, N=N, interpret=interpret
+    )
+    mats = turner_precompute_di(seqs, ns, tt, N)
+
+    def aux(n, ext_d, one_d):
+        pvec = jnp.arange(N)
+        extL = ext_d[:, 0]
+        extL_sh = jnp.concatenate([jnp.zeros((1,)), extL[:-1]])
+        extR = jnp.where(
+            pvec <= n - 1,
+            ext_d[jnp.clip(n - 1 - pvec, 0, N - 1), jnp.clip(pvec, 0, N - 1)],
+            0.0,
+        )
+        extR_pad = jnp.concatenate([extR, jnp.zeros((N,))])
+        ONEP = jnp.concatenate(
+            [
+                jnp.full((1, 2 * N), NEG_INF),
+                jnp.concatenate(
+                    [one_d[: N - 1], jnp.full((N - 1, N), NEG_INF)], axis=1
+                ),
+            ],
+            axis=0,
+        )
+        return extL_sh, extR_pad, extR[0], ONEP, _skew_qone(one_d, N)
+
+    extL, extR, glob, ONEP, QONE = jax.vmap(aux)(ns, ext, one)
+
+    LENB, LENI = _turner_len_di(tt)
+    LENB = jnp.broadcast_to(LENB[None], (B, W2, W))
+    LENI = jnp.broadcast_to(LENI[None], (B, W2, W))
+    scal = jnp.concatenate(
+        [
+            jnp.broadcast_to(
+                jnp.stack([tt["coeff_num_branches"]] + [jnp.float32(0.0)] * 3)[None],
+                (B, 4),
+            ),
+            glob[:, None],
+            jnp.zeros((B, 3)),
+        ],
+        axis=1,
+    ).astype(jnp.float32)[:, None, :]
+
+    kernel = functools.partial(
+        _turner_outside_kernel, N=N, min_span=MIN_SPAN_HAIRPIN_CLOSE
+    )
+    bppo = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            _SMEM_SPEC,
+            *(_nn(N, N) for _ in range(17)),  # CLOSE..TMi3R
+            _nn(N, 2 * N),                    # ONEP
+            _nn(N, N),                        # QONE
+            _nn(1, N),                        # EXTL
+            _nn(1, 2 * N),                    # EXTR
+            _nn(W2, W), _nn(W2, W),           # LENB LENI
+        ],
+        out_specs=_nn(N, N),
+        out_shape=jax.ShapeDtypeStruct((B, N, N), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # OBB
+            pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # OBC
+            pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # AUGW
+            pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # T1W
+            pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # T2W
+            pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # T3W
+            pltpu.VMEM((N, N), jnp.float32),              # XS
+            pltpu.VMEM((N, N), jnp.float32),              # RPM
+            pltpu.VMEM((N, N), jnp.float32),              # RPM2
+            pltpu.VMEM((N, N), jnp.float32),              # bppoF
+        ],
+        interpret=interpret,
+    )(
+        scal,
+        close, mats["MBC"], mats["ACC"],
+        mats["STKO"], mats["B01O"], mats["B10O"], mats["I11O"],
+        mats["I12O"], mats["I21O"], mats["I22O"],
+        mats["TMo1"], mats["TMo2"], mats["TMo3"], mats["AUGT"],
+        mats["TMi1"], mats["TMi2"], mats["TMi3"],
+        ONEP, QONE,
+        extL[:, None, :], extR[:, None, :],
+        LENB, LENI,
     )
     return bppo, close, ext, one
