@@ -394,8 +394,8 @@ def mccaskill_bpp_batch_pallas(seqs, ns, tbl, N, contra=True,
 
 # validated on TPU v5e (Mosaic compile + parity vs the XLA scan <= 4e-5)
 _PALLAS_DEFAULT_ON = True
-# Turner kernels: interpret-verified; flips on once Mosaic-validated on HW
-_PALLAS_TURNER_ON = False
+# Turner kernels: Mosaic-validated on TPU v5e (parity <= 2.5e-5)
+_PALLAS_TURNER_ON = True
 
 
 def pallas_available(contra, N):
