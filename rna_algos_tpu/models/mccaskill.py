@@ -406,7 +406,8 @@ def pallas_available(contra, N):
         backend = _jax.default_backend()
     except Exception:
         return False
-    # power-of-two N keeps the in-kernel tree reductions concat-free
+    # Mosaic wants tile-friendly lane dims: 64/128 validated ("unsupported
+    # unaligned shape" at 96)
     return (
         (bool(contra) or _PALLAS_TURNER_ON)
         and N <= 128

@@ -49,13 +49,23 @@ LPAD = 33             # lane padding of window slides
 
 
 def _lse_rows(x):
-    """Tree-LSE over axis 0 (sublanes), returns (1, lanes).  Row counts here
-    are powers of two, so no padding/concat is needed."""
-    assert (x.shape[0] & (x.shape[0] - 1)) == 0, x.shape
-    while x.shape[0] > 1:
-        h = x.shape[0] // 2
-        x = lse_pair(x[:h], x[h:])
-    return x
+    """Tree-LSE over axis 0 (sublanes), returns (1, lanes).
+
+    Power-of-two heights use the strided halving tree; other heights split
+    statically at the largest power of two (no pad/concat, which Mosaic
+    lacks) so any multiple-of-8 bucket works."""
+    n = x.shape[0]
+    if n == 1:
+        return x
+    if n & (n - 1) == 0:
+        while x.shape[0] > 1:
+            h = x.shape[0] // 2
+            x = lse_pair(x[:h], x[h:])
+        return x
+    p = 1
+    while p * 2 < n:
+        p *= 2
+    return lse_pair(_lse_rows(x[:p]), _lse_rows(x[p:]))
 
 
 def _row3(ref, r):
@@ -312,24 +322,26 @@ def _contra_outside_kernel(
 # ---------------------------------------------------------------------------
 
 def contra_precompute_di(seqs, ns, ct, N):
-    """Per-sequence [d, i]-layout score matrices for the inside kernel."""
+    """Per-sequence [d, i]-layout score matrices for BOTH kernels (one pass:
+    the outside pass reuses MBC/ACC/JS/JB and only adds the mirrored
+    stack/0x1/1x1 grids, sharing all base gathers)."""
 
     def one(seq, n):
         pre = S.precompute_contra(seq, n, N, ct)
         i = jnp.arange(N)[:, None]
         dd = jnp.arange(N)[None, :]
         j = i + dd
-        s_i1 = S.sget(seq, i + 1) * jnp.ones_like(dd)
+        ones = jnp.ones_like(dd)
+        s_i1 = S.sget(seq, i + 1) * ones
         s_j1 = S.sget(seq, j - 1)
-        xi = seq[:, None] * jnp.ones_like(dd)
+        s_im1 = S.sget(seq, i - 1) * ones
+        s_jp1 = S.sget(seq, j + 1)
+        xi = seq[:, None] * ones
         xj = S.sget(seq, j)
-        STK = (
-            ct["stack_scores"][xi, xj, s_i1, s_j1]
-            + ct["basepair_scores"][s_i1, s_j1]
-        )
-        B0R = ct["bulge_scores_0x1"][s_j1]
-        B0L = ct["bulge_scores_0x1"][s_i1]
-        I11 = ct["interior_scores_1x1"][s_i1, s_j1]
+        stk = ct["stack_scores"]
+        bp = ct["basepair_scores"]
+        b0x1 = ct["bulge_scores_0x1"]
+        i1x1 = ct["interior_scores_1x1"]
         canon_f = jnp.where(pre["canon"], 0.0, NEG_INF).astype(jnp.float32)
         JB = pre["JSrev"] + pre["BP"]
         return {
@@ -337,12 +349,18 @@ def contra_precompute_di(seqs, ns, ct, N):
             "MBC": pre["MBC"].T,
             "ACC": pre["ACC"].T,
             "JS": pre["JS"].T,
-            "STK": STK.T,
-            "I11": I11.T,
-            "B0R": B0R.T,
-            "B0L": B0L.T,
             "CANON": canon_f.T,
             "JB": JB.T,
+            # inside 2-loop corrections
+            "STK": (stk[xi, xj, s_i1, s_j1] + bp[s_i1, s_j1]).T,
+            "I11": i1x1[s_i1, s_j1].T,
+            "B0R": b0x1[s_j1].T,
+            "B0L": b0x1[s_i1].T,
+            # outside 2-loop corrections (outer (i-1-a, j+1+b), inner (i, j))
+            "STKO": (stk[s_im1, s_jp1, xi, xj] + bp[xi, xj]).T,
+            "I11O": i1x1[s_im1, s_jp1].T,
+            "B0RO": b0x1[s_jp1].T,
+            "B0LO": b0x1[S.sget(seq, jnp.arange(N) - 1)],
         }
 
     return jax.vmap(one)(seqs, ns)
@@ -370,29 +388,10 @@ def _skew_qone(one_di, N):
     return jnp.where(ok, vals, NEG_INF)
 
 
-def contra_outside_precompute_di(seqs, ns, ct, N, close_di, ext_di, one_di):
-    """Batched host prep of the outside kernel inputs."""
+def contra_outside_aux(ns, ext_di, one_di, N):
+    """Outside-kernel inputs derived from the inside outputs."""
 
-    def one_seq(seq, n, close_d, ext_d, one_d):
-        pre = S.precompute_contra(seq, n, N, ct)
-        i = jnp.arange(N)[:, None]
-        dd = jnp.arange(N)[None, :]
-        j = i + dd
-        xi = seq[:, None] * jnp.ones_like(dd)
-        xj = S.sget(seq, j)
-        s_im1 = S.sget(seq, i - 1) * jnp.ones_like(dd)
-        s_jp1 = S.sget(seq, j + 1)
-        STKO = (
-            ct["stack_scores"][s_im1, s_jp1, xi, xj]
-            + ct["basepair_scores"][xi, xj]
-        )
-        B0RO = ct["bulge_scores_0x1"][s_jp1]
-        B0LO = ct["bulge_scores_0x1"][S.sget(seq, jnp.arange(N) - 1)]
-        I11O = ct["interior_scores_1x1"][s_im1, s_jp1]
-        JRB = pre["JSrev"] + pre["BP"]
-
-        # ONEP[s, c] = one_d[s-1, c] (top pad row; lanes padded to 2N with
-        # -inf): the kernel rolls lanes by j+1 to read one(j+1, j+s).
+    def one_seq(n, ext_d, one_d):
         ONEP = jnp.concatenate(
             [
                 jnp.full((1, 2 * N), NEG_INF),
@@ -402,7 +401,6 @@ def contra_outside_precompute_di(seqs, ns, ct, N, close_di, ext_di, one_di):
             ],
             axis=0,
         )
-
         pvec = jnp.arange(N)
         extL = ext_d[:, 0]                              # ext(0, p)
         extL_sh = jnp.concatenate([jnp.zeros((1,)), extL[:-1]])  # ext(0, i-1)
@@ -412,25 +410,9 @@ def contra_outside_precompute_di(seqs, ns, ct, N, close_di, ext_di, one_di):
             0.0,
         )                                               # ext(p, n-1)
         extR_pad = jnp.concatenate([extR, jnp.zeros((N,))])
-        glob = extR[0]
-        return {
-            "CLOSE": close_d,
-            "MBC": pre["MBC"].T,
-            "ACC": pre["ACC"].T,
-            "STKO": STKO.T,
-            "I11O": I11O.T,
-            "B0RO": B0RO.T,
-            "JRB": JRB.T,
-            "JSN": pre["JS"].T,
-            "ONEP": ONEP,
-            "QONE": _skew_qone(one_d, N),
-            "B0LO": B0LO,
-            "EXTL": extL_sh,
-            "EXTR": extR_pad,
-            "GLOB": glob,
-        }
+        return ONEP, _skew_qone(one_d, N), extL_sh, extR_pad, extR[0]
 
-    return jax.vmap(one_seq)(seqs, ns, close_di, ext_di, one_di)
+    return jax.vmap(one_seq)(ns, ext_di, one_di)
 
 
 # ---------------------------------------------------------------------------
@@ -450,11 +432,7 @@ _SMEM_SPEC = pl.BlockSpec(
 )
 
 
-@functools.partial(jax.jit, static_argnames=("N", "interpret"))
-def contra_inside_pallas(seqs, ns, ct, N, interpret=False):
-    """Batched CONTRA inside pass; returns (close, ext, one) in [d, i]."""
-    B = seqs.shape[0]
-    mats = contra_precompute_di(seqs, ns, ct, N)
+def _contra_inside_call(mats, ct, B, N, interpret):
     LEN = jnp.broadcast_to(_contra_len_di(ct)[None], (B, W2, W))
     scal = jnp.broadcast_to(
         jnp.stack(
@@ -472,7 +450,7 @@ def contra_inside_pallas(seqs, ns, ct, N, interpret=False):
         jax.ShapeDtypeStruct((B, N, N), jnp.float32) for _ in range(3)
     )
     kernel = functools.partial(_contra_inside_kernel, N=N)
-    close, ext, one = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[
@@ -500,7 +478,14 @@ def contra_inside_pallas(seqs, ns, ct, N, interpret=False):
         mats["I11"], mats["B0R"], mats["B0L"], mats["CANON"], mats["JB"],
         LEN,
     )
-    return close, ext, one
+
+
+@functools.partial(jax.jit, static_argnames=("N", "interpret"))
+def contra_inside_pallas(seqs, ns, ct, N, interpret=False):
+    """Batched CONTRA inside pass; returns (close, ext, one) in [d, i]."""
+    B = seqs.shape[0]
+    mats = contra_precompute_di(seqs, ns, ct, N)
+    return _contra_inside_call(mats, ct, B, N, interpret)
 
 
 @functools.partial(
@@ -512,12 +497,12 @@ def mccaskill_contra_pallas(
     """Full CONTRA McCaskill (inside + outside) through the fused kernels.
 
     Returns (bppo, close, ext, one) in [d, i] layout, each (B, N, N).
+    Score matrices are precomputed once and shared by both kernels.
     """
     B = seqs.shape[0]
-    close, ext, one = contra_inside_pallas(
-        seqs, ns, ct, N=N, interpret=interpret
-    )
-    pre = contra_outside_precompute_di(seqs, ns, ct, N, close, ext, one)
+    mats = contra_precompute_di(seqs, ns, ct, N)
+    close, ext, one = _contra_inside_call(mats, ct, B, N, interpret)
+    ONEP, QONE, extL, extR, glob = contra_outside_aux(ns, ext, one, N)
     LEN = jnp.broadcast_to(_contra_len_di(ct)[None], (B, W2, W))
     scal_base = jnp.stack(
         [
@@ -530,7 +515,7 @@ def mccaskill_contra_pallas(
     scal = jnp.concatenate(
         [
             jnp.broadcast_to(scal_base[None], (B, 4)),
-            pre["GLOB"][:, None],
+            glob[:, None],
             jnp.zeros((B, 3)),
         ],
         axis=1,
@@ -565,11 +550,11 @@ def mccaskill_contra_pallas(
         interpret=interpret,
     )(
         scal,
-        pre["CLOSE"], pre["MBC"], pre["ACC"], pre["STKO"], pre["I11O"],
-        pre["B0RO"], pre["JRB"], pre["JSN"],
-        pre["ONEP"], pre["QONE"],
-        pre["B0LO"][:, None, :], pre["EXTL"][:, None, :],
-        pre["EXTR"][:, None, :], LEN,
+        close, mats["MBC"], mats["ACC"], mats["STKO"], mats["I11O"],
+        mats["B0RO"], mats["JB"], mats["JS"],
+        ONEP, QONE,
+        mats["B0LO"][:, None, :], extL[:, None, :],
+        extR[:, None, :], LEN,
     )
     return bppo, close, ext, one
 
@@ -871,11 +856,7 @@ def _turner_len_di(tt):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("N", "interpret"))
-def turner_inside_pallas(seqs, ns, tt, N, interpret=False):
-    """Batched Turner inside pass; returns (close, ext, one) in [d, i]."""
-    B = seqs.shape[0]
-    mats = turner_precompute_di(seqs, ns, tt, N)
+def _turner_inside_call(mats, tt, B, N, interpret):
     LENB, LENI = _turner_len_di(tt)
     LENB = jnp.broadcast_to(LENB[None], (B, W2, W))
     LENI = jnp.broadcast_to(LENI[None], (B, W2, W))
@@ -889,7 +870,7 @@ def turner_inside_pallas(seqs, ns, tt, N, interpret=False):
         jax.ShapeDtypeStruct((B, N, N), jnp.float32) for _ in range(3)
     )
     kernel = functools.partial(_turner_inside_kernel, N=N)
-    close, ext, one = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(B,),
         in_specs=[
@@ -922,40 +903,25 @@ def turner_inside_pallas(seqs, ns, tt, N, interpret=False):
         mats["TMi1"], mats["TMi2"], mats["TMi3"],
         LENB, LENI,
     )
-    return close, ext, one
+
+
+@functools.partial(jax.jit, static_argnames=("N", "interpret"))
+def turner_inside_pallas(seqs, ns, tt, N, interpret=False):
+    """Batched Turner inside pass; returns (close, ext, one) in [d, i]."""
+    B = seqs.shape[0]
+    mats = turner_precompute_di(seqs, ns, tt, N)
+    return _turner_inside_call(mats, tt, B, N, interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("N", "interpret"))
 def mccaskill_turner_pallas(seqs, ns, tt, N, interpret=False):
-    """Full Turner McCaskill (inside + outside) through the fused kernels."""
+    """Full Turner McCaskill (inside + outside) through the fused kernels.
+
+    Score matrices are precomputed once and shared by both kernels."""
     B = seqs.shape[0]
-    close, ext, one = turner_inside_pallas(
-        seqs, ns, tt, N=N, interpret=interpret
-    )
     mats = turner_precompute_di(seqs, ns, tt, N)
-
-    def aux(n, ext_d, one_d):
-        pvec = jnp.arange(N)
-        extL = ext_d[:, 0]
-        extL_sh = jnp.concatenate([jnp.zeros((1,)), extL[:-1]])
-        extR = jnp.where(
-            pvec <= n - 1,
-            ext_d[jnp.clip(n - 1 - pvec, 0, N - 1), jnp.clip(pvec, 0, N - 1)],
-            0.0,
-        )
-        extR_pad = jnp.concatenate([extR, jnp.zeros((N,))])
-        ONEP = jnp.concatenate(
-            [
-                jnp.full((1, 2 * N), NEG_INF),
-                jnp.concatenate(
-                    [one_d[: N - 1], jnp.full((N - 1, N), NEG_INF)], axis=1
-                ),
-            ],
-            axis=0,
-        )
-        return extL_sh, extR_pad, extR[0], ONEP, _skew_qone(one_d, N)
-
-    extL, extR, glob, ONEP, QONE = jax.vmap(aux)(ns, ext, one)
+    close, ext, one = _turner_inside_call(mats, tt, B, N, interpret)
+    ONEP, QONE, extL, extR, glob = contra_outside_aux(ns, ext, one, N)
 
     LENB, LENI = _turner_len_di(tt)
     LENB = jnp.broadcast_to(LENB[None], (B, W2, W))
