@@ -30,6 +30,12 @@ def build_parser():
     p.add_argument("-t", type=int, default=None, help="worker hint (compat)")
     p.add_argument("-c", action="store_true", help="use the CONTRAfold model")
     p.add_argument("-g", type=float, default=None, help="single gamma")
+    p.add_argument(
+        "--bpp-cache",
+        default=None,
+        help="directory for BPP checkpoint/resume (skips the partition "
+        "function for already-folded sequences)",
+    )
     return p
 
 
@@ -55,7 +61,14 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     records = read_fasta(args.i)
     engine = FoldEngine(uses_contra_model=args.c)
-    folded = engine.fold_batch([r.seq for r in records])
+    if args.bpp_cache:
+        from ..utils.checkpoint import BppStore, cached_fold_batch
+
+        folded = cached_fold_batch(
+            engine, [r.seq for r in records], BppStore(args.bpp_cache)
+        )
+    else:
+        folded = engine.fold_batch([r.seq for r in records])
     results = [
         (bpp, presence, len(records[k].seq))
         for k, (bpp, presence) in enumerate(folded)

@@ -406,22 +406,25 @@ def pallas_available(contra, N):
         backend = _jax.default_backend()
     except Exception:
         return False
-    # Mosaic wants tile-friendly lane dims: 64/128 validated ("unsupported
-    # unaligned shape" at 96)
+    # Mosaic wants tile-friendly lane dims: 64/128/256 validated on v5e
+    # ("unsupported unaligned shape" at 96)
     return (
         (bool(contra) or _PALLAS_TURNER_ON)
-        and N <= 128
+        and N <= 256
         and (N & (N - 1)) == 0
         and backend not in ("cpu",)
     )
 
 
 def mccaskill_bpp_batch_auto(seqs, ns, tbl, N, contra=False,
-                             allows_short_hairpins=False):
-    """Dispatch to the Pallas kernels when they apply, else the XLA scan."""
+                             allows_short_hairpins=False, backend=None):
+    """Dispatch to the Pallas kernels when they apply, else the XLA scan.
+
+    ``backend`` ("pallas"/"xla") overrides auto-detection — e.g. the mesh
+    runner passes "xla" when the mesh devices are CPU."""
     import os
 
-    forced = os.environ.get("RNA_ALGOS_BACKEND")
+    forced = backend or os.environ.get("RNA_ALGOS_BACKEND")
     if forced == "pallas":
         use_pallas = True
     elif forced == "xla":

@@ -44,6 +44,30 @@ def shard_batch(mesh, *arrays):
     )
 
 
+def shard_map_batch(fn, mesh):
+    """Wrap a batch function so each device runs it on its batch shard.
+
+    The per-shard function may be the fused Pallas path — shard_map hands
+    each device a local batch, so pallas_call's sequential grid runs
+    per-chip and the only collective is the output gather (off the DP
+    critical path, SURVEY §5).
+    """
+    from jax.sharding import PartitionSpec as P_
+
+    try:
+        smap = jax.shard_map
+    except AttributeError:  # older jax
+        from jax.experimental.shard_map import shard_map as smap
+
+    return smap(
+        fn,
+        mesh=mesh,
+        in_specs=(P_("data"), P_("data")),
+        out_specs=(P_("data"), P_("data")),
+        check_vma=False,
+    )
+
+
 def pad_to_multiple(arrays, multiple, pad_rows):
     """Pad axis 0 of each array to a multiple (dummy rows from ``pad_rows``)."""
     b = arrays[0].shape[0]

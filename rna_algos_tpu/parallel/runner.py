@@ -54,6 +54,7 @@ class FoldEngine:
         else:
             self.tbl = S.turner_table_pytree()
         self.mesh = mesh
+        self._sharded_cache = {}
 
     def fold_batch(self, seqs):
         """BPPs for a list of int sequences.
@@ -67,8 +68,8 @@ class FoldEngine:
         prefer_pow2 = self.mesh is None and M.pallas_available(self.contra, 64)
         for k in order:
             N = pick_bucket(len(seqs[k]))
-            if prefer_pow2 and N == 96:
-                N = 128  # fused-kernel buckets are power-of-two
+            if prefer_pow2 and N in (96, 192):
+                N = 128 if N == 96 else 256  # fused buckets are power-of-two
             by_bucket.setdefault(N, []).append(k)
         for N, idxs in by_bucket.items():
             arr = pad_seqs([seqs[k] for k in idxs], N)
@@ -83,17 +84,31 @@ class FoldEngine:
                 arr, ns = mesh_lib.shard_batch(self.mesh, arr, ns)
             else:
                 true_b = len(idxs)
-            # fused Pallas path for unsharded batches; the mesh path stays on
-            # the XLA scan (pallas_call is not shard_map-wrapped yet)
-            batch_fn = (
-                M.mccaskill_bpp_batch_auto if self.mesh is None
-                else partial(M.mccaskill_bpp_batch)
-            )
-            bpp, presence = batch_fn(
-                jnp.asarray(arr), jnp.asarray(ns), self.tbl, N=N,
-                contra=self.contra,
-                allows_short_hairpins=self.allows_short_hairpins,
-            )
+            if self.mesh is None:
+                bpp, presence = M.mccaskill_bpp_batch_auto(
+                    jnp.asarray(arr), jnp.asarray(ns), self.tbl, N=N,
+                    contra=self.contra,
+                    allows_short_hairpins=self.allows_short_hairpins,
+                )
+            else:
+                # each device runs the (auto-selected) kernel on its shard;
+                # Mosaic is TPU-only, so CPU meshes pin the XLA scan.
+                # The wrapped callable is cached per bucket to avoid
+                # re-tracing every batch.
+                sharded = self._sharded_cache.get(N)
+                if sharded is None:
+                    platform = self.mesh.devices.flat[0].platform
+                    fn = partial(
+                        M.mccaskill_bpp_batch_auto, tbl=self.tbl, N=N,
+                        contra=self.contra,
+                        allows_short_hairpins=self.allows_short_hairpins,
+                        backend="xla" if platform == "cpu" else None,
+                    )
+                    sharded = mesh_lib.shard_map_batch(
+                        lambda s, n: fn(s, n), self.mesh
+                    )
+                    self._sharded_cache[N] = sharded
+                bpp, presence = sharded(jnp.asarray(arr), jnp.asarray(ns))
             bpp = np.asarray(bpp)[:true_b]
             presence = np.asarray(presence)[:true_b]
             for slot, k in enumerate(idxs):

@@ -54,10 +54,23 @@ def seq2str(seq) -> str:
 
 
 def read_fasta(path) -> List[FastaRecord]:
-    """Read a FASTA file; record id is the first whitespace-delimited token."""
+    """Read a FASTA file; record id is the first whitespace-delimited token.
+
+    Fail-fast with record context on malformed sequences (the reference
+    panics without context, utils.rs:570-572; SURVEY §5 failure detection).
+    """
     records = []
     cur_id = None
     cur_seq: List[str] = []
+
+    def flush():
+        try:
+            records.append(FastaRecord(cur_id, bytes2seq("".join(cur_seq))))
+        except ValueError as e:
+            raise ValueError(
+                f"{path}: record {len(records)} ({cur_id!r}): {e}"
+            ) from None
+
     with open(path) as f:
         for line in f:
             line = line.strip()
@@ -65,13 +78,13 @@ def read_fasta(path) -> List[FastaRecord]:
                 continue
             if line.startswith(">"):
                 if cur_id is not None:
-                    records.append(FastaRecord(cur_id, bytes2seq("".join(cur_seq))))
+                    flush()
                 cur_id = line[1:].split()[0] if len(line) > 1 else ""
                 cur_seq = []
             else:
                 cur_seq.append(line)
     if cur_id is not None:
-        records.append(FastaRecord(cur_id, bytes2seq("".join(cur_seq))))
+        flush()
     return records
 
 

@@ -1,0 +1,38 @@
+"""Data-mesh sharded execution matches unsharded (virtual 8-device CPU mesh)."""
+
+import numpy as np
+import jax
+import pytest
+
+from rna_algos_tpu.parallel import mesh as mesh_lib
+from rna_algos_tpu.parallel.runner import FoldEngine
+from rna_algos_tpu.utils import read_fasta
+
+
+@pytest.fixture(scope="module")
+def cpu_mesh():
+    devices = jax.devices("cpu")
+    if len(devices) < 2:
+        pytest.skip("needs multiple virtual devices")
+    return mesh_lib.data_mesh(devices)
+
+
+def test_fold_batch_sharded_matches_unsharded(cpu_mesh, monkeypatch):
+    # default_device(cpu) moves placement but default_backend() still
+    # reports the TPU plugin — pin the XLA scan for both runs
+    monkeypatch.setenv("RNA_ALGOS_BACKEND", "xla")
+    recs = read_fasta("assets/sampled_trnas.fa")
+    seqs = [r.seq for r in recs]
+    with jax.default_device(jax.devices("cpu")[0]):
+        plain = FoldEngine(uses_contra_model=True).fold_batch(seqs)
+        sharded = FoldEngine(uses_contra_model=True, mesh=cpu_mesh).fold_batch(seqs)
+    for (a, _), (b, _) in zip(plain, sharded):
+        # different XLA program (sharded) -> fusion-order noise only
+        np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_shard_batch_layout(cpu_mesh):
+    arr = np.arange(16 * 4, dtype=np.float32).reshape(16, 4)
+    (sharded,) = mesh_lib.shard_batch(cpu_mesh, arr)
+    assert sharded.sharding.spec[0] == "data"
+    np.testing.assert_array_equal(np.asarray(sharded), arr)
