@@ -41,6 +41,7 @@ from ..constants import (
 )
 from ..numerics import lse_pair
 from . import scores as S
+from .lut import lookup as LUT
 
 W = 31    # 2-loop window extent (MAX_LOOP_LEN + 1)
 W2 = 32   # loaded window rows (the extra row is masked by the length cap)
@@ -352,15 +353,15 @@ def contra_precompute_di(seqs, ns, ct, N):
             "CANON": canon_f.T,
             "JB": JB.T,
             # inside 2-loop corrections
-            "STK": (stk[xi, xj, s_i1, s_j1] + bp[s_i1, s_j1]).T,
-            "I11": i1x1[s_i1, s_j1].T,
-            "B0R": b0x1[s_j1].T,
-            "B0L": b0x1[s_i1].T,
+            "STK": (LUT(stk, xi, xj, s_i1, s_j1) + LUT(bp, s_i1, s_j1)).T,
+            "I11": LUT(i1x1, s_i1, s_j1).T,
+            "B0R": LUT(b0x1, s_j1).T,
+            "B0L": LUT(b0x1, s_i1).T,
             # outside 2-loop corrections (outer (i-1-a, j+1+b), inner (i, j))
-            "STKO": (stk[s_im1, s_jp1, xi, xj] + bp[xi, xj]).T,
-            "I11O": i1x1[s_im1, s_jp1].T,
-            "B0RO": b0x1[s_jp1].T,
-            "B0LO": b0x1[S.sget(seq, jnp.arange(N) - 1)],
+            "STKO": (LUT(stk, s_im1, s_jp1, xi, xj) + LUT(bp, xi, xj)).T,
+            "I11O": LUT(i1x1, s_im1, s_jp1).T,
+            "B0RO": LUT(b0x1, s_jp1).T,
+            "B0LO": LUT(b0x1, S.sget(seq, jnp.arange(N) - 1)),
         }
 
     return jax.vmap(one)(seqs, ns)
@@ -823,17 +824,17 @@ def turner_precompute_di(seqs, ns, tt, N):
             "TMi2": pre["TMi_1xmany"].T,
             "TMi3": pre["TMi_2x3"].T,
             # inside small-loop cases (utils.rs:207-321)
-            "STKT": stk[xi, xj, s_i1, s_j1].T,
-            "B01": (b1 + stk[xi, xj, s_i1, s_j2]).T,
-            "B10": (b1 + stk[xi, xj, s_i2, s_j1]).T,
+            "STKT": LUT(stk, xi, xj, s_i1, s_j1).T,
+            "B01": (b1 + LUT(stk, xi, xj, s_i1, s_j2)).T,
+            "B10": (b1 + LUT(stk, xi, xj, s_i2, s_j1)).T,
             "I11T": tt["int_1x1"][xi, xj, s_i1, s_j1, s_i2, s_j2].T,
             "I12T": tt["int_1x2"][xi, xj, s_i1, s_j1, s_j2, s_i2, s_j3].T,
             "I21T": tt["int_1x2"][s_j2, s_i3, s_j1, s_i2, s_i1, xj, xi].T,
             "I22T": tt["int_2x2"][xi, xj, s_i1, s_j1, s_i2, s_j2, s_i3, s_j3].T,
             # outside small-loop cases (outer (i-1-a, j+1+b), inner (i, j))
-            "STKO": stk[s_im1, s_jp1, xi, xj].T,
-            "B01O": (b1 + stk[s_im1, s_jp2, xi, xj]).T,
-            "B10O": (b1 + stk[s_im2, s_jp1, xi, xj]).T,
+            "STKO": LUT(stk, s_im1, s_jp1, xi, xj).T,
+            "B01O": (b1 + LUT(stk, s_im1, s_jp2, xi, xj)).T,
+            "B10O": (b1 + LUT(stk, s_im2, s_jp1, xi, xj)).T,
             "I11O": tt["int_1x1"][s_im2, s_jp2, s_im1, s_jp1, xi, xj].T,
             "I12O": tt["int_1x2"][s_im2, s_jp3, s_im1, s_jp2, s_jp1, xi, xj].T,
             "I21O": tt["int_1x2"][xj, xi, s_jp1, s_im1, s_im2, s_jp2, s_im3].T,

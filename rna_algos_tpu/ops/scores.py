@@ -40,6 +40,7 @@ from ..constants import (
 )
 from ..params import turner as T
 from . import diag
+from .lut import lookup as LUT
 
 WINDOW = diag.WINDOW
 
@@ -160,7 +161,7 @@ def precompute_turner(seq, n, N, tt):
         / np.float32(MIN_HAIRPIN_LEN_EXTRAPOLATION - 1)
     )
     init = jnp.where(hlen <= MAX_HAIRPIN_LEN_EXTRAPOLATION, init_in, extrap)
-    tm = tt["tm_hairpin"][xi, xj, s_i1, s_j1]
+    tm = LUT(tt["tm_hairpin"], xi, xj, s_i1, s_j1)
     generic = jnp.where(
         hlen == MIN_HAIRPIN_LEN,
         tt["hairpin_init"][jnp.clip(hlen, 0, MAX_LOOP_LEN)],
@@ -188,16 +189,16 @@ def precompute_turner(seq, n, N, tt):
     # --- multibranch close (utils.rs:368-382): note reversed pair indexing ---
     MBC = (
         tt["init_multibranch_base"]
-        + tt["tm_multibranch"][xj, xi, s_j1, s_i1]
+        + LUT(tt["tm_multibranch"], xj, xi, s_j1, s_i1)
         + augu_pen
     )
 
     # --- accessible (utils.rs:384-411), boundary-cased ---
     s_im1 = sget(seq, i - 1) * jnp.ones_like(dd)
     s_jp1 = sget(seq, j + 1)
-    c_tm = tt["tm_multibranch"][xi, xj, s_im1, s_jp1]
-    c_d5 = tt["dangle5"][xi, xj, s_im1]
-    c_d3 = tt["dangle3"][xi, xj, s_jp1]
+    c_tm = LUT(tt["tm_multibranch"], xi, xj, s_im1, s_jp1)
+    c_d5 = LUT(tt["dangle5"], xi, xj, s_im1)
+    c_d3 = LUT(tt["dangle3"], xi, xj, s_jp1)
     has_l = i > 0
     has_r = j < n - 1
     ACC = (
@@ -210,13 +211,13 @@ def precompute_turner(seq, n, N, tt):
     # --- matrices consumed by the per-span 2-loop assembly ---
     # outer mismatch per family: TMo_f[i, d] = TM_f[x_i, x_j, s(i+1), s(j-1)]
     TMo = {
-        f: tt[f][xi, xj, s_i1, s_j1]
+        f: LUT(tt[f], xi, xj, s_i1, s_j1)
         for f in ("tm_interior", "tm_1xmany", "tm_2x3")
     }
     # inner mismatch per family: TMi_f[r, c] = TM_f[x_{r+c}, x_r, s(r+c+1), s(r-1)]
     s_rc1 = sget(seq, j + 1)
     TMi = {
-        f: tt[f][xj, xi, s_rc1, s_im1]
+        f: LUT(tt[f], xj, xi, s_rc1, s_im1)
         for f in ("tm_interior", "tm_1xmany", "tm_2x3")
     }
     AUGU = AUGU_MAT[xi, xj] * tt["augu_penalty"]
@@ -433,10 +434,10 @@ def precompute_contra(seq, n, N, ct):
     bp = ct["basepair_scores"]
 
     # junction_score_single(i, j) (utils.rs:545-548)
-    JS = hc[xi, xj] + tm[xi, xj, s_i1, s_j1]
+    JS = LUT(hc, xi, xj) + LUT(tm, xi, xj, s_i1, s_j1)
     # junction_score_single(j, i) — reversed pair, read at inner (k, l)
-    JSrev = hc[xj, xi] + tm[xj, xi, s_jp1, s_im1]
-    BP = bp[xi, xj]
+    JSrev = LUT(hc, xj, xi) + LUT(tm, xj, xi, s_jp1, s_im1)
+    BP = LUT(bp, xi, xj)
     JB = JSrev + BP
 
     hlen = dd - 1
@@ -451,15 +452,15 @@ def precompute_contra(seq, n, N, ct):
     MBC = (
         ct["multibranch_score_base"]
         + ct["multibranch_score_basepair"]
-        + hc[xi, xj]
-        + dl[xi, xj, s_i1]
-        + dr[xi, xj, s_j1]
+        + LUT(hc, xi, xj)
+        + LUT(dl, xi, xj, s_i1)
+        + LUT(dr, xi, xj, s_j1)
     )
     # accessible = junction(j, i) + basepair score, boundary-cased
     ACC = (
-        hc[xj, xi]
-        + jnp.where(j < n - 1, dl[xj, xi, s_jp1], 0.0)
-        + jnp.where(i > 0, dr[xj, xi, s_im1], 0.0)
+        LUT(hc, xj, xi)
+        + jnp.where(j < n - 1, LUT(dl, xj, xi, s_jp1), 0.0)
+        + jnp.where(i > 0, LUT(dr, xj, xi, s_im1), 0.0)
         + BP
     )
 
