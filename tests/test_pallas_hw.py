@@ -1,0 +1,57 @@
+"""Fused-kernel path vs oracle goldens on real hardware (TPU only).
+
+test_pallas.py validates the kernels in interpret mode; this pins the actual
+Mosaic-compiled production path (the one the CLI/bench dispatch to) against
+the brute-force-validated golden BPPs.
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rna_algos_tpu.constants import PSEUDO_BASE
+from rna_algos_tpu.params import build_fold_score_sets
+from rna_algos_tpu.ops import scores as S
+from rna_algos_tpu.models import mccaskill as M
+from rna_algos_tpu.utils import read_fasta
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "trna_bpps.npz")
+
+pytestmark = [
+    pytest.mark.skipif(
+        not os.path.exists(GOLDEN), reason="golden fixtures not generated"
+    ),
+    pytest.mark.skipif(
+        jax.default_backend() in ("cpu",), reason="Mosaic path needs a TPU"
+    ),
+]
+
+
+@pytest.mark.parametrize("model,contra", [("turner", False), ("contra", True)])
+def test_pallas_hw_golden_bpps(model, contra):
+    recs = read_fasta("assets/sampled_trnas.fa")
+    golden = np.load(GOLDEN)
+    tbl = (
+        S.contra_table_pytree(build_fold_score_sets())
+        if contra
+        else S.turner_table_pytree()
+    )
+    N = 128  # fused-kernel bucket for the 68-89nt fixture
+    seqs = np.full((len(recs), N), PSEUDO_BASE, dtype=np.int32)
+    ns = np.zeros(len(recs), dtype=np.int32)
+    for k, r in enumerate(recs):
+        seqs[k, : len(r.seq)] = r.seq
+        ns[k] = len(r.seq)
+    bpp, presence = M.mccaskill_bpp_batch_pallas(
+        jnp.asarray(seqs), jnp.asarray(ns), tbl, N=N, contra=contra
+    )
+    bpp = np.asarray(bpp)
+    for k in range(len(recs)):
+        ref = golden[f"rec{k}_{model}"]
+        n = ref.shape[0]
+        err = np.abs(bpp[k, :n, :n] - ref).max()
+        assert err < 5e-4, (k, err)
+    assert np.asarray(presence).any()
