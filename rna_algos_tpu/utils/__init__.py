@@ -7,6 +7,7 @@ from .io import (
     read_align_clustal,
     read_align_fasta,
     read_align_stockholm,
+    align_from_cols,
     Align,
 )
 from .output import fold_str, pairs_from_fold_str
@@ -21,6 +22,7 @@ __all__ = [
     "read_align_fasta",
     "read_align_stockholm",
     "Align",
+    "align_from_cols",
     "fold_str",
     "pairs_from_fold_str",
 ]

@@ -153,3 +153,23 @@ def read_align_stockholm(path):
     align_len = len(seqs[0])
     cols = [[s[i] for s in seqs] for i in range(align_len)]
     return cols, seq_ids
+
+
+def align_from_cols(cols):
+    """Build an Align (cols + per-sequence ungapped position maps).
+
+    The reference readers return (cols, seq_ids) and downstream consumers
+    (heartsh's consprob/consalign family) assemble `Align` with
+    ``pos_map_sets`` mapping each column to the ungapped sequence position
+    (utils.rs:56-59); this helper provides that assembly.  Gap columns
+    (PSEUDO_BASE) carry the last preceding position.
+    """
+    n_seqs = len(cols[0]) if cols else 0
+    pos_map_sets = [[] for _ in range(n_seqs)]
+    counters = [0] * n_seqs
+    for col in cols:
+        for s, base in enumerate(col):
+            if base != PSEUDO_BASE:
+                counters[s] += 1
+            pos_map_sets[s].append(counters[s])
+    return Align(cols=[list(c) for c in cols], pos_map_sets=pos_map_sets)

@@ -70,3 +70,14 @@ def test_probs2str_formats():
         np.array([0, 1]), np.array([5, 6]), np.array([0.5, 1.0], np.float32)
     ) == out
     assert _fmt(np.float32(2.0) ** -7) == "0.0078125"
+
+
+def test_align_from_cols_pos_maps():
+    from rna_algos_tpu.utils import align_from_cols
+
+    # seq0: A C - G ; seq1: A - G G
+    cols = [[A, A], [C, PSEUDO_BASE], [PSEUDO_BASE, G], [G, G]]
+    align = align_from_cols(cols)
+    assert align.pos_map_sets[0] == [1, 2, 2, 3]
+    assert align.pos_map_sets[1] == [1, 1, 2, 3]
+    assert align.cols == cols
