@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..constants import NEG_INF, PSEUDO_BASE
-from ..numerics import lse_pair, expf
+from ..numerics import lse_pair, expf, get_mode, force_mode
 
 
 def _lse3(a, b, c):
@@ -112,8 +112,19 @@ def _reverse2d(M, n1, n2, N1, N2, fill=NEG_INF):
     return jnp.where((i < n1) & (j < n2), out, fill)
 
 
-@partial(jax.jit, static_argnames=("N1", "N2"))
 def durbin_match_probs(seq1, n1, seq2, n2, sc, N1, N2):
+    return _durbin_match_probs(
+        seq1, n1, seq2, n2, sc, N1=N1, N2=N2, mode=get_mode()
+    )
+
+
+@partial(jax.jit, static_argnames=("N1", "N2", "mode"))
+def _durbin_match_probs(seq1, n1, seq2, n2, sc, N1, N2, mode):
+    with force_mode(mode):
+        return _durbin_match_probs_body(seq1, n1, seq2, n2, sc, N1, N2)
+
+
+def _durbin_match_probs_body(seq1, n1, seq2, n2, sc, N1, N2):
     """Posterior match probabilities for one sentinel-wrapped padded pair.
 
     Args:
@@ -173,11 +184,17 @@ def durbin_match_probs(seq1, n1, seq2, n2, sc, N1, N2):
     return jnp.where(inner, p, 0.0)
 
 
-@partial(jax.jit, static_argnames=("N1", "N2"))
 def durbin_match_probs_batch(seqs1, ns1, seqs2, ns2, sc, N1, N2):
     """vmapped over a batch of pairs: (B, N1), (B,), (B, N2), (B,) -> (B, N1, N2)."""
+    return _durbin_match_probs_batch(
+        seqs1, ns1, seqs2, ns2, sc, N1=N1, N2=N2, mode=get_mode()
+    )
 
-    def one(s1, n1, s2, n2):
-        return durbin_match_probs(s1, n1, s2, n2, sc, N1=N1, N2=N2)
 
-    return jax.vmap(one)(seqs1, ns1, seqs2, ns2)
+@partial(jax.jit, static_argnames=("N1", "N2", "mode"))
+def _durbin_match_probs_batch(seqs1, ns1, seqs2, ns2, sc, N1, N2, mode):
+    with force_mode(mode):
+        def one(s1, n1, s2, n2):
+            return _durbin_match_probs_body(s1, n1, s2, n2, sc, N1, N2)
+
+        return jax.vmap(one)(seqs1, ns1, seqs2, ns2)

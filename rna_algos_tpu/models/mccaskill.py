@@ -32,7 +32,7 @@ from ..constants import (
     MIN_SPAN_HAIRPIN_CLOSE,
     NEG_INF,
 )
-from ..numerics import lse_pair, lse_reduce, expf
+from ..numerics import lse_pair, lse_reduce, expf, get_mode, force_mode
 from ..ops import diag
 from ..ops import scores as S
 
@@ -306,7 +306,6 @@ def _outside(seq, n, N, tbl, pre, inside, contra, allows_short_hairpins):
 # Public entry points
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("N", "contra", "allows_short_hairpins"))
 def mccaskill_bpp(seq, n, tbl, N, contra=False, allows_short_hairpins=False):
     """Basepair probabilities for one padded sequence.
 
@@ -323,6 +322,21 @@ def mccaskill_bpp(seq, n, tbl, N, contra=False, allows_short_hairpins=False):
       carry the per-loop score matrices the reference returns as FoldScores
       (mccaskill_algo.rs:13-19,279).
     """
+    return _mccaskill_bpp(
+        seq, n, tbl, N=N, contra=contra,
+        allows_short_hairpins=allows_short_hairpins, mode=get_mode(),
+    )
+
+
+@partial(
+    jax.jit, static_argnames=("N", "contra", "allows_short_hairpins", "mode")
+)
+def _mccaskill_bpp(seq, n, tbl, N, contra, allows_short_hairpins, mode):
+    with force_mode(mode):
+        return _mccaskill_bpp_body(seq, n, tbl, N, contra, allows_short_hairpins)
+
+
+def _mccaskill_bpp_body(seq, n, tbl, N, contra, allows_short_hairpins):
     if contra:
         pre = S.precompute_contra(seq, n, N, tbl)
     else:
@@ -348,29 +362,54 @@ def mccaskill_bpp(seq, n, tbl, N, contra=False, allows_short_hairpins=False):
     return bpp, memos
 
 
-@partial(jax.jit, static_argnames=("N", "contra", "allows_short_hairpins"))
 def mccaskill_bpp_batch(seqs, ns, tbl, N, contra=False, allows_short_hairpins=False):
     """vmapped batch variant: seqs (B, N), ns (B,) -> (bpp, presence) (B, N, N)."""
-
-    def one(seq, n):
-        bpp, memos = mccaskill_bpp(
-            seq, n, tbl, N=N, contra=contra, allows_short_hairpins=allows_short_hairpins
-        )
-        return bpp, memos["presence"]
-
-    return jax.vmap(one)(seqs, ns)
+    return _mccaskill_bpp_batch(
+        seqs, ns, tbl, N=N, contra=contra,
+        allows_short_hairpins=allows_short_hairpins, mode=get_mode(),
+    )
 
 
-@partial(jax.jit, static_argnames=("N", "contra", "allows_short_hairpins"))
+@partial(
+    jax.jit, static_argnames=("N", "contra", "allows_short_hairpins", "mode")
+)
+def _mccaskill_bpp_batch(seqs, ns, tbl, N, contra, allows_short_hairpins, mode):
+    with force_mode(mode):
+        def one(seq, n):
+            bpp, memos = _mccaskill_bpp_body(
+                seq, n, tbl, N, contra, allows_short_hairpins
+            )
+            return bpp, memos["presence"]
+
+        return jax.vmap(one)(seqs, ns)
+
+
 def mccaskill_bpp_batch_pallas(seqs, ns, tbl, N, contra=True,
                                allows_short_hairpins=False):
     """Batch through the fused VMEM-resident Pallas kernels.
 
     Same outputs as mccaskill_bpp_batch; requires a TPU backend and
-    N <= 128 (whole-DP-state-in-VMEM budget, ops/pallas_fold.py).
+    pow-2 N <= 256 (whole-DP-state-in-VMEM budget, ops/pallas_fold.py).
     """
+    return _mccaskill_bpp_batch_pallas(
+        seqs, ns, tbl, N=N, contra=contra,
+        allows_short_hairpins=allows_short_hairpins, mode=get_mode(),
+    )
+
+
+@partial(
+    jax.jit, static_argnames=("N", "contra", "allows_short_hairpins", "mode")
+)
+def _mccaskill_bpp_batch_pallas(seqs, ns, tbl, N, contra,
+                                allows_short_hairpins, mode):
     from ..ops import pallas_fold as PF
 
+    with force_mode(mode):
+        return _pallas_batch_body(seqs, ns, tbl, N, contra,
+                                  allows_short_hairpins, PF)
+
+
+def _pallas_batch_body(seqs, ns, tbl, N, contra, allows_short_hairpins, PF):
     if contra:
         bppo, _close, _ext, _one = PF.mccaskill_contra_pallas(
             seqs, ns, tbl, N=N, allows_short_hairpins=allows_short_hairpins

@@ -4,6 +4,9 @@ from .logsumexp import (
     lse_pair,
     lse_reduce,
     lse_accumulate,
+    get_mode,
+    set_mode,
+    force_mode,
 )
 
 __all__ = [
@@ -12,4 +15,7 @@ __all__ = [
     "lse_pair",
     "lse_reduce",
     "lse_accumulate",
+    "get_mode",
+    "set_mode",
+    "force_mode",
 ]

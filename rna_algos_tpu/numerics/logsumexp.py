@@ -23,11 +23,60 @@ Everything is float32; -inf is the additive identity (empty ensemble) and the
 combiner skips non-finite inputs exactly like the reference's ``logsumexp``.
 """
 
+import contextlib
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..constants import LOGSUMEXP_THRESHOLD_UPPER, NEG_INF
+
+# --- numerics mode -----------------------------------------------------------
+#
+# "exact" (default): the reference's piecewise-cubic approximations — required
+# for 1e-6-level BPP parity and byte-identical centroid structures.
+# "fast": hardware transcendentals (`jnp.logaddexp` / `jnp.exp`) — more
+# accurate than the cubics and cheaper on the VPU; for users who want
+# throughput over bit-level reference parity.
+#
+# The mode is read at *trace* time.  Every public jitted entry point threads
+# the current mode into its static cache key (see models/mccaskill.py,
+# models/durbin.py), so switching modes re-traces instead of silently reusing
+# a stale compilation.
+
+_VALID_MODES = ("exact", "fast")
+_MODE = os.environ.get("RNA_ALGOS_NUMERICS", "exact")
+if _MODE not in _VALID_MODES:
+    raise ValueError(
+        f"RNA_ALGOS_NUMERICS={_MODE!r}: expected one of {_VALID_MODES}"
+    )
+
+
+def get_mode():
+    """Current numerics mode ("exact" or "fast")."""
+    return _MODE
+
+
+def set_mode(mode):
+    """Set the process-wide numerics mode (trace-time effect)."""
+    global _MODE
+    if mode not in _VALID_MODES:
+        raise ValueError(f"numerics mode {mode!r}: expected one of {_VALID_MODES}")
+    _MODE = mode
+
+
+@contextlib.contextmanager
+def force_mode(mode):
+    """Temporarily pin the numerics mode (used inside jitted bodies at trace
+    time so the mode travels with the jit cache key)."""
+    global _MODE
+    prev = _MODE
+    set_mode(mode)
+    try:
+        yield
+    finally:
+        _MODE = prev
 
 # --- ln(1 + e^x) piecewise cubics (utils.rs:602-627). Segment k covers
 # [BREAKS[k-1], BREAKS[k]); coefficients are (c3, c2, c1, c0) of
@@ -98,8 +147,12 @@ def ln_exp_1p(x):
 
 
 def expf(x):
-    """CONTRAfold approximation of e^x (exact for x >= 0, 0 below -9.91152)."""
+    """CONTRAfold approximation of e^x (exact for x >= 0, 0 below -9.91152).
+
+    In "fast" mode: hardware `jnp.exp`."""
     x = jnp.asarray(x, dtype=jnp.float32)
+    if _MODE == "fast":
+        return jnp.exp(x)
     approx = _piecewise_cubic(x, _EXPF_BREAKS[:-1], _EXPF_COEFFS)
     # Guard the underflow segment explicitly: the all-zero cubic would produce
     # 0 * -inf = NaN for x = -inf.
@@ -120,6 +173,10 @@ def lse_pair(a, b):
     """
     a = jnp.asarray(a, dtype=jnp.float32)
     b = jnp.asarray(b, dtype=jnp.float32)
+    if _MODE == "fast":
+        # jnp.logaddexp already returns the surviving operand (or -inf) when
+        # either input is -inf — same skip semantics, hardware exp/log1p.
+        return jnp.logaddexp(a, b)
     lo = jnp.minimum(a, b)
     hi = jnp.maximum(a, b)
     z = hi - lo
@@ -158,6 +215,12 @@ def lse_reduce(x, axis=-1):
     n = x.shape[-1]
     if n == 0:
         return jnp.full(x.shape[:-1], NEG_INF, dtype=jnp.float32)
+    if _MODE == "fast":
+        # max-form LSE: one transcendental pass instead of a logaddexp tree
+        m = jnp.max(x, axis=-1)
+        safe = jnp.where(jnp.isfinite(m), m, 0.0)
+        s = jnp.sum(jnp.exp(x - safe[..., None]), axis=-1)
+        return jnp.where(jnp.isfinite(m), safe + jnp.log(s), NEG_INF)
     p = _next_pow2(n)
     if p != n:
         pad = jnp.full(x.shape[:-1] + (p - n,), NEG_INF, dtype=jnp.float32)

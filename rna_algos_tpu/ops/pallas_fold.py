@@ -39,6 +39,7 @@ from ..constants import (
     MIN_SPAN_HAIRPIN_CLOSE,
     NEG_INF,
 )
+from .. import numerics
 from ..numerics import lse_pair
 from . import scores as S
 from .lut import lookup as LUT
@@ -54,10 +55,16 @@ def _lse_rows(x):
 
     Power-of-two heights use the strided halving tree; other heights split
     statically at the largest power of two (no pad/concat, which Mosaic
-    lacks) so any multiple-of-8 bucket works."""
+    lacks) so any multiple-of-8 bucket works.  In fast numerics mode the
+    whole reduction collapses to max + sum(exp) + one log."""
     n = x.shape[0]
     if n == 1:
         return x
+    if numerics.get_mode() == "fast":
+        m = jnp.max(x, axis=0, keepdims=True)
+        safe = jnp.where(jnp.isfinite(m), m, 0.0)
+        s = jnp.sum(jnp.exp(x - safe), axis=0, keepdims=True)
+        return jnp.where(jnp.isfinite(m), safe + jnp.log(s), NEG_INF)
     if n & (n - 1) == 0:
         while x.shape[0] > 1:
             h = x.shape[0] // 2

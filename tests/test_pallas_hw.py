@@ -30,8 +30,17 @@ pytestmark = [
 ]
 
 
-@pytest.mark.parametrize("model,contra", [("turner", False), ("contra", True)])
-def test_pallas_hw_golden_bpps(model, contra):
+@pytest.mark.parametrize(
+    "model,contra,mode",
+    [
+        ("turner", False, "exact"),
+        ("contra", True, "exact"),
+        ("contra", True, "fast"),
+    ],
+)
+def test_pallas_hw_golden_bpps(model, contra, mode):
+    from rna_algos_tpu import numerics
+
     recs = read_fasta("assets/sampled_trnas.fa")
     golden = np.load(GOLDEN)
     tbl = (
@@ -45,9 +54,10 @@ def test_pallas_hw_golden_bpps(model, contra):
     for k, r in enumerate(recs):
         seqs[k, : len(r.seq)] = r.seq
         ns[k] = len(r.seq)
-    bpp, presence = M.mccaskill_bpp_batch_pallas(
-        jnp.asarray(seqs), jnp.asarray(ns), tbl, N=N, contra=contra
-    )
+    with numerics.force_mode(mode):
+        bpp, presence = M.mccaskill_bpp_batch_pallas(
+            jnp.asarray(seqs), jnp.asarray(ns), tbl, N=N, contra=contra
+        )
     bpp = np.asarray(bpp)
     for k in range(len(recs)):
         ref = golden[f"rec{k}_{model}"]
