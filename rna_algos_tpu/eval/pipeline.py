@@ -91,4 +91,12 @@ def run_all(sth_path, work_dir, models=("turner", "contra")):
     report = {"num_families": n_fams, "timings_s": timings, "curves": curves}
     with open(os.path.join(work_dir, "eval_report.json"), "w") as f:
         json.dump(report, f, indent=2)
+    try:
+        from .plots import plot_curves
+
+        report["figure"] = plot_curves(
+            curves, os.path.join(work_dir, "fig_1.png")
+        )
+    except ImportError:
+        pass  # matplotlib absent: the JSON report is the artifact
     return report

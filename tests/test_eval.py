@@ -74,3 +74,20 @@ def test_run_all_on_toy_family(tmp_path):
         for key in ("ppv", "sens", "fpr", "f1", "mcc"):
             assert np.isfinite(point[key]) or True  # may be nan at degenerate gammas
     assert os.path.exists(tmp_path / "eval_report.json")
+    # figure stage (fig_1 analog, get_stats_of_ss_estimation_programs.py:112-152)
+    assert report.get("figure") and os.path.exists(report["figure"])
+
+
+def test_plot_curves_two_models(tmp_path):
+    from rna_algos_tpu.eval.plots import plot_curves
+
+    rows = [
+        {"gamma": 2.0 ** p, "ppv": 0.9 - 0.02 * p, "sens": 0.3 + 0.03 * p,
+         "fpr": 0.001 * (p + 8), "f1": 0.5 + 0.01 * p,
+         "mcc": float("nan") if p == -7 else 0.5}
+        for p in range(-7, 11)
+    ]
+    out = plot_curves(
+        {"turner": rows, "contra": rows}, str(tmp_path / "fig.png")
+    )
+    assert os.path.exists(out) and os.path.getsize(out) > 1000
