@@ -36,6 +36,10 @@ def build_parser():
         help="directory for BPP checkpoint/resume (skips the partition "
         "function for already-folded sequences)",
     )
+    p.add_argument(
+        "--numerics", choices=("exact", "fast"), default=None,
+        help="exact reference cubics (default) or hardware transcendentals",
+    )
     return p
 
 
@@ -59,6 +63,10 @@ def write_gamma_file(path, results, gamma):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.numerics:
+        from .. import numerics
+
+        numerics.set_mode(args.numerics)
     records = read_fasta(args.i)
     engine = FoldEngine(uses_contra_model=args.c)
     if args.bpp_cache:

@@ -30,11 +30,19 @@ def build_parser():
     p.add_argument("-i", required=True, help="input FASTA file path")
     p.add_argument("-o", required=True, help="output file path")
     p.add_argument("-t", type=int, default=None, help="worker hint (compat)")
+    p.add_argument(
+        "--numerics", choices=("exact", "fast"), default=None,
+        help="exact reference cubics (default) or hardware transcendentals",
+    )
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.numerics:
+        from .. import numerics
+
+        numerics.set_mode(args.numerics)
     records = read_fasta(args.i)
     wrapped = [
         np.concatenate([[PSEUDO_BASE], r.seq, [PSEUDO_BASE]]).astype(np.int32)

@@ -31,11 +31,19 @@ def build_parser():
     p.add_argument("-o", required=True, help="output file path")
     p.add_argument("-t", type=int, default=None, help="worker hint (compat)")
     p.add_argument("-c", action="store_true", help="use the CONTRAfold model")
+    p.add_argument(
+        "--numerics", choices=("exact", "fast"), default=None,
+        help="exact reference cubics (default) or hardware transcendentals",
+    )
     return p
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.numerics:
+        from .. import numerics
+
+        numerics.set_mode(args.numerics)
     records = read_fasta(args.i)
     engine = FoldEngine(uses_contra_model=args.c)
     results = engine.fold_batch([r.seq for r in records])

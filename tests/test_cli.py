@@ -71,6 +71,38 @@ def test_durbin_format(outputs):
     assert blocks[0].split("\n")[0] == ">0,1"
 
 
+def test_numerics_flag(tmp_path, outputs):
+    """--numerics fast: same format, values within the cubic error budget."""
+    from rna_algos_tpu import numerics
+
+    mc, _, _ = outputs
+    out = tmp_path / "bpps_fast.txt"
+    try:
+        mc_cli.main(["-i", FIXTURE, "-o", str(out), "-c", "--numerics", "fast"])
+    finally:
+        numerics.set_mode("exact")
+    fast_blocks = out.read_text().split("\n\n")
+    exact_blocks = mc.read_text().split("\n\n")
+    assert len(fast_blocks) == len(exact_blocks) == 7
+    for fb, eb in zip(fast_blocks[1:], exact_blocks[1:]):
+
+        def parse(block):
+            lines = block.strip().splitlines()
+            vals = {}
+            for tok in " ".join(lines[1:]).split():
+                i, j, p = tok.split(",")
+                vals[(int(i), int(j))] = float(p)
+            return lines[0], vals
+
+        fid, fv = parse(fb)
+        eid, ev = parse(eb)
+        assert fid == eid
+        deltas = [
+            abs(fv.get(k, 0.0) - ev.get(k, 0.0)) for k in set(fv) | set(ev)
+        ]
+        assert max(deltas) < 5e-4
+
+
 def test_generate_align_scores(tmp_path):
     out = tmp_path / "scores.py"
     gas_cli.main(["-i", "assets/contralign.params.rna", "-o", str(out)])
