@@ -191,6 +191,30 @@ def durbin_match_probs_batch(seqs1, ns1, seqs2, ns2, sc, N1, N2):
     )
 
 
+def durbin_match_probs_batch_auto(seqs1, ns1, seqs2, ns2, sc, N1, N2,
+                                  backend=None):
+    """Dispatch to the fused pair-HMM kernel when it applies, else the row scan.
+
+    ``backend`` ("pallas"/"xla") overrides auto-detection, mirroring
+    models.mccaskill.mccaskill_bpp_batch_auto."""
+    import os
+
+    from ..ops import pallas_align as PA
+
+    forced = backend or os.environ.get("RNA_ALGOS_BACKEND")
+    if forced == "pallas":
+        use_pallas = True
+    elif forced == "xla":
+        use_pallas = False
+    else:
+        use_pallas = PA.pallas_available(N1, N2)
+    if use_pallas:
+        return PA.durbin_match_probs_batch_pallas(
+            seqs1, ns1, seqs2, ns2, sc, N=N1
+        )
+    return durbin_match_probs_batch(seqs1, ns1, seqs2, ns2, sc, N1=N1, N2=N2)
+
+
 @partial(jax.jit, static_argnames=("N1", "N2", "mode"))
 def _durbin_match_probs_batch(seqs1, ns1, seqs2, ns2, sc, N1, N2, mode):
     with force_mode(mode):

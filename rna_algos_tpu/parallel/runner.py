@@ -131,10 +131,20 @@ class AlignEngine:
         ``seqs`` must already include the PSEUDO_BASE sentinels
         (bin/durbin_algo.rs:49-50). Returns {pair: probs[n1, n2]}.
         """
+        from ..ops import pallas_align as PA
+
         results = {}
         by_bucket = {}
+        prefer_fused = self.mesh is None and PA.pallas_available(64, 64)
         for (a, b) in pairs:
             key = (pick_bucket(len(seqs[a])), pick_bucket(len(seqs[b])))
+            if prefer_fused:
+                # fused pair-HMM buckets are square powers of two
+                n = max(key)
+                N = 64
+                while N < n:
+                    N *= 2
+                key = (N, N)
             by_bucket.setdefault(key, []).append((a, b))
         for (N1, N2), plist in by_bucket.items():
             s1 = pad_seqs([seqs[a] for a, _ in plist], N1)
@@ -156,9 +166,10 @@ class AlignEngine:
                 )
                 s1, n1, s2, n2 = mesh_lib.shard_batch(self.mesh, s1, n1, s2, n2)
             probs = np.asarray(
-                D.durbin_match_probs_batch(
+                D.durbin_match_probs_batch_auto(
                     jnp.asarray(s1), jnp.asarray(n1), jnp.asarray(s2),
                     jnp.asarray(n2), self.sc, N1=N1, N2=N2,
+                    backend="xla" if self.mesh is not None else None,
                 )
             )[:true_b]
             for slot, (a, b) in enumerate(plist):
