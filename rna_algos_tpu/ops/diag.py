@@ -92,6 +92,26 @@ def read_diag(Mpad, row_off, col, N):
     return S[:, 0]
 
 
+def skew_pq(M, fill=NEG_INF):
+    """V[p, d] = M[p, p + d]; p + d >= Q -> fill.
+
+    Converts a position-pair matrix (e.g. from ops.lut.sep_lookup) to the
+    [i, d] diagonal layout gather-free: log-depth power-of-two column shifts
+    gated on the bits of the row index.
+    """
+    P, Q = M.shape
+    X = jnp.concatenate([M, jnp.full_like(M, fill)], axis=1)
+    p = jnp.arange(P)[:, None]
+    k = 1
+    while k < P:
+        shifted = jnp.concatenate(
+            [X[:, k:], jnp.full((P, k), fill, M.dtype)], axis=1
+        )
+        X = jnp.where((p & k) != 0, shifted, X)
+        k *= 2
+    return X[:, :Q]
+
+
 def shift_rows(M, shift, fill=NEG_INF):
     """A[i, :] = M[i + shift, :] for traced ``shift`` in [0, N]; OOB rows = fill."""
     N = M.shape[0]

@@ -24,6 +24,63 @@ def _use_onehot():
         return False
 
 
+def sep_lookup(table, i_parts, j_parts, perm=None):
+    """M[p, q] = table[...] for position-separable index tuples.
+
+    ``i_parts``: tuple of (P,) int arrays — index components that are
+    functions of the row position only; ``j_parts``: tuple of (Q,) arrays for
+    the column position.  ``perm`` (optional) transposes ``table`` so its dims
+    line up as [*i_dims, *j_dims] when the natural order interleaves them.
+
+    The (P, Q) pair-lookup factors through two one-hot MXU contractions —
+    ``one_hot(ci) @ T @ one_hot(cj)^T`` — instead of P*Q scalar-unit
+    gathers; exact (each one-hot row selects a single f32 entry).  This keeps
+    even the 5^8-entry Turner 2x2-interior table cheap: the flat one-hot of
+    :func:`lookup` would need a (P*Q, 390625) operand, the separable form two
+    625-wide ones.  Off-TPU falls back to plain advanced indexing.
+    """
+    table = jnp.asarray(table)
+    if perm is not None:
+        table = jnp.transpose(table, perm)
+    ni = len(i_parts)
+    assert table.ndim == ni + len(j_parts), (table.shape, ni, len(j_parts))
+    i_parts = [jnp.asarray(x) for x in i_parts]
+    j_parts = [jnp.asarray(x) for x in j_parts]
+    if not _use_onehot():
+        idx = tuple(x[:, None] for x in i_parts) + tuple(
+            x[None, :] for x in j_parts
+        )
+        return table[idx]
+
+    def code(parts, dims):
+        c = parts[0]
+        for x, s in zip(parts[1:], dims[1:]):
+            c = c * s + x
+        return c
+
+    Ki = int(np.prod(table.shape[:ni], dtype=np.int64))
+    Kj = int(np.prod(table.shape[ni:], dtype=np.int64))
+    ci = code(i_parts, table.shape[:ni])
+    cj = code(j_parts, table.shape[ni:])
+    Ei = (
+        ci[:, None] == jnp.arange(Ki, dtype=ci.dtype)[None, :]
+    ).astype(table.dtype)
+    Ej = (
+        cj[:, None] == jnp.arange(Kj, dtype=cj.dtype)[None, :]
+    ).astype(table.dtype)
+    T = table.reshape(Ki, Kj)
+    # HIGHEST: the MXU's default bf16 passes would round the f32 table
+    # entries; the 3-way bf16 split reconstructs the selected entry exactly
+    # (the one-hot operand splits as 1.0 + 0 + 0).
+    hi = jax.lax.Precision.HIGHEST
+    return jnp.dot(
+        jnp.dot(Ei, T, preferred_element_type=table.dtype, precision=hi),
+        Ej.T,
+        preferred_element_type=table.dtype,
+        precision=hi,
+    )
+
+
 def lookup(table, *idx):
     """table[idx_0, ..., idx_k] with all idx broadcast to a common shape.
 
@@ -45,6 +102,11 @@ def lookup(table, *idx):
     onehot = (
         flat_idx[:, None] == jnp.arange(K, dtype=flat_idx.dtype)[None, :]
     ).astype(table.dtype)
+    # NB: no explicit precision — XLA lowers this matrix-vector contraction
+    # off the MXU, so the f32 selection is already bit-exact (pinned by
+    # tests/test_lut.py::test_lookup_onehot_matches_gather on real hardware);
+    # forcing HIGHEST here would gratuitously invalidate every cached
+    # XLA-path program.
     out = jnp.dot(
         onehot, table.reshape(-1), preferred_element_type=table.dtype
     )

@@ -28,6 +28,8 @@ the kernels are pure log-space arithmetic.  Reference recurrences:
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -35,14 +37,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..constants import (
+    MAX_HAIRPIN_LEN_EXTRAPOLATION,
     MAX_LOOP_LEN,
+    MIN_HAIRPIN_LEN,
+    MIN_HAIRPIN_LEN_EXTRAPOLATION,
     MIN_SPAN_HAIRPIN_CLOSE,
     NEG_INF,
 )
 from .. import numerics
 from ..numerics import lse_pair
+from . import diag
 from . import scores as S
-from .lut import lookup as LUT
+from .lut import sep_lookup as SEP
 
 W = 31    # 2-loop window extent (MAX_LOOP_LEN + 1)
 W2 = 32   # loaded window rows (the extra row is masked by the length cap)
@@ -332,43 +338,102 @@ def _contra_outside_kernel(
 def contra_precompute_di(seqs, ns, ct, N):
     """Per-sequence [d, i]-layout score matrices for BOTH kernels (one pass:
     the outside pass reuses MBC/ACC/JS/JB and only adds the mirrored
-    stack/0x1/1x1 grids, sharing all base gathers)."""
+    stack/0x1/1x1 grids).
+
+    Every pair lookup is a position-separable one-hot MXU contraction
+    (ops.lut.sep_lookup) skewed gather-free into diagonal layout
+    (ops.diag.skew_pq) — no (N, N) scalar-unit gathers.  Cells past the
+    matrix edge (i + d >= N) take the skew fill (0.0, finite) instead of the
+    PSEUDO-row table value; every such cell is killed by the CANON /
+    close = -inf masks in the kernels, and the fill keeps the
+    finite-or-(-inf) lse_pair operand contract."""
+    hc = ct["helix_close_scores"]
+    tm = ct["terminal_mismatch_scores"]
+    dl = ct["dangling_scores_left"]
+    dr = ct["dangling_scores_right"]
+    bp = ct["basepair_scores"]
+    stk = ct["stack_scores"]
+    b0x1 = ct["bulge_scores_0x1"]
+    i1x1 = ct["interior_scores_1x1"]
 
     def one(seq, n):
-        pre = S.precompute_contra(seq, n, N, ct)
-        i = jnp.arange(N)[:, None]
-        dd = jnp.arange(N)[None, :]
-        j = i + dd
-        ones = jnp.ones_like(dd)
-        s_i1 = S.sget(seq, i + 1) * ones
-        s_j1 = S.sget(seq, j - 1)
-        s_im1 = S.sget(seq, i - 1) * ones
-        s_jp1 = S.sget(seq, j + 1)
-        xi = seq[:, None] * ones
-        xj = S.sget(seq, j)
-        stk = ct["stack_scores"]
-        bp = ct["basepair_scores"]
-        b0x1 = ct["bulge_scores_0x1"]
-        i1x1 = ct["interior_scores_1x1"]
-        canon_f = jnp.where(pre["canon"], 0.0, NEG_INF).astype(jnp.float32)
-        JB = pre["JSrev"] + pre["BP"]
+        pvec = jnp.arange(N)
+        x0 = seq
+        x1 = S.sget(seq, pvec + 1)
+        m1 = S.sget(seq, pvec - 1)
+        qv = pvec[None, :]
+        pv = pvec[:, None]
+
+        def sk(Mpq):  # [p, q] -> [d, i]
+            return diag.skew_pq(Mpq, 0.0).T
+
+        # junction_score_single(i, j) / (j, i) (utils.rs:522-556)
+        JSpq = SEP(hc, (x0,), (x0,)) + SEP(
+            tm, (x0, x1), (x0, m1), perm=(0, 2, 1, 3)
+        )
+        JSrevpq = SEP(hc, (x0,), (x0,), perm=(1, 0)) + SEP(
+            tm, (x0, m1), (x0, x1), perm=(1, 3, 0, 2)
+        )
+        BPpq = SEP(bp, (x0,), (x0,))
+
+        JS_id = diag.skew_pq(JSpq, 0.0)  # [i, d]
+        hlen = qv - 1  # d - 1 in [i, d] layout
+        H_id = jnp.where(
+            (hlen >= 0) & (hlen <= MAX_LOOP_LEN),
+            ct["hairpin_scores_len_cumulative"][jnp.clip(hlen, 0, MAX_LOOP_LEN)]
+            + JS_id,
+            NEG_INF,
+        )
+
+        # junction(i, j) + mb weights / junction(j, i) + bp, boundary-cased
+        # (utils.rs:522-543)
+        MBCpq = (
+            ct["multibranch_score_base"]
+            + ct["multibranch_score_basepair"]
+            + SEP(hc, (x0,), (x0,))
+            + SEP(dl, (x0, x1), (x0,), perm=(0, 2, 1))
+            + SEP(dr, (x0,), (x0, m1))
+        )
+        ACCpq = (
+            SEP(hc, (x0,), (x0,), perm=(1, 0))
+            + jnp.where(
+                qv < n - 1, SEP(dl, (x0,), (x0, x1), perm=(1, 0, 2)), 0.0
+            )
+            + jnp.where(
+                pv > 0, SEP(dr, (x0, m1), (x0,), perm=(1, 2, 0)), 0.0
+            )
+            + BPpq
+        )
+
+        canon_pq = SEP(S.CANON_MAT.astype(jnp.float32), (x0,), (x0,)) * (
+            qv < n
+        )
+        CANON = jnp.where(diag.skew_pq(canon_pq, 0.0) > 0.5, 0.0, NEG_INF)
+
+        vb0_m1 = jnp.take(b0x1, m1)  # b0x1[x_{p-1}]
+        vb0_x1 = jnp.take(b0x1, x1)  # b0x1[x_{p+1}]
         return {
-            "H": pre["H"].T,
-            "MBC": pre["MBC"].T,
-            "ACC": pre["ACC"].T,
-            "JS": pre["JS"].T,
-            "CANON": canon_f.T,
-            "JB": JB.T,
+            "H": H_id.T,
+            "MBC": sk(MBCpq),
+            "ACC": sk(ACCpq),
+            "JS": JS_id.T,
+            "CANON": CANON.T,
+            "JB": sk(JSrevpq + BPpq),
             # inside 2-loop corrections
-            "STK": (LUT(stk, xi, xj, s_i1, s_j1) + LUT(bp, s_i1, s_j1)).T,
-            "I11": LUT(i1x1, s_i1, s_j1).T,
-            "B0R": LUT(b0x1, s_j1).T,
-            "B0L": LUT(b0x1, s_i1).T,
+            "STK": sk(
+                SEP(stk, (x0, x1), (x0, m1), perm=(0, 2, 1, 3))
+                + SEP(bp, (x1,), (m1,))
+            ),
+            "I11": sk(SEP(i1x1, (x1,), (m1,))),
+            "B0R": sk(jnp.broadcast_to(vb0_m1[None, :], (N, N))),
+            "B0L": jnp.broadcast_to(vb0_x1[None, :], (N, N)),
             # outside 2-loop corrections (outer (i-1-a, j+1+b), inner (i, j))
-            "STKO": (LUT(stk, s_im1, s_jp1, xi, xj) + LUT(bp, xi, xj)).T,
-            "I11O": LUT(i1x1, s_im1, s_jp1).T,
-            "B0RO": LUT(b0x1, s_jp1).T,
-            "B0LO": LUT(b0x1, S.sget(seq, jnp.arange(N) - 1)),
+            "STKO": sk(
+                SEP(stk, (m1, x0), (x1, x0), perm=(0, 2, 1, 3)) + BPpq
+            ),
+            "I11O": sk(SEP(i1x1, (m1,), (x1,))),
+            "B0RO": sk(jnp.broadcast_to(vb0_x1[None, :], (N, N))),
+            "B0LO": vb0_m1,
         }
 
     return jax.vmap(one)(seqs, ns)
@@ -794,60 +859,151 @@ def _turner_outside_kernel(
 
 
 def turner_precompute_di(seqs, ns, tt, N):
-    """Per-sequence [d, i] Turner score matrices for both kernels."""
+    """Per-sequence [d, i] Turner score matrices for both kernels.
+
+    Position-separable one-hot MXU contractions (ops.lut.sep_lookup) +
+    gather-free skews (ops.diag.skew_pq) replace the (N, N) advanced-indexing
+    gathers that dominated the fused Turner path (the 5^6..5^8-entry
+    1x1/1x2/2x2 interior tables ran on the scalar unit).  Same
+    edge-fill/masking argument as contra_precompute_di."""
+    stk = tt["stack"]
+    i1 = tt["int_1x1"]
+    i2 = tt["int_1x2"]
+    i4 = tt["int_2x2"]
+    b1 = tt["bulge_init"][1]
 
     def one(seq, n):
-        pre = S.precompute_turner(seq, n, N, tt)
-        i = jnp.arange(N)[:, None]
-        dd = jnp.arange(N)[None, :]
-        j = i + dd
-        xi = seq[:, None] * jnp.ones_like(dd)
-        xj = S.sget(seq, j)
-        s_i1 = S.sget(seq, i + 1) * jnp.ones_like(dd)
-        s_i2 = S.sget(seq, i + 2) * jnp.ones_like(dd)
-        s_i3 = S.sget(seq, i + 3) * jnp.ones_like(dd)
-        s_j1 = S.sget(seq, j - 1)
-        s_j2 = S.sget(seq, j - 2)
-        s_j3 = S.sget(seq, j - 3)
-        s_im1 = S.sget(seq, i - 1) * jnp.ones_like(dd)
-        s_im2 = S.sget(seq, i - 2) * jnp.ones_like(dd)
-        s_im3 = S.sget(seq, i - 3) * jnp.ones_like(dd)
-        s_jp1 = S.sget(seq, j + 1)
-        s_jp2 = S.sget(seq, j + 2)
-        s_jp3 = S.sget(seq, j + 3)
-        stk = tt["stack"]
-        b1 = tt["bulge_init"][1]
-        canon_f = jnp.where(pre["canon"], 0.0, NEG_INF).astype(jnp.float32)
-        mats = {
-            "H": pre["H"].T,
-            "MBC": pre["MBC"].T,
-            "ACC": pre["ACC"].T,
-            "CANON": canon_f.T,
-            "AUGT": pre["AUGU"].T,
-            "TMo1": pre["TMo_int"].T,
-            "TMo2": pre["TMo_1xmany"].T,
-            "TMo3": pre["TMo_2x3"].T,
-            "TMi1": pre["TMi_int"].T,
-            "TMi2": pre["TMi_1xmany"].T,
-            "TMi3": pre["TMi_2x3"].T,
+        pvec = jnp.arange(N)
+        x0 = seq
+        x1, x2, x3 = (S.sget(seq, pvec + k) for k in (1, 2, 3))
+        m1, m2, m3 = (S.sget(seq, pvec - k) for k in (1, 2, 3))
+        qv = pvec[None, :]
+        pv = pvec[:, None]
+
+        def sk(Mpq):  # [p, q] -> [d, i]
+            return diag.skew_pq(Mpq, 0.0).T
+
+        augu_pq = SEP(S.AUGU_MAT, (x0,), (x0,)) * tt["augu_penalty"]
+        augu_id = diag.skew_pq(augu_pq, 0.0)  # [i, d]
+
+        # hairpin (utils.rs:166-205); hlen = d - 1 in [i, d] layout
+        hlen = qv - 1
+        init_in = tt["hairpin_init"][
+            jnp.clip(hlen, 0, MAX_HAIRPIN_LEN_EXTRAPOLATION)
+        ]
+        extrap = tt["hairpin_init"][MIN_HAIRPIN_LEN_EXTRAPOLATION - 1] + tt[
+            "coeff_hairpin_extrap"
+        ] * jnp.log(
+            jnp.maximum(hlen, 1).astype(jnp.float32)
+            / np.float32(MIN_HAIRPIN_LEN_EXTRAPOLATION - 1)
+        )
+        init = jnp.where(hlen <= MAX_HAIRPIN_LEN_EXTRAPOLATION, init_in, extrap)
+        tm_h = diag.skew_pq(
+            SEP(tt["tm_hairpin"], (x0, x1), (x0, m1), perm=(0, 2, 1, 3)), 0.0
+        )
+        generic = jnp.where(
+            hlen == MIN_HAIRPIN_LEN,
+            tt["hairpin_init"][jnp.clip(hlen, 0, MAX_LOOP_LEN)],
+            init + tm_h,
+        ) + augu_id
+        H_sp = S.special_hairpin_id(seq, tt, N)
+        H_id = jnp.where(jnp.isfinite(H_sp), H_sp, generic)
+
+        # multibranch close (utils.rs:368-382): reversed pair indexing
+        MBCpq = (
+            tt["init_multibranch_base"]
+            + SEP(tt["tm_multibranch"], (x0, x1), (x0, m1), perm=(1, 3, 0, 2))
+            + augu_pq
+        )
+
+        # accessible (utils.rs:384-411), boundary-cased
+        c_tm = SEP(tt["tm_multibranch"], (x0, m1), (x0, x1), perm=(0, 2, 1, 3))
+        c_d5 = SEP(tt["dangle5"], (x0, m1), (x0,), perm=(0, 2, 1))
+        c_d3 = SEP(tt["dangle3"], (x0,), (x0, x1))
+        has_l = pv > 0
+        has_r = qv < n - 1
+        ACCpq = (
+            jnp.where(
+                has_l & has_r,
+                c_tm,
+                jnp.where(has_l, c_d5, jnp.where(has_r, c_d3, 0.0)),
+            )
+            + augu_pq
+        )
+
+        canon_pq = SEP(S.CANON_MAT.astype(jnp.float32), (x0,), (x0,)) * (
+            qv < n
+        )
+        CANON = jnp.where(diag.skew_pq(canon_pq, 0.0) > 0.5, 0.0, NEG_INF)
+
+        # terminal-mismatch families: outer TMo_f[i,d] = TM_f at (i, j) and
+        # inner TMi_f[r,c] = TM_f[x_{r+c}, x_r, s(r+c+1), s(r-1)]
+        tm_o = lambda f: sk(SEP(tt[f], (x0, x1), (x0, m1), perm=(0, 2, 1, 3)))
+        tm_i = lambda f: sk(SEP(tt[f], (x0, m1), (x0, x1), perm=(1, 3, 0, 2)))
+
+        return {
+            "H": H_id.T,
+            "MBC": sk(MBCpq),
+            "ACC": sk(ACCpq),
+            "CANON": CANON.T,
+            "AUGT": augu_id.T,
+            "TMo1": tm_o("tm_interior"),
+            "TMo2": tm_o("tm_1xmany"),
+            "TMo3": tm_o("tm_2x3"),
+            "TMi1": tm_i("tm_interior"),
+            "TMi2": tm_i("tm_1xmany"),
+            "TMi3": tm_i("tm_2x3"),
             # inside small-loop cases (utils.rs:207-321)
-            "STKT": LUT(stk, xi, xj, s_i1, s_j1).T,
-            "B01": (b1 + LUT(stk, xi, xj, s_i1, s_j2)).T,
-            "B10": (b1 + LUT(stk, xi, xj, s_i2, s_j1)).T,
-            "I11T": tt["int_1x1"][xi, xj, s_i1, s_j1, s_i2, s_j2].T,
-            "I12T": tt["int_1x2"][xi, xj, s_i1, s_j1, s_j2, s_i2, s_j3].T,
-            "I21T": tt["int_1x2"][s_j2, s_i3, s_j1, s_i2, s_i1, xj, xi].T,
-            "I22T": tt["int_2x2"][xi, xj, s_i1, s_j1, s_i2, s_j2, s_i3, s_j3].T,
+            "STKT": sk(SEP(stk, (x0, x1), (x0, m1), perm=(0, 2, 1, 3))),
+            "B01": sk(b1 + SEP(stk, (x0, x1), (x0, m2), perm=(0, 2, 1, 3))),
+            "B10": sk(b1 + SEP(stk, (x0, x2), (x0, m1), perm=(0, 2, 1, 3))),
+            "I11T": sk(
+                SEP(i1, (x0, x1, x2), (x0, m1, m2), perm=(0, 2, 4, 1, 3, 5))
+            ),
+            "I12T": sk(
+                SEP(
+                    i2, (x0, x1, x2), (x0, m1, m2, m3),
+                    perm=(0, 2, 5, 1, 3, 4, 6),
+                )
+            ),
+            "I21T": sk(
+                SEP(
+                    i2, (x3, x2, x1, x0), (m2, m1, x0),
+                    perm=(1, 3, 4, 6, 0, 2, 5),
+                )
+            ),
+            "I22T": sk(
+                SEP(
+                    i4, (x0, x1, x2, x3), (x0, m1, m2, m3),
+                    perm=(0, 2, 4, 6, 1, 3, 5, 7),
+                )
+            ),
             # outside small-loop cases (outer (i-1-a, j+1+b), inner (i, j))
-            "STKO": LUT(stk, s_im1, s_jp1, xi, xj).T,
-            "B01O": (b1 + LUT(stk, s_im1, s_jp2, xi, xj)).T,
-            "B10O": (b1 + LUT(stk, s_im2, s_jp1, xi, xj)).T,
-            "I11O": tt["int_1x1"][s_im2, s_jp2, s_im1, s_jp1, xi, xj].T,
-            "I12O": tt["int_1x2"][s_im2, s_jp3, s_im1, s_jp2, s_jp1, xi, xj].T,
-            "I21O": tt["int_1x2"][xj, xi, s_jp1, s_im1, s_im2, s_jp2, s_im3].T,
-            "I22O": tt["int_2x2"][s_im3, s_jp3, s_im2, s_jp2, s_im1, s_jp1, xi, xj].T,
+            "STKO": sk(SEP(stk, (m1, x0), (x1, x0), perm=(0, 2, 1, 3))),
+            "B01O": sk(b1 + SEP(stk, (m1, x0), (x2, x0), perm=(0, 2, 1, 3))),
+            "B10O": sk(b1 + SEP(stk, (m2, x0), (x1, x0), perm=(0, 2, 1, 3))),
+            "I11O": sk(
+                SEP(i1, (m2, m1, x0), (x2, x1, x0), perm=(0, 2, 4, 1, 3, 5))
+            ),
+            "I12O": sk(
+                SEP(
+                    i2, (m2, m1, x0), (x3, x2, x1, x0),
+                    perm=(0, 2, 5, 1, 3, 4, 6),
+                )
+            ),
+            "I21O": sk(
+                SEP(
+                    i2, (x0, m1, m2, m3), (x0, x1, x2),
+                    perm=(1, 3, 4, 6, 0, 2, 5),
+                )
+            ),
+            "I22O": sk(
+                SEP(
+                    i4, (m3, m2, m1, x0), (x3, x2, x1, x0),
+                    perm=(0, 2, 4, 6, 1, 3, 5, 7),
+                )
+            ),
         }
-        return mats
 
     return jax.vmap(one)(seqs, ns)
 

@@ -136,6 +136,25 @@ _MGRID = _AGRID + _BGRID            # a + b
 # Turner per-sequence precompute
 # ---------------------------------------------------------------------------
 
+def special_hairpin_id(seq, tt, N):
+    """H_sp[i, d] = special-hairpin score of [i, i+d] (incl. the closing
+    pair); -inf where no special sequence matches (utils.rs:198-205)."""
+    sp_seqs = tt["special_seqs"]          # (S, Lmax) with -1 padding
+    sp_lens = tt["special_lens"]          # (S,)
+    sp_scores = tt["special_scores"]      # (S,)
+    _, Lmax = sp_seqs.shape
+    offs = jnp.arange(Lmax)
+    win = sget(seq, jnp.arange(N)[:, None] + offs[None, :])  # (N, Lmax)
+    ok = (win[:, None, :] == sp_seqs[None, :, :]) | (
+        offs[None, None, :] >= sp_lens[None, :, None]
+    )
+    match = jnp.all(ok, axis=-1)  # (N, S)
+    sp_at = jnp.where(match, sp_scores[None, :], NEG_INF)  # (N, S)
+    dd = jnp.arange(N)
+    len_eq = (dd[None, :, None] + 1) == sp_lens[None, None, :]
+    return jnp.max(jnp.where(len_eq, sp_at[:, None, :], NEG_INF), axis=-1)
+
+
 def precompute_turner(seq, n, N, tt):
     """All (N, N) left-layout score matrices for one padded sequence.
 
@@ -168,22 +187,7 @@ def precompute_turner(seq, n, N, tt):
         init + tm,
     ) + augu_pen
     # special hairpins: exact subsequence match incl. closing pair
-    sp_seqs = tt["special_seqs"]          # (S, Lmax) with -1 padding
-    sp_lens = tt["special_lens"]          # (S,)
-    sp_scores = tt["special_scores"]      # (S,)
-    S, Lmax = sp_seqs.shape
-    offs = jnp.arange(Lmax)
-    win = sget(seq, jnp.arange(N)[:, None] + offs[None, :])  # (N, Lmax)
-    ok = (win[:, None, :] == sp_seqs[None, :, :]) | (
-        offs[None, None, :] >= sp_lens[None, :, None]
-    )
-    match = jnp.all(ok, axis=-1)  # (N, S)
-    sp_at = jnp.where(match, sp_scores[None, :], NEG_INF)  # (N, S)
-    # H_sp[i, d] = score of the special whose length == d+1 matching at i
-    len_eq = (dd[0][None, :, None] + 1) == sp_lens[None, None, :]  # (1?, N, S)
-    H_sp = jnp.max(
-        jnp.where(len_eq, sp_at[:, None, :], NEG_INF), axis=-1
-    )  # (N, N)
+    H_sp = special_hairpin_id(seq, tt, N)
     H = jnp.where(jnp.isfinite(H_sp), H_sp, generic)
 
     # --- multibranch close (utils.rs:368-382): note reversed pair indexing ---

@@ -48,7 +48,7 @@ def main():
 
     from rna_algos_tpu import numerics
     from rna_algos_tpu.models.mccaskill import mccaskill_bpp_batch_auto
-    from rna_algos_tpu.models.durbin import durbin_match_probs_batch
+    from rna_algos_tpu.models.durbin import durbin_match_probs_batch_auto
     from rna_algos_tpu.ops import scores as S
     from rna_algos_tpu.params import build_fold_score_sets, build_align_scores
     from rna_algos_tpu.parallel.runner import pad_seqs
@@ -96,7 +96,9 @@ def main():
     res = {}
 
     def durbin():
-        res["out"] = durbin_match_probs_batch(p1, l1, p2, l2, sc, N1=Nd, N2=Nd)
+        res["out"] = durbin_match_probs_batch_auto(
+            p1, l1, p2, l2, sc, N1=Nd, N2=Nd
+        )
 
     out["durbin_all_pairs"] = _time(
         durbin, lambda: jax.block_until_ready(res["out"])
