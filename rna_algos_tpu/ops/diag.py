@@ -112,6 +112,27 @@ def skew_pq(M, fill=NEG_INF):
     return X[:, :Q]
 
 
+def unskew_pq(M, fill=NEG_INF):
+    """V[p, c] = M[p, c - p]; c < p -> fill (right-skew of each row by its
+    row index).
+
+    Gather-free inverse companion of :func:`skew_pq`: log-depth power-of-two
+    right shifts gated on the bits of the row index.  Columns past the input
+    width read ``fill``.
+    """
+    P, Q = M.shape
+    X = M
+    p = jnp.arange(P)[:, None]
+    k = 1
+    while k < P:
+        shifted = jnp.concatenate(
+            [jnp.full((P, k), fill, M.dtype), X[:, :-k]], axis=1
+        )
+        X = jnp.where((p & k) != 0, shifted, X)
+        k *= 2
+    return X
+
+
 def shift_rows(M, shift, fill=NEG_INF):
     """A[i, :] = M[i + shift, :] for traced ``shift`` in [0, N]; OOB rows = fill."""
     N = M.shape[0]

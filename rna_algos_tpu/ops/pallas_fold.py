@@ -111,6 +111,7 @@ def _contra_inside_kernel(
     ext_bp = SCAL[0, 0, 1]
     mb_unpair = SCAL[0, 0, 2]
     mb_bp = SCAL[0, 0, 3]
+    n_i = SCAL[0, 0, 7].astype(jnp.int32)
 
     CB[:] = jnp.full_like(CB[:], NEG_INF)
     JBW[:] = jnp.full_like(JBW[:], NEG_INF)
@@ -197,7 +198,10 @@ def _contra_inside_kernel(
         _shift_insert(JBW, _row3(JB, d))
         return (rm_new, rmmb_new)
 
-    lax.fori_loop(0, N, span_step, (neg_row, neg_row))
+    # Spans >= n are dead (CANON kills every cell with j >= n, and the
+    # inter-kernel aux only reads ext/one rows < n): loop only to the
+    # per-sequence length, leaving the scratch inits in the dead rows.
+    lax.fori_loop(0, n_i, span_step, (neg_row, neg_row))
 
     close_out[0] = closeF[:]
     ext_out[0] = extS[:]
@@ -224,6 +228,7 @@ def _contra_outside_kernel(
     mb_unpair = SCAL[0, 0, 2]
     mb_bp = SCAL[0, 0, 3]
     glob = SCAL[0, 0, 4]
+    n_i = SCAL[0, 0, 7].astype(jnp.int32)
 
     OBB[:] = jnp.full_like(OBB[:], NEG_INF)
     OBC[:] = jnp.full_like(OBC[:], NEG_INF)
@@ -236,6 +241,15 @@ def _contra_outside_kernel(
     b_idx = jax.lax.broadcasted_iota(jnp.int32, (W2, 1), 0)
     t_idx = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
     s_qone = QONE[0, pl.ds(0, N), pl.ds(0, N)]   # [t', i] = one(i-t'+1, i-1)
+    # span-invariant merge of the two r_pm multibranch contexts (the
+    # unpaired-run weight and the one(k+1, i-1) factor): one tree reduce
+    # per span instead of two.
+    s_qone_mb = lse_pair(
+        s_qone,
+        jnp.broadcast_to(
+            mb_unpair * (t_idx - 1).astype(jnp.float32), (N, N)
+        ),
+    )
 
     def span_step(step, carry):
         d = N - 1 - step
@@ -296,16 +310,8 @@ def _contra_outside_kernel(
         r_pm2 = RPM2[pl.ds(0, N), pl.ds(0, N)]
         m1 = t_idx >= 1
         terms_a = jnp.where(m1, acc_mb + r_pm2 + s_qone, NEG_INF)
-        terms_b = jnp.where(
-            m1,
-            acc_mb + r_pm + mb_unpair * (t_idx - 1).astype(jnp.float32),
-            NEG_INF,
-        )
-        terms_c = jnp.where(m1, acc_mb + r_pm + s_qone, NEG_INF)
-        mb_ctx = lse_pair(
-            lse_pair(_lse_rows(terms_a), _lse_rows(terms_b)),
-            _lse_rows(terms_c),
-        )
+        terms_bc = jnp.where(m1, acc_mb + r_pm + s_qone_mb, NEG_INF)
+        mb_ctx = lse_pair(_lse_rows(terms_a), _lse_rows(terms_bc))
 
         bppo_new = lse_pair(lse_pair(base, two), mb_ctx)
         bppo_new = jnp.where(
@@ -327,7 +333,9 @@ def _contra_outside_kernel(
         XS[pl.ds(0, 1), :] = g_row
         return carry
 
-    lax.fori_loop(0, N, span_step, 0)
+    # Spans >= n are dead: start the decreasing-span loop at d = n - 1
+    # (skipped steps would only shift init fill through the scratches).
+    lax.fori_loop(N - n_i, N, span_step, 0)
     bppo_out[0] = bppoF[:]
 
 
@@ -451,14 +459,17 @@ def _contra_len_di(ct):
 
 
 def _skew_qone(one_di, N):
-    """QONE[t, l] = one(l-t+1, l-1) with -inf out of range (host prep)."""
-    t = jnp.arange(N)[:, None]
-    l = jnp.arange(N)[None, :]
-    q = t - 2
-    p = l - q - 1
-    ok = (q >= 0) & (p >= 0) & (p < N) & (q < N)
-    vals = one_di[jnp.clip(q, 0, N - 1), jnp.clip(p, 0, N - 1)]
-    return jnp.where(ok, vals, NEG_INF)
+    """QONE[t, l] = one(l-t+1, l-1) with -inf out of range (host prep).
+
+    Row t reads one_di row q = t-2 positioned so column l holds p = l-t+1:
+    a 2-row downshift + one-column widening turns the (N, N) gather into a
+    gather-free :func:`diag.unskew_pq` (log-depth row-indexed right shifts).
+    """
+    M2 = jnp.concatenate(
+        [jnp.full((2, N), NEG_INF), one_di[: N - 2]], axis=0
+    )
+    M5 = jnp.concatenate([M2, jnp.full((N, 1), NEG_INF)], axis=1)
+    return diag.unskew_pq(M5, NEG_INF)[:, 1:]
 
 
 def contra_outside_aux(ns, ext_di, one_di, N):
@@ -505,20 +516,24 @@ _SMEM_SPEC = pl.BlockSpec(
 )
 
 
-def _contra_inside_call(mats, ct, B, N, interpret):
+def _contra_inside_call(mats, ns, ct, B, N, interpret):
     LEN = jnp.broadcast_to(_contra_len_di(ct)[None], (B, W2, W))
-    scal = jnp.broadcast_to(
-        jnp.stack(
-            [
-                ct["external_score_unpair"],
-                ct["external_score_basepair"],
-                ct["multibranch_score_unpair"],
-                ct["multibranch_score_basepair"],
-            ]
-            + [jnp.float32(0.0)] * 4
-        )[None, None],
-        (B, 1, 8),
+    scal_base = jnp.stack(
+        [
+            ct["external_score_unpair"],
+            ct["external_score_basepair"],
+            ct["multibranch_score_unpair"],
+            ct["multibranch_score_basepair"],
+        ]
     )
+    scal = jnp.concatenate(
+        [
+            jnp.broadcast_to(scal_base[None], (B, 4)),
+            jnp.zeros((B, 3)),
+            ns[:, None].astype(jnp.float32),  # per-seq span-loop bound
+        ],
+        axis=1,
+    ).astype(jnp.float32)[:, None, :]
     out_shape = tuple(
         jax.ShapeDtypeStruct((B, N, N), jnp.float32) for _ in range(3)
     )
@@ -558,7 +573,7 @@ def contra_inside_pallas(seqs, ns, ct, N, interpret=False):
     """Batched CONTRA inside pass; returns (close, ext, one) in [d, i]."""
     B = seqs.shape[0]
     mats = contra_precompute_di(seqs, ns, ct, N)
-    return _contra_inside_call(mats, ct, B, N, interpret)
+    return _contra_inside_call(mats, ns, ct, B, N, interpret)
 
 
 @functools.partial(
@@ -574,7 +589,7 @@ def mccaskill_contra_pallas(
     """
     B = seqs.shape[0]
     mats = contra_precompute_di(seqs, ns, ct, N)
-    close, ext, one = _contra_inside_call(mats, ct, B, N, interpret)
+    close, ext, one = _contra_inside_call(mats, ns, ct, B, N, interpret)
     ONEP, QONE, extL, extR, glob = contra_outside_aux(ns, ext, one, N)
     LEN = jnp.broadcast_to(_contra_len_di(ct)[None], (B, W2, W))
     scal_base = jnp.stack(
@@ -589,7 +604,8 @@ def mccaskill_contra_pallas(
         [
             jnp.broadcast_to(scal_base[None], (B, 4)),
             glob[:, None],
-            jnp.zeros((B, 3)),
+            jnp.zeros((B, 2)),
+            ns[:, None].astype(jnp.float32),  # per-seq span-loop bound
         ],
         axis=1,
     ).astype(jnp.float32)[:, None, :]
@@ -680,6 +696,7 @@ def _turner_inside_kernel(
     *, N,
 ):
     coeff = SCAL[0, 0, 0]  # COEFF_NUM_BRANCHES
+    n_i = SCAL[0, 0, 7].astype(jnp.int32)
 
     for buf in (CB, FQ, mbS, oneS, closeF, AUGW, T1W, T2W, T3W):
         buf[:] = jnp.full_like(buf[:], NEG_INF)
@@ -749,7 +766,8 @@ def _turner_inside_kernel(
         _shift_insert(T3W, _row3(TMi3N, d))
         return (rm_new,)
 
-    lax.fori_loop(0, N, span_step, (neg_row,))
+    # Spans >= n are dead (same argument as the CONTRA kernels).
+    lax.fori_loop(0, n_i, span_step, (neg_row,))
 
     close_out[0] = closeF[:]
     ext_out[0] = extS[:]
@@ -770,6 +788,7 @@ def _turner_outside_kernel(
 ):
     coeff = SCAL[0, 0, 0]
     glob = SCAL[0, 0, 4]
+    n_i = SCAL[0, 0, 7].astype(jnp.int32)
 
     for buf in (OBB, OBC, AUGW, T1W, T2W, T3W, XS, RPM, RPM2, bppoF):
         buf[:] = jnp.full_like(buf[:], NEG_INF)
@@ -777,6 +796,9 @@ def _turner_outside_kernel(
     b_idx = jax.lax.broadcasted_iota(jnp.int32, (W2, 1), 0)
     t_idx = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
     s_qone = QONE[0, pl.ds(0, N), pl.ds(0, N)]
+    # span-invariant merge of the two r_pm multibranch contexts (bare run
+    # and the one(k+1, i-1) factor): one tree reduce per span, not two.
+    s_qone_mb = lse_pair(s_qone, jnp.zeros((N, N), jnp.float32))
 
     def span_step(step, carry):
         d = N - 1 - step
@@ -825,12 +847,8 @@ def _turner_outside_kernel(
         r_pm2 = RPM2[pl.ds(0, N), pl.ds(0, N)]
         m1 = t_idx >= 1
         terms_a = jnp.where(m1, acc_mb + r_pm2 + s_qone, NEG_INF)
-        terms_b = jnp.where(m1, acc_mb + r_pm, NEG_INF)
-        terms_c = jnp.where(m1, acc_mb + r_pm + s_qone, NEG_INF)
-        mb_ctx = lse_pair(
-            lse_pair(_lse_rows(terms_a), _lse_rows(terms_b)),
-            _lse_rows(terms_c),
-        )
+        terms_bc = jnp.where(m1, acc_mb + r_pm + s_qone_mb, NEG_INF)
+        mb_ctx = lse_pair(_lse_rows(terms_a), _lse_rows(terms_bc))
 
         bppo_new = lse_pair(lse_pair(base, two), mb_ctx)
         bppo_new = jnp.where(
@@ -854,7 +872,8 @@ def _turner_outside_kernel(
         XS[pl.ds(0, 1), :] = g_row
         return carry
 
-    lax.fori_loop(0, N, span_step, 0)
+    # Spans >= n are dead: start at d = n - 1 (same as the CONTRA outside).
+    lax.fori_loop(N - n_i, N, span_step, 0)
     bppo_out[0] = bppoF[:]
 
 
@@ -1020,16 +1039,20 @@ def _turner_len_di(tt):
     )
 
 
-def _turner_inside_call(mats, tt, B, N, interpret):
+def _turner_inside_call(mats, ns, tt, B, N, interpret):
     LENB, LENI = _turner_len_di(tt)
     LENB = jnp.broadcast_to(LENB[None], (B, W2, W))
     LENI = jnp.broadcast_to(LENI[None], (B, W2, W))
-    scal = jnp.broadcast_to(
-        jnp.stack(
-            [tt["coeff_num_branches"]] + [jnp.float32(0.0)] * 7
-        )[None, None],
-        (B, 1, 8),
-    )
+    scal = jnp.concatenate(
+        [
+            jnp.broadcast_to(
+                jnp.stack([tt["coeff_num_branches"]])[None], (B, 1)
+            ),
+            jnp.zeros((B, 6)),
+            ns[:, None].astype(jnp.float32),  # per-seq span-loop bound
+        ],
+        axis=1,
+    ).astype(jnp.float32)[:, None, :]
     out_shape = tuple(
         jax.ShapeDtypeStruct((B, N, N), jnp.float32) for _ in range(3)
     )
@@ -1074,7 +1097,7 @@ def turner_inside_pallas(seqs, ns, tt, N, interpret=False):
     """Batched Turner inside pass; returns (close, ext, one) in [d, i]."""
     B = seqs.shape[0]
     mats = turner_precompute_di(seqs, ns, tt, N)
-    return _turner_inside_call(mats, tt, B, N, interpret)
+    return _turner_inside_call(mats, ns, tt, B, N, interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("N", "interpret"))
@@ -1084,7 +1107,7 @@ def mccaskill_turner_pallas(seqs, ns, tt, N, interpret=False):
     Score matrices are precomputed once and shared by both kernels."""
     B = seqs.shape[0]
     mats = turner_precompute_di(seqs, ns, tt, N)
-    close, ext, one = _turner_inside_call(mats, tt, B, N, interpret)
+    close, ext, one = _turner_inside_call(mats, ns, tt, B, N, interpret)
     ONEP, QONE, extL, extR, glob = contra_outside_aux(ns, ext, one, N)
 
     LENB, LENI = _turner_len_di(tt)
@@ -1097,7 +1120,8 @@ def mccaskill_turner_pallas(seqs, ns, tt, N, interpret=False):
                 (B, 4),
             ),
             glob[:, None],
-            jnp.zeros((B, 3)),
+            jnp.zeros((B, 2)),
+            ns[:, None].astype(jnp.float32),  # per-seq span-loop bound
         ],
         axis=1,
     ).astype(jnp.float32)[:, None, :]

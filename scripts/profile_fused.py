@@ -64,6 +64,12 @@ if __name__ == "__main__":
         lambda: PF.mccaskill_turner_pallas(arr, ns, tt, N=N)
     )
     out["contra_precompute"] = _time(lambda: pre_c(arr, ns, ct))
+    out["contra_inside"] = _time(
+        lambda: PF.contra_inside_pallas(arr, ns, ct, N=N)
+    )
+    _, ext, one = PF.contra_inside_pallas(arr, ns, ct, N=N)
+    aux = jax.jit(partial(PF.contra_outside_aux, N=N))
+    out["contra_outside_aux"] = _time(lambda: aux(ns, ext, one))
     out["contra_full"] = _time(
         lambda: PF.mccaskill_contra_pallas(arr, ns, ct, N=N)
     )

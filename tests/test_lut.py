@@ -77,6 +77,20 @@ def test_sep_lookup_fallback_matches_gather(monkeypatch):
 
 
 @pytest.mark.parametrize("P,Q", [(8, 8), (16, 16), (16, 24), (13, 21)])
+def test_unskew_pq_matches_explicit(P, Q):
+    rng = np.random.default_rng(P + Q)
+    M = jnp.asarray(rng.normal(size=(P, Q)).astype(np.float32))
+    for fill in (NEG_INF, 0.0):
+        got = np.asarray(diag.unskew_pq(M, fill))
+        want = np.full((P, Q), fill, dtype=np.float32)
+        m = np.asarray(M)
+        for p in range(P):
+            for c in range(p, Q):
+                want[p, c] = m[p, c - p]
+        np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("P,Q", [(8, 8), (16, 16), (16, 24), (13, 21)])
 def test_skew_pq_matches_explicit(P, Q):
     rng = np.random.default_rng(P * Q)
     M = jnp.asarray(rng.normal(size=(P, Q)).astype(np.float32))

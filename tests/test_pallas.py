@@ -18,7 +18,8 @@ def _batch(rng, B, N, nmin=30):
     seqs = np.full((B, N), PSEUDO_BASE, dtype=np.int32)
     ns = np.zeros(B, dtype=np.int32)
     for k in range(B):
-        n = int(rng.integers(nmin, N - 1))
+        # k == 0 pins the n == N edge (full-range dynamic span loop)
+        n = N if k == 0 else int(rng.integers(nmin, N - 1))
         seqs[k, :n] = rng.integers(0, 4, size=n)
         ns[k] = n
     return jnp.asarray(seqs), jnp.asarray(ns)
