@@ -17,9 +17,17 @@ Mosaic constraints shape the design:
       shift a (mccaskill_algo.rs:412-420);
     - the O(span) bifurcation terms `rm(i+t, i+d)`: an (N, N) slide in
       [t, i] layout whose transition is rows+1/lanes+1 (all static);
-* the only remaining dynamic-lane reads (outside-pass context rows anchored
-  at j = i+d) go through `pltpu.roll` (dynamic rotate is supported);
-* single-row reads/writes at a traced span index address the full tables.
+* dynamic-lane access (outside-pass context rows anchored at j = i+d) is
+  eliminated: the rows land in a rotating scratch (static half-swap init +
+  catch-up rotates to the first span, then one lane-rotate per span, each
+  rotate two static shifted copies — `_rotate_right`).  `pltpu.roll` costs
+  ~1us fixed per call on v5e and a stored dynamic roll does not lower at
+  all, so the kernels emit no rolls;
+* single-row reads/writes at a traced span index address the full tables;
+* window blocks truncate to the power-of-two covering the live rows
+  (`_win_rows`): trailing -inf rows of a pow-2 LSE tree are exact
+  identities, so the truncation is bit-exact and drops ~1/3 of the
+  2-loop window work.
 
 Scoring is fully precomputed per sequence as span-major [d, i] matrices so
 the kernels are pure log-space arithmetic.  Reference recurrences:
@@ -54,6 +62,22 @@ W = 31    # 2-loop window extent (MAX_LOOP_LEN + 1)
 W2 = 32   # loaded window rows (the extra row is masked by the length cap)
 WROWS = 64            # sliding window depth (>= 2*W)
 LPAD = 33             # lane padding of window slides
+
+
+def _win_rows(a):
+    """Loaded window rows at lane shift ``a``: the loop-length cap kills rows
+    past 31 - a, so tail shifts load 16/8-row blocks instead of always 32.
+
+    Heights are the next power of two >= the live rows (not the 8-granule):
+    trailing -inf rows in a pow-2 LSE tree are exact identities, so a pow-2
+    truncation reproduces the 32-row tree's pairings bit-exactly — numerics
+    (exact mode!) are unchanged while ~1/3 of the window work drops."""
+    live = W - a
+    if live <= 8:
+        return 8
+    if live <= 16:
+        return 16
+    return W2
 
 
 def _lse_rows(x):
@@ -93,6 +117,28 @@ def _shift_insert(buf, row, lane_off=0):
     shifted = buf[pl.ds(0, R - 1), :]
     buf[pl.ds(1, R - 1), :] = shifted
     buf[pl.ds(0, 1), pl.ds(lane_off, row.shape[1])] = row
+
+
+def _init_swapped(buf, src, R, N):
+    """buf[:, l] = src[:, (l + N) mod 2N] — a static half-swap, the rotation
+    alignment of span d = N - 1.  ``src`` is a (1, R, 2N) input ref.
+    Storing a dynamic pltpu.roll fails to lower in Mosaic ("dynamic load
+    with unaligned indices"), so the per-sequence alignment is reached by
+    static catch-up rotates instead (see the kernel bodies)."""
+    buf[pl.ds(0, R), pl.ds(0, N)] = src[0, pl.ds(0, R), pl.ds(N, N)]
+    buf[pl.ds(0, R), pl.ds(N, N)] = src[0, pl.ds(0, R), pl.ds(0, N)]
+
+
+def _rotate_right(buf, rows):
+    """Rotate a (rows, 2N) scratch one lane right (wrap) via two static
+    shifted copies.  ``pltpu.roll`` costs ~1us fixed per call on v5e (even
+    static single-lane amounts), so per-span rolls are replaced by one init
+    roll into scratch + this rotate."""
+    C = buf.shape[1]
+    wrap = buf[pl.ds(0, rows), pl.ds(C - 1, 1)]
+    body = buf[pl.ds(0, rows), pl.ds(0, C - 1)]
+    buf[pl.ds(0, rows), pl.ds(1, C - 1)] = body
+    buf[pl.ds(0, rows), pl.ds(0, 1)] = wrap
 
 
 # ---------------------------------------------------------------------------
@@ -136,18 +182,24 @@ def _contra_inside_kernel(
         js_row = _row3(JS, d)
         two = neg_row
         for a in range(W):
-            blk_c = CB[pl.ds(a + 1, W2), pl.ds(1 + a, N)]
-            blk_j = JBW[pl.ds(a + 1, W2), pl.ds(1 + a, N)]
-            body = js_row + blk_j + LEN[0, :, a : a + 1]
+            h = _win_rows(a)
+            bi = b_idx[:h]
+            blk_c = CB[pl.ds(a + 1, h), pl.ds(1 + a, N)]
+            blk_j = JBW[pl.ds(a + 1, h), pl.ds(1 + a, N)]
+            body = js_row + blk_j + LEN[0, pl.ds(0, h), pl.ds(a, 1)]
             if a == 0:
-                body = jnp.where(b_idx == 0, _row3(STK, d), body)
-                body = jnp.where(b_idx == 1, body + _row3(B0R, d), body)
+                body = jnp.where(bi == 0, _row3(STK, d), body)
+                body = jnp.where(bi == 1, body + _row3(B0R, d), body)
             elif a == 1:
-                body = jnp.where(b_idx == 0, body + _row3(B0L, d), body)
-                body = jnp.where(b_idx == 1, body + _row3(I11, d), body)
-            tl = jnp.where(a + b_idx <= MAX_LOOP_LEN, body, NEG_INF) + blk_c
+                body = jnp.where(bi == 0, body + _row3(B0L, d), body)
+                body = jnp.where(bi == 1, body + _row3(I11, d), body)
+            tl = jnp.where(a + bi <= MAX_LOOP_LEN, body, NEG_INF) + blk_c
             two = lse_pair(two, _lse_rows(tl))
-        mb_in = mbS[pl.ds(jnp.maximum(d - 2, 0), 1), :]  # mb(i+1, j-1)
+        # mb(i+1, j-1): mbS is a 2-row shift register (row 1 = s2 from span
+        # d-2); static row + the +1 lane offset does the i+1 re-anchoring
+        # (lane N-1 reads the -inf pad — j-1 < i+1).  Dynamic-row reads at
+        # unaligned lane offsets do not lower in Mosaic; static do.
+        mb_in = mbS[pl.ds(1, 1), pl.ds(1, N)]
         mb_term = jnp.where(d >= 2, mb_in + _row3(MBC, d), NEG_INF)
         close_new = lse_pair(lse_pair(_row3(H, d), two), mb_term)
         close_new = close_new + _row3(CANON, d)     # 0 / -inf mask
@@ -186,11 +238,8 @@ def _contra_inside_kernel(
         )
         oblk = oneS[pl.ds(0, N), :]                 # one(i, i+t-1): row t
         s2 = _lse_rows(oblk + x)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
-        s2_shift = jnp.where(
-            lane < N - 1, pltpu.roll(s2, N - 1, 1), NEG_INF
-        )
-        mbS[pl.ds(d, 1), :] = s2_shift
+        mbS[pl.ds(1, 1), :] = mbS[pl.ds(0, 1), :]
+        mbS[pl.ds(0, 1), pl.ds(0, N)] = s2
         oneS[pl.ds(d + 1, 1), :] = lse_pair(s1, s2)
 
         # ---- window slides pick up span d for the next steps ----
@@ -221,7 +270,7 @@ def _contra_outside_kernel(
     EXTR,                                    # (1, 1, 2N)
     LEN,                                     # (1, W2, W) [b, a]
     bppo_out,                                # (1, N, N)
-    OBB, OBC, OBJ, XS, RPM, RPM2, bppoF,
+    OBB, OBC, OBJ, XS, RPM, RPM2, bppoF, SONEF, REXT,
     *, N, min_span,
 ):
     ext_bp = SCAL[0, 0, 1]
@@ -237,6 +286,19 @@ def _contra_outside_kernel(
     RPM[:] = jnp.full_like(RPM[:], NEG_INF)
     RPM2[:] = jnp.full_like(RPM2[:], NEG_INF)
     bppoF[:] = jnp.full_like(bppoF[:], NEG_INF)
+    # j-anchored context rows land in rotating scratches: static half-swap
+    # init + (N - n) catch-up rotates to the first span's alignment, then one
+    # cheap lane-rotate per span (pltpu.roll costs ~1us fixed per call on
+    # v5e, so no rolls are emitted at all)
+    _init_swapped(SONEF, ONEP, N, N)
+    _init_swapped(REXT, EXTR, 1, N)
+
+    def _catch_up(_i, c):
+        _rotate_right(SONEF, N)
+        _rotate_right(REXT, 1)
+        return c
+
+    lax.fori_loop(0, N - n_i, _catch_up, 0)
 
     b_idx = jax.lax.broadcasted_iota(jnp.int32, (W2, 1), 0)
     t_idx = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
@@ -257,9 +319,7 @@ def _contra_outside_kernel(
 
         # ---- pm / pm2 (k > j context): XS[s, i] = G(i, i+d+s+1) ----
         Xr = XS[pl.ds(0, N), :]
-        s_one = pltpu.roll(
-            ONEP[0, pl.ds(0, N), :], 2 * N - (d + 1), 1
-        )[:, :N]                                     # [s, i] = one(j+1, j+s)
+        s_one = SONEF[pl.ds(0, N), pl.ds(0, N)]      # [s, i] = one(j+1, j+s)
         pm_new = jnp.where(span_ok, _lse_rows(Xr + s_one)[0:1], NEG_INF)
         pm2_new = jnp.where(
             span_ok,
@@ -278,7 +338,7 @@ def _contra_outside_kernel(
         close_row = _row3(CLOSE, d)
         acc_row = close_row + _row3(ACC, d)
         lt = EXTL[0, pl.ds(0, 1), :]
-        rt = pltpu.roll(EXTR[0, pl.ds(0, 1), :], 2 * N - (d + 1), 1)[:, :N]
+        rt = REXT[pl.ds(0, 1), pl.ds(0, N)]
         base = lt + acc_row + rt - glob + ext_bp
 
         # 2-loop context: OB*[r, 32+k] = state(k, k + d + 1 + r); the outer
@@ -286,19 +346,21 @@ def _contra_outside_kernel(
         jrb_row = _row3(JRB, d)
         two = jnp.full((1, N), NEG_INF)
         for a in range(W):
-            blk_b = OBB[pl.ds(a + 1, W2), pl.ds(31 - a, N)]
-            blk_c = OBC[pl.ds(a + 1, W2), pl.ds(31 - a, N)]
-            blk_j = OBJ[pl.ds(a + 1, W2), pl.ds(31 - a, N)]
-            body = jrb_row + blk_j + LEN[0, :, a : a + 1]
+            h = _win_rows(a)
+            bi = b_idx[:h]
+            blk_b = OBB[pl.ds(a + 1, h), pl.ds(31 - a, N)]
+            blk_c = OBC[pl.ds(a + 1, h), pl.ds(31 - a, N)]
+            blk_j = OBJ[pl.ds(a + 1, h), pl.ds(31 - a, N)]
+            body = jrb_row + blk_j + LEN[0, pl.ds(0, h), pl.ds(a, 1)]
             if a == 0:
-                body = jnp.where(b_idx == 0, _row3(STKO, d), body)
-                body = jnp.where(b_idx == 1, body + _row3(B0RO, d), body)
+                body = jnp.where(bi == 0, _row3(STKO, d), body)
+                body = jnp.where(bi == 1, body + _row3(B0RO, d), body)
             elif a == 1:
                 body = jnp.where(
-                    b_idx == 0, body + B0LO[0, pl.ds(0, 1), :], body
+                    bi == 0, body + B0LO[0, pl.ds(0, 1), :], body
                 )
-                body = jnp.where(b_idx == 1, body + _row3(I11O, d), body)
-            tl = jnp.where(a + b_idx <= MAX_LOOP_LEN, body, NEG_INF)
+                body = jnp.where(bi == 1, body + _row3(I11O, d), body)
+            tl = jnp.where(a + bi <= MAX_LOOP_LEN, body, NEG_INF)
             term = jnp.where(
                 blk_c > NEG_INF, blk_b - blk_c + tl, NEG_INF
             ) + close_row
@@ -331,6 +393,8 @@ def _contra_outside_kernel(
         shifted = XS[pl.ds(0, N - 1), :]
         XS[pl.ds(1, N - 1), :] = shifted
         XS[pl.ds(0, 1), :] = g_row
+        _rotate_right(SONEF, N)
+        _rotate_right(REXT, 1)
         return carry
 
     # Spans >= n are dead: start the decreasing-span loop at d = n - 1
@@ -555,7 +619,7 @@ def _contra_inside_call(mats, ns, ct, B, N, interpret):
             pltpu.VMEM((N, N + 8), jnp.float32),          # FQM
             pltpu.VMEM((N, N), jnp.float32),              # extS
             pltpu.VMEM((N + 1, N), jnp.float32),          # extrS
-            pltpu.VMEM((N, N), jnp.float32),              # mbS (pre-shifted rows)
+            pltpu.VMEM((2, N + 8), jnp.float32),          # mbS 2-row ring
             pltpu.VMEM((N + 1, N), jnp.float32),          # oneS
             pltpu.VMEM((N, N), jnp.float32),              # closeF
         ],
@@ -635,6 +699,8 @@ def mccaskill_contra_pallas(
             pltpu.VMEM((N, N), jnp.float32),              # RPM
             pltpu.VMEM((N, N), jnp.float32),              # RPM2
             pltpu.VMEM((N, N), jnp.float32),              # bppoF
+            pltpu.VMEM((N, 2 * N), jnp.float32),          # SONEF
+            pltpu.VMEM((1, 2 * N), jnp.float32),          # REXT
         ],
         interpret=interpret,
     )(
@@ -657,11 +723,13 @@ def _turner_tl_block(
     STKT, B01, B10, I11T, I12T, I21T, I22T, TMo1, TMo2, TMo3, AUGT,
     LENB, LENI,
 ):
-    """(W2, N) Turner 2-loop score block for static lane shift ``a``.
+    """(h, N) Turner 2-loop score block for static lane shift ``a``.
 
     Everything except the window terms comes in as single [d, :] rows; the
-    family select (utils.rs:331-366) is static per (a, b).
+    family select (utils.rs:331-366) is static per (a, b).  ``b_idx`` (and
+    the window blocks) carry the stepped height h = _win_rows(a).
     """
+    h = b_idx.shape[0]
     aug_row = _row3(AUGT, d)
     is_1 = (a == 1) | (b_idx == 1)
     is_23 = ((a == 2) & (b_idx == 3)) | ((a == 3) & (b_idx == 2))
@@ -669,8 +737,8 @@ def _turner_tl_block(
         is_1, _row3(TMo2, d), jnp.where(is_23, _row3(TMo3, d), _row3(TMo1, d))
     )
     w_tmi = jnp.where(is_1, blk_t2, jnp.where(is_23, blk_t3, blk_t1))
-    body_int = LENI[0, :, a : a + 1] + tmo + w_tmi + aug_row + blk_aug
-    body_bulge = LENB[0, :, a : a + 1] + aug_row + blk_aug
+    body_int = LENI[0, pl.ds(0, h), pl.ds(a, 1)] + tmo + w_tmi + aug_row + blk_aug
+    body_bulge = LENB[0, pl.ds(0, h), pl.ds(a, 1)] + aug_row + blk_aug
     body = jnp.where((a == 0) | (b_idx == 0), body_bulge, body_int)
     if a == 0:
         body = jnp.where(b_idx == 0, _row3(STKT, d), body)
@@ -711,19 +779,22 @@ def _turner_inside_kernel(
         (rm_prev,) = carry
         two = neg_row
         for a in range(W):
-            blk_c = CB[pl.ds(a + 1, W2), pl.ds(1 + a, N)]
+            h = _win_rows(a)
+            bi = b_idx[:h]
+            blk_c = CB[pl.ds(a + 1, h), pl.ds(1 + a, N)]
             body = _turner_tl_block(
-                a, b_idx, d,
-                AUGW[pl.ds(a + 1, W2), pl.ds(1 + a, N)],
-                T1W[pl.ds(a + 1, W2), pl.ds(1 + a, N)],
-                T2W[pl.ds(a + 1, W2), pl.ds(1 + a, N)],
-                T3W[pl.ds(a + 1, W2), pl.ds(1 + a, N)],
+                a, bi, d,
+                AUGW[pl.ds(a + 1, h), pl.ds(1 + a, N)],
+                T1W[pl.ds(a + 1, h), pl.ds(1 + a, N)],
+                T2W[pl.ds(a + 1, h), pl.ds(1 + a, N)],
+                T3W[pl.ds(a + 1, h), pl.ds(1 + a, N)],
                 STKT, B01, B10, I11T, I12T, I21T, I22T,
                 TMo1, TMo2, TMo3, AUGT, LENB, LENI,
             )
-            tl = jnp.where(a + b_idx <= MAX_LOOP_LEN, body, NEG_INF) + blk_c
+            tl = jnp.where(a + bi <= MAX_LOOP_LEN, body, NEG_INF) + blk_c
             two = lse_pair(two, _lse_rows(tl))
-        mb_in = mbS[pl.ds(jnp.maximum(d - 2, 0), 1), :]  # mb(i+1, j-1)
+        # mb(i+1, j-1): 2-row shift register; static row + 1-lane offset
+        mb_in = mbS[pl.ds(1, 1), pl.ds(1, N)]
         mb_term = jnp.where(d >= 2, mb_in + _row3(MBC, d), NEG_INF)
         close_new = lse_pair(lse_pair(_row3(H, d), two), mb_term)
         close_new = close_new + _row3(CANON, d)
@@ -752,11 +823,8 @@ def _turner_inside_kernel(
         s1 = lse_pair(rm_new + coeff, _lse_rows(x))
         oblk = oneS[pl.ds(0, N), :]
         s2 = _lse_rows(oblk + x)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1)
-        s2_shift = jnp.where(
-            lane < N - 1, pltpu.roll(s2, N - 1, 1), NEG_INF
-        )
-        mbS[pl.ds(d, 1), :] = s2_shift
+        mbS[pl.ds(1, 1), :] = mbS[pl.ds(0, 1), :]
+        mbS[pl.ds(0, 1), pl.ds(0, N)] = s2
         oneS[pl.ds(d + 1, 1), :] = lse_pair(s1, s2)
 
         _shift_insert(CB, close_new)
@@ -783,7 +851,7 @@ def _turner_outside_kernel(
     EXTL, EXTR,
     LENB, LENI,
     bppo_out,
-    OBB, OBC, AUGW, T1W, T2W, T3W, XS, RPM, RPM2, bppoF,
+    OBB, OBC, AUGW, T1W, T2W, T3W, XS, RPM, RPM2, bppoF, SONEF, REXT,
     *, N, min_span,
 ):
     coeff = SCAL[0, 0, 0]
@@ -792,6 +860,15 @@ def _turner_outside_kernel(
 
     for buf in (OBB, OBC, AUGW, T1W, T2W, T3W, XS, RPM, RPM2, bppoF):
         buf[:] = jnp.full_like(buf[:], NEG_INF)
+    _init_swapped(SONEF, ONEP, N, N)
+    _init_swapped(REXT, EXTR, 1, N)
+
+    def _catch_up(_i, c):
+        _rotate_right(SONEF, N)
+        _rotate_right(REXT, 1)
+        return c
+
+    lax.fori_loop(0, N - n_i, _catch_up, 0)
 
     b_idx = jax.lax.broadcasted_iota(jnp.int32, (W2, 1), 0)
     t_idx = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
@@ -805,9 +882,7 @@ def _turner_outside_kernel(
         span_ok = (d + 1) >= min_span
 
         Xr = XS[pl.ds(0, N), :]
-        s_one = pltpu.roll(
-            ONEP[0, pl.ds(0, N), :], 2 * N - (d + 1), 1
-        )[:, :N]
+        s_one = SONEF[pl.ds(0, N), pl.ds(0, N)]
         pm_new = jnp.where(span_ok, _lse_rows(Xr + s_one), NEG_INF)
         pm2_new = jnp.where(span_ok, _lse_rows(Xr), NEG_INF)
 
@@ -820,23 +895,25 @@ def _turner_outside_kernel(
         close_row = _row3(CLOSE, d)
         acc_row = close_row + _row3(ACC, d)
         lt = EXTL[0, pl.ds(0, 1), :]
-        rt = pltpu.roll(EXTR[0, pl.ds(0, 1), :], 2 * N - (d + 1), 1)[:, :N]
+        rt = REXT[pl.ds(0, 1), pl.ds(0, N)]
         base = lt + acc_row + rt - glob
 
         two = jnp.full((1, N), NEG_INF)
         for a in range(W):
-            blk_b = OBB[pl.ds(a + 1, W2), pl.ds(31 - a, N)]
-            blk_c = OBC[pl.ds(a + 1, W2), pl.ds(31 - a, N)]
+            h = _win_rows(a)
+            bi = b_idx[:h]
+            blk_b = OBB[pl.ds(a + 1, h), pl.ds(31 - a, N)]
+            blk_c = OBC[pl.ds(a + 1, h), pl.ds(31 - a, N)]
             body = _turner_tl_block(
-                a, b_idx, d,
-                AUGW[pl.ds(a + 1, W2), pl.ds(31 - a, N)],
-                T1W[pl.ds(a + 1, W2), pl.ds(31 - a, N)],
-                T2W[pl.ds(a + 1, W2), pl.ds(31 - a, N)],
-                T3W[pl.ds(a + 1, W2), pl.ds(31 - a, N)],
+                a, bi, d,
+                AUGW[pl.ds(a + 1, h), pl.ds(31 - a, N)],
+                T1W[pl.ds(a + 1, h), pl.ds(31 - a, N)],
+                T2W[pl.ds(a + 1, h), pl.ds(31 - a, N)],
+                T3W[pl.ds(a + 1, h), pl.ds(31 - a, N)],
                 STKT, B01, B10, I11T, I12T, I21T, I22T,
                 TMi1R, TMi2R, TMi3R, AUGT, LENB, LENI,
             )
-            tl = jnp.where(a + b_idx <= MAX_LOOP_LEN, body, NEG_INF)
+            tl = jnp.where(a + bi <= MAX_LOOP_LEN, body, NEG_INF)
             term = jnp.where(
                 blk_c > NEG_INF, blk_b - blk_c + tl, NEG_INF
             ) + close_row
@@ -870,6 +947,8 @@ def _turner_outside_kernel(
         shifted = XS[pl.ds(0, N - 1), :]
         XS[pl.ds(1, N - 1), :] = shifted
         XS[pl.ds(0, 1), :] = g_row
+        _rotate_right(SONEF, N)
+        _rotate_right(REXT, 1)
         return carry
 
     # Spans >= n are dead: start at d = n - 1 (same as the CONTRA outside).
@@ -1076,7 +1155,7 @@ def _turner_inside_call(mats, ns, tt, B, N, interpret):
             pltpu.VMEM((N, N + 8), jnp.float32),          # FQ
             pltpu.VMEM((N, N), jnp.float32),              # extS
             pltpu.VMEM((N + 1, N), jnp.float32),          # extrS
-            pltpu.VMEM((N, N), jnp.float32),              # mbS (pre-shifted rows)
+            pltpu.VMEM((2, N + 8), jnp.float32),          # mbS 2-row ring
             pltpu.VMEM((N + 1, N), jnp.float32),          # oneS
             pltpu.VMEM((N, N), jnp.float32),              # closeF
         ],
@@ -1154,6 +1233,8 @@ def mccaskill_turner_pallas(seqs, ns, tt, N, interpret=False):
             pltpu.VMEM((N, N), jnp.float32),              # RPM
             pltpu.VMEM((N, N), jnp.float32),              # RPM2
             pltpu.VMEM((N, N), jnp.float32),              # bppoF
+            pltpu.VMEM((N, 2 * N), jnp.float32),          # SONEF
+            pltpu.VMEM((1, 2 * N), jnp.float32),          # REXT
         ],
         interpret=interpret,
     )(
