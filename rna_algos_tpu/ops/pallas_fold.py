@@ -150,7 +150,7 @@ def _contra_inside_kernel(
     H, MBC, ACC, JS, STK, I11, B0R, B0L, CANON, JB,   # (1, N, N) [d, i]
     LEN,                                    # (1, W2, W) [b, a]
     close_out, ext_out, one_out,            # (1, N, N)
-    CB, JBW, FQ, FQM, extS, extrS, mbS, oneS, closeF,
+    CJW, JBR, FQ, FQM, extS, extrS, mbS, oneS, closeF,
     *, N,
 ):
     ext_unpair = SCAL[0, 0, 0]
@@ -159,8 +159,13 @@ def _contra_inside_kernel(
     mb_bp = SCAL[0, 0, 3]
     n_i = SCAL[0, 0, 7].astype(jnp.int32)
 
-    CB[:] = jnp.full_like(CB[:], NEG_INF)
-    JBW[:] = jnp.full_like(JBW[:], NEG_INF)
+    # CJW holds close + jb PRECOMBINED (window loads are the kernel's cost
+    # driver: one (h, N) block read ~= a whole lse tree): the window loop
+    # reads ONE buffer instead of close + junction separately.  JBR is a
+    # 2-row ring of recent jb rows (finite 0 pad) so the (a=0, b=0) stack
+    # special can subtract the jb term back out.
+    CJW[:] = jnp.full_like(CJW[:], NEG_INF)
+    JBR[:] = jnp.zeros_like(JBR[:])
     FQ[:] = jnp.full_like(FQ[:], NEG_INF)
     FQM[:] = jnp.full_like(FQM[:], NEG_INF)
     extS[:] = jnp.zeros_like(extS[:])
@@ -184,16 +189,21 @@ def _contra_inside_kernel(
         for a in range(W):
             h = _win_rows(a)
             bi = b_idx[:h]
-            blk_c = CB[pl.ds(a + 1, h), pl.ds(1 + a, N)]
-            blk_j = JBW[pl.ds(a + 1, h), pl.ds(1 + a, N)]
-            body = js_row + blk_j + LEN[0, pl.ds(0, h), pl.ds(a, 1)]
+            blk = CJW[pl.ds(a + 1, h), pl.ds(1 + a, N)]   # close + jb
+            body = js_row + LEN[0, pl.ds(0, h), pl.ds(a, 1)]
             if a == 0:
-                body = jnp.where(bi == 0, _row3(STK, d), body)
+                # stack replaces js/jb/len: subtract the jb(d-2) baked into
+                # the blk row (ring row 1, same +1 lane shift as the blk)
+                body = jnp.where(
+                    bi == 0,
+                    _row3(STK, d) - JBR[pl.ds(1, 1), pl.ds(1, N)],
+                    body,
+                )
                 body = jnp.where(bi == 1, body + _row3(B0R, d), body)
             elif a == 1:
                 body = jnp.where(bi == 0, body + _row3(B0L, d), body)
                 body = jnp.where(bi == 1, body + _row3(I11, d), body)
-            tl = jnp.where(a + bi <= MAX_LOOP_LEN, body, NEG_INF) + blk_c
+            tl = jnp.where(a + bi <= MAX_LOOP_LEN, body, NEG_INF) + blk
             two = lse_pair(two, _lse_rows(tl))
         # mb(i+1, j-1): mbS is a 2-row shift register (row 1 = s2 from span
         # d-2); static row + the +1 lane offset does the i+1 re-anchoring
@@ -242,9 +252,11 @@ def _contra_inside_kernel(
         mbS[pl.ds(0, 1), pl.ds(0, N)] = s2
         oneS[pl.ds(d + 1, 1), :] = lse_pair(s1, s2)
 
-        # ---- window slides pick up span d for the next steps ----
-        _shift_insert(CB, close_new)
-        _shift_insert(JBW, _row3(JB, d))
+        # ---- window slide picks up span d for the next steps ----
+        jb_row = _row3(JB, d)
+        _shift_insert(CJW, close_new + jb_row)
+        JBR[pl.ds(1, 1), :] = JBR[pl.ds(0, 1), :]
+        JBR[pl.ds(0, 1), pl.ds(0, N)] = jb_row
         return (rm_new, rmmb_new)
 
     # Spans >= n are dead (CANON kills every cell with j >= n, and the
@@ -270,7 +282,7 @@ def _contra_outside_kernel(
     EXTR,                                    # (1, 1, 2N)
     LEN,                                     # (1, W2, W) [b, a]
     bppo_out,                                # (1, N, N)
-    OBB, OBC, OBJ, XS, RPM, RPM2, bppoF, SONEF, REXT,
+    OBG, JSR, XS, RPM, RPM2, bppoF, SONEF, REXT,
     *, N, min_span,
 ):
     ext_bp = SCAL[0, 0, 1]
@@ -279,9 +291,12 @@ def _contra_outside_kernel(
     glob = SCAL[0, 0, 4]
     n_i = SCAL[0, 0, 7].astype(jnp.int32)
 
-    OBB[:] = jnp.full_like(OBB[:], NEG_INF)
-    OBC[:] = jnp.full_like(OBC[:], NEG_INF)
-    OBJ[:] = jnp.full_like(OBJ[:], NEG_INF)
+    # OBG holds bppo - close + jsn PRECOMBINED (one window read per lane
+    # shift instead of three; block loads dominate the kernel); JSR is a
+    # 2-row ring of recent jsn rows (finite 0 pad) for the (a=0, b=0)
+    # stack special, which must subtract the jsn term back out.
+    OBG[:] = jnp.full_like(OBG[:], NEG_INF)
+    JSR[:] = jnp.zeros_like(JSR[:])
     XS[:] = jnp.full_like(XS[:], NEG_INF)
     RPM[:] = jnp.full_like(RPM[:], NEG_INF)
     RPM2[:] = jnp.full_like(RPM2[:], NEG_INF)
@@ -341,19 +356,23 @@ def _contra_outside_kernel(
         rt = REXT[pl.ds(0, 1), pl.ds(0, N)]
         base = lt + acc_row + rt - glob + ext_bp
 
-        # 2-loop context: OB*[r, 32+k] = state(k, k + d + 1 + r); the outer
-        # pair (i-1-a, i+d+1+b) sits at rows a+b+1, lanes 31-a+i.
+        # 2-loop context: OBG[r, 32+k] = (bppo - close + jsn)(k, k+d+1+r);
+        # the outer pair (i-1-a, i+d+1+b) sits at rows a+b+1, lanes 31-a+i.
         jrb_row = _row3(JRB, d)
         two = jnp.full((1, N), NEG_INF)
         for a in range(W):
             h = _win_rows(a)
             bi = b_idx[:h]
-            blk_b = OBB[pl.ds(a + 1, h), pl.ds(31 - a, N)]
-            blk_c = OBC[pl.ds(a + 1, h), pl.ds(31 - a, N)]
-            blk_j = OBJ[pl.ds(a + 1, h), pl.ds(31 - a, N)]
-            body = jrb_row + blk_j + LEN[0, pl.ds(0, h), pl.ds(a, 1)]
+            blk = OBG[pl.ds(a + 1, h), pl.ds(31 - a, N)]
+            body = jrb_row + LEN[0, pl.ds(0, h), pl.ds(a, 1)]
             if a == 0:
-                body = jnp.where(bi == 0, _row3(STKO, d), body)
+                # stack replaces jrb/jsn/len: subtract the jsn(d+2) baked
+                # into the blk row (ring row 1, same 31-lane shift)
+                body = jnp.where(
+                    bi == 0,
+                    _row3(STKO, d) - JSR[pl.ds(1, 1), pl.ds(31, N)],
+                    body,
+                )
                 body = jnp.where(bi == 1, body + _row3(B0RO, d), body)
             elif a == 1:
                 body = jnp.where(
@@ -361,9 +380,7 @@ def _contra_outside_kernel(
                 )
                 body = jnp.where(bi == 1, body + _row3(I11O, d), body)
             tl = jnp.where(a + bi <= MAX_LOOP_LEN, body, NEG_INF)
-            term = jnp.where(
-                blk_c > NEG_INF, blk_b - blk_c + tl, NEG_INF
-            ) + close_row
+            term = tl + blk + close_row
             two = lse_pair(two, _lse_rows(term))
 
         # multibranch context: k < i, t' = i - k in [1, i]
@@ -382,9 +399,15 @@ def _contra_outside_kernel(
         bppoF[pl.ds(d, 1), :] = bppo_new
 
         # ---- slides pick up span d for smaller spans ----
-        _shift_insert(OBB, bppo_new, lane_off=32)
-        _shift_insert(OBC, close_row, lane_off=32)
-        _shift_insert(OBJ, _row3(JSN, d), lane_off=32)
+        jsn_row = _row3(JSN, d)
+        g2 = jnp.where(
+            close_row > NEG_INF,
+            bppo_new - close_row + jsn_row,
+            NEG_INF,
+        )
+        _shift_insert(OBG, g2, lane_off=32)
+        JSR[pl.ds(1, 1), :] = JSR[pl.ds(0, 1), :]
+        JSR[pl.ds(0, 1), pl.ds(32, N)] = jsn_row
         g_row = jnp.where(
             close_row > NEG_INF,
             bppo_new + _row3(MBC, d) - close_row,
@@ -613,8 +636,8 @@ def _contra_inside_call(mats, ns, ct, B, N, interpret):
         out_specs=(_nn(N, N), _nn(N, N), _nn(N, N)),
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # CB
-            pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # JBW
+            pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # CJW (close + jb)
+            pltpu.VMEM((2, N + 8), jnp.float32),          # JBR jb ring
             pltpu.VMEM((N, N + 8), jnp.float32),          # FQ
             pltpu.VMEM((N, N + 8), jnp.float32),          # FQM
             pltpu.VMEM((N, N), jnp.float32),              # extS
@@ -692,9 +715,8 @@ def mccaskill_contra_pallas(
         out_specs=_nn(N, N),
         out_shape=jax.ShapeDtypeStruct((B, N, N), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # OBB
-            pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # OBC
-            pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # OBJ
+            pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # OBG (bppo-close+jsn)
+            pltpu.VMEM((2, N + LPAD), jnp.float32),       # JSR jsn ring
             pltpu.VMEM((N, N), jnp.float32),              # XS
             pltpu.VMEM((N, N), jnp.float32),              # RPM
             pltpu.VMEM((N, N), jnp.float32),              # RPM2
@@ -718,39 +740,64 @@ def mccaskill_contra_pallas(
 # Turner kernels (utils.rs:162-411 scoring; same wavefront/slide machinery)
 # ---------------------------------------------------------------------------
 
-def _turner_tl_block(
-    a, b_idx, d, blk_aug, blk_t1, blk_t2, blk_t3,
-    STKT, B01, B10, I11T, I12T, I21T, I22T, TMo1, TMo2, TMo3, AUGT,
-    LENB, LENI,
+def _turner_tl(
+    a, bi, d, blk, T1W, T2W, T3W, lane_off,
+    SP00, SP01, SP10, SP11, SP12, SP21, SP22,
+    TM1, TM2, TM3, AUGT, LENB, LENI,
 ):
-    """(h, N) Turner 2-loop score block for static lane shift ``a``.
+    """(h, N) Turner 2-loop ``tl`` for static lane shift ``a``.
 
-    Everything except the window terms comes in as single [d, :] rows; the
-    family select (utils.rs:331-366) is static per (a, b).  ``b_idx`` (and
-    the window blocks) carry the stepped height h = _win_rows(a).
+    Window loads are the kernels' cost driver, so ``blk`` comes in as ONE
+    merged buffer (state + helix-end aug of the window pair precombined at
+    insertion) and the tm-family select (utils.rs:331-366) reads at most one
+    tm window block per shift: family-1 rows (b == 1, or all of a == 1) and
+    the two 2x3 cells are single static scratch rows, everything else is the
+    generic-interior block.  The small-loop replacement tables (SP*) are
+    pre-corrected on the host for the aug baked into ``blk``
+    (turner_precompute_di).  Returns body + blk with the loop-length cap.
     """
-    h = b_idx.shape[0]
+    h = bi.shape[0]
+    N = blk.shape[1]
     aug_row = _row3(AUGT, d)
-    is_1 = (a == 1) | (b_idx == 1)
-    is_23 = ((a == 2) & (b_idx == 3)) | ((a == 3) & (b_idx == 2))
-    tmo = jnp.where(
-        is_1, _row3(TMo2, d), jnp.where(is_23, _row3(TMo3, d), _row3(TMo1, d))
-    )
-    w_tmi = jnp.where(is_1, blk_t2, jnp.where(is_23, blk_t3, blk_t1))
-    body_int = LENI[0, pl.ds(0, h), pl.ds(a, 1)] + tmo + w_tmi + aug_row + blk_aug
-    body_bulge = LENB[0, pl.ds(0, h), pl.ds(a, 1)] + aug_row + blk_aug
-    body = jnp.where((a == 0) | (b_idx == 0), body_bulge, body_int)
+    lenb = LENB[0, pl.ds(0, h), pl.ds(a, 1)]
     if a == 0:
-        body = jnp.where(b_idx == 0, _row3(STKT, d), body)
-        body = jnp.where(b_idx == 1, _row3(B01, d), body)
+        body = lenb + aug_row            # whole column is bulge
+    else:
+        is_1 = (a == 1) | (bi == 1)
+        is_23 = ((a == 2) & (bi == 3)) | ((a == 3) & (bi == 2))
+        tmo = jnp.where(
+            is_1, _row3(TM2, d), jnp.where(is_23, _row3(TM3, d), _row3(TM1, d))
+        )
+        if a == 1:
+            w_tmi = T2W[pl.ds(a + 1, h), pl.ds(lane_off, N)]
+        else:
+            w_tmi = T1W[pl.ds(a + 1, h), pl.ds(lane_off, N)]
+            w_tmi = jnp.where(
+                bi == 1, T2W[pl.ds(a + 2, 1), pl.ds(lane_off, N)], w_tmi
+            )
+            if a == 2:
+                w_tmi = jnp.where(
+                    bi == 3, T3W[pl.ds(a + 4, 1), pl.ds(lane_off, N)], w_tmi
+                )
+            elif a == 3:
+                w_tmi = jnp.where(
+                    bi == 2, T3W[pl.ds(a + 3, 1), pl.ds(lane_off, N)], w_tmi
+                )
+        leni = LENI[0, pl.ds(0, h), pl.ds(a, 1)]
+        body = jnp.where(
+            bi == 0, lenb + aug_row, leni + tmo + w_tmi + aug_row
+        )
+    if a == 0:
+        body = jnp.where(bi == 0, _row3(SP00, d), body)
+        body = jnp.where(bi == 1, _row3(SP01, d), body)
     elif a == 1:
-        body = jnp.where(b_idx == 0, _row3(B10, d), body)
-        body = jnp.where(b_idx == 1, _row3(I11T, d), body)
-        body = jnp.where(b_idx == 2, _row3(I12T, d), body)
+        body = jnp.where(bi == 0, _row3(SP10, d), body)
+        body = jnp.where(bi == 1, _row3(SP11, d), body)
+        body = jnp.where(bi == 2, _row3(SP12, d), body)
     elif a == 2:
-        body = jnp.where(b_idx == 1, _row3(I21T, d), body)
-        body = jnp.where(b_idx == 2, _row3(I22T, d), body)
-    return body
+        body = jnp.where(bi == 1, _row3(SP21, d), body)
+        body = jnp.where(bi == 2, _row3(SP22, d), body)
+    return jnp.where(a + bi <= MAX_LOOP_LEN, body, NEG_INF) + blk
 
 
 def _turner_inside_kernel(
@@ -760,13 +807,15 @@ def _turner_inside_kernel(
     TMo1, TMo2, TMo3, AUGT, TMi1N, TMi2N, TMi3N,
     LENB, LENI,
     close_out, ext_out, one_out,
-    CB, AUGW, T1W, T2W, T3W, FQ, extS, extrS, mbS, oneS, closeF,
+    CAW, T1W, T2W, T3W, FQ, extS, extrS, mbS, oneS, closeF,
     *, N,
 ):
     coeff = SCAL[0, 0, 0]  # COEFF_NUM_BRANCHES
     n_i = SCAL[0, 0, 7].astype(jnp.int32)
 
-    for buf in (CB, FQ, mbS, oneS, closeF, AUGW, T1W, T2W, T3W):
+    # CAW = close + helix-end aug precombined (the specials come in
+    # host-pre-corrected, turner_precompute_di)
+    for buf in (CAW, FQ, mbS, oneS, closeF, T1W, T2W, T3W):
         buf[:] = jnp.full_like(buf[:], NEG_INF)
     extS[:] = jnp.zeros_like(extS[:])
     extrS[:] = jnp.zeros_like(extrS[:])
@@ -781,17 +830,12 @@ def _turner_inside_kernel(
         for a in range(W):
             h = _win_rows(a)
             bi = b_idx[:h]
-            blk_c = CB[pl.ds(a + 1, h), pl.ds(1 + a, N)]
-            body = _turner_tl_block(
-                a, bi, d,
-                AUGW[pl.ds(a + 1, h), pl.ds(1 + a, N)],
-                T1W[pl.ds(a + 1, h), pl.ds(1 + a, N)],
-                T2W[pl.ds(a + 1, h), pl.ds(1 + a, N)],
-                T3W[pl.ds(a + 1, h), pl.ds(1 + a, N)],
+            blk = CAW[pl.ds(a + 1, h), pl.ds(1 + a, N)]
+            tl = _turner_tl(
+                a, bi, d, blk, T1W, T2W, T3W, 1 + a,
                 STKT, B01, B10, I11T, I12T, I21T, I22T,
                 TMo1, TMo2, TMo3, AUGT, LENB, LENI,
             )
-            tl = jnp.where(a + bi <= MAX_LOOP_LEN, body, NEG_INF) + blk_c
             two = lse_pair(two, _lse_rows(tl))
         # mb(i+1, j-1): 2-row shift register; static row + 1-lane offset
         mb_in = mbS[pl.ds(1, 1), pl.ds(1, N)]
@@ -827,8 +871,7 @@ def _turner_inside_kernel(
         mbS[pl.ds(0, 1), pl.ds(0, N)] = s2
         oneS[pl.ds(d + 1, 1), :] = lse_pair(s1, s2)
 
-        _shift_insert(CB, close_new)
-        _shift_insert(AUGW, _row3(AUGT, d))
+        _shift_insert(CAW, close_new + _row3(AUGT, d))
         _shift_insert(T1W, _row3(TMi1N, d))
         _shift_insert(T2W, _row3(TMi2N, d))
         _shift_insert(T3W, _row3(TMi3N, d))
@@ -851,14 +894,16 @@ def _turner_outside_kernel(
     EXTL, EXTR,
     LENB, LENI,
     bppo_out,
-    OBB, OBC, AUGW, T1W, T2W, T3W, XS, RPM, RPM2, bppoF, SONEF, REXT,
+    OG, T1W, T2W, T3W, XS, RPM, RPM2, bppoF, SONEF, REXT,
     *, N, min_span,
 ):
     coeff = SCAL[0, 0, 0]
     glob = SCAL[0, 0, 4]
     n_i = SCAL[0, 0, 7].astype(jnp.int32)
 
-    for buf in (OBB, OBC, AUGW, T1W, T2W, T3W, XS, RPM, RPM2, bppoF):
+    # OG = bppo - close + aug(window pair) precombined; specials come in
+    # host-pre-corrected (turner_precompute_di)
+    for buf in (OG, T1W, T2W, T3W, XS, RPM, RPM2, bppoF):
         buf[:] = jnp.full_like(buf[:], NEG_INF)
     _init_swapped(SONEF, ONEP, N, N)
     _init_swapped(REXT, EXTR, 1, N)
@@ -902,21 +947,13 @@ def _turner_outside_kernel(
         for a in range(W):
             h = _win_rows(a)
             bi = b_idx[:h]
-            blk_b = OBB[pl.ds(a + 1, h), pl.ds(31 - a, N)]
-            blk_c = OBC[pl.ds(a + 1, h), pl.ds(31 - a, N)]
-            body = _turner_tl_block(
-                a, bi, d,
-                AUGW[pl.ds(a + 1, h), pl.ds(31 - a, N)],
-                T1W[pl.ds(a + 1, h), pl.ds(31 - a, N)],
-                T2W[pl.ds(a + 1, h), pl.ds(31 - a, N)],
-                T3W[pl.ds(a + 1, h), pl.ds(31 - a, N)],
+            blk = OG[pl.ds(a + 1, h), pl.ds(31 - a, N)]
+            tl = _turner_tl(
+                a, bi, d, blk, T1W, T2W, T3W, 31 - a,
                 STKT, B01, B10, I11T, I12T, I21T, I22T,
                 TMi1R, TMi2R, TMi3R, AUGT, LENB, LENI,
             )
-            tl = jnp.where(a + bi <= MAX_LOOP_LEN, body, NEG_INF)
-            term = jnp.where(
-                blk_c > NEG_INF, blk_b - blk_c + tl, NEG_INF
-            ) + close_row
+            term = tl + close_row
             two = lse_pair(two, _lse_rows(term))
 
         acc_mb = acc_row + coeff
@@ -933,9 +970,12 @@ def _turner_outside_kernel(
         )
         bppoF[pl.ds(d, 1), :] = bppo_new
 
-        _shift_insert(OBB, bppo_new, lane_off=32)
-        _shift_insert(OBC, close_row, lane_off=32)
-        _shift_insert(AUGW, _row3(AUGT, d), lane_off=32)
+        g2 = jnp.where(
+            close_row > NEG_INF,
+            bppo_new - close_row + _row3(AUGT, d),
+            NEG_INF,
+        )
+        _shift_insert(OG, g2, lane_off=32)
         _shift_insert(T1W, _row3(TMo1N, d), lane_off=32)
         _shift_insert(T2W, _row3(TMo2N, d), lane_off=32)
         _shift_insert(T3W, _row3(TMo3N, d), lane_off=32)
@@ -983,6 +1023,21 @@ def turner_precompute_di(seqs, ns, tt, N):
 
         augu_pq = SEP(S.AUGU_MAT, (x0,), (x0,)) * tt["augu_penalty"]
         augu_id = diag.skew_pq(augu_pq, 0.0)  # [i, d]
+        aug_di = augu_id.T                    # [d, i]
+
+        def aug_at(dd, ll):
+            """aug_di[d + dd, i + ll] (0 outside) — the helix-end aug of the
+            window-pair cell a small-loop replacement table covers.  The
+            kernels' merged window buffers carry close/bppo + aug
+            precombined, so the replacement tables subtract it here (host,
+            off the kernel hot path) instead of reading a second block."""
+            r = jnp.roll(aug_di, (-dd, -ll), axis=(0, 1))
+            di = jnp.arange(N)[:, None]
+            ii = jnp.arange(N)[None, :]
+            ok = (
+                (di + dd >= 0) & (di + dd < N) & (ii + ll >= 0) & (ii + ll < N)
+            )
+            return jnp.where(ok, r, 0.0)
 
         # hairpin (utils.rs:166-205); hlen = d - 1 in [i, d] layout
         hlen = qv - 1
@@ -1051,56 +1106,72 @@ def turner_precompute_di(seqs, ns, tt, N):
             "TMi1": tm_i("tm_interior"),
             "TMi2": tm_i("tm_1xmany"),
             "TMi3": tm_i("tm_2x3"),
-            # inside small-loop cases (utils.rs:207-321)
-            "STKT": sk(SEP(stk, (x0, x1), (x0, m1), perm=(0, 2, 1, 3))),
-            "B01": sk(b1 + SEP(stk, (x0, x1), (x0, m2), perm=(0, 2, 1, 3))),
-            "B10": sk(b1 + SEP(stk, (x0, x2), (x0, m1), perm=(0, 2, 1, 3))),
+            # inside small-loop cases (utils.rs:207-321), corrected for the
+            # inner-pair aug the merged CAW window buffer carries
+            "STKT": sk(SEP(stk, (x0, x1), (x0, m1), perm=(0, 2, 1, 3)))
+            - aug_at(-2, 1),
+            "B01": sk(b1 + SEP(stk, (x0, x1), (x0, m2), perm=(0, 2, 1, 3)))
+            - aug_at(-3, 1),
+            "B10": sk(b1 + SEP(stk, (x0, x2), (x0, m1), perm=(0, 2, 1, 3)))
+            - aug_at(-3, 2),
             "I11T": sk(
                 SEP(i1, (x0, x1, x2), (x0, m1, m2), perm=(0, 2, 4, 1, 3, 5))
-            ),
+            )
+            - aug_at(-4, 2),
             "I12T": sk(
                 SEP(
                     i2, (x0, x1, x2), (x0, m1, m2, m3),
                     perm=(0, 2, 5, 1, 3, 4, 6),
                 )
-            ),
+            )
+            - aug_at(-5, 2),
             "I21T": sk(
                 SEP(
                     i2, (x3, x2, x1, x0), (m2, m1, x0),
                     perm=(1, 3, 4, 6, 0, 2, 5),
                 )
-            ),
+            )
+            - aug_at(-5, 3),
             "I22T": sk(
                 SEP(
                     i4, (x0, x1, x2, x3), (x0, m1, m2, m3),
                     perm=(0, 2, 4, 6, 1, 3, 5, 7),
                 )
-            ),
-            # outside small-loop cases (outer (i-1-a, j+1+b), inner (i, j))
-            "STKO": sk(SEP(stk, (m1, x0), (x1, x0), perm=(0, 2, 1, 3))),
-            "B01O": sk(b1 + SEP(stk, (m1, x0), (x2, x0), perm=(0, 2, 1, 3))),
-            "B10O": sk(b1 + SEP(stk, (m2, x0), (x1, x0), perm=(0, 2, 1, 3))),
+            )
+            - aug_at(-6, 3),
+            # outside small-loop cases (outer (i-1-a, j+1+b), inner (i, j)),
+            # corrected for the outer-pair aug the merged OG buffer carries
+            "STKO": sk(SEP(stk, (m1, x0), (x1, x0), perm=(0, 2, 1, 3)))
+            - aug_at(2, -1),
+            "B01O": sk(b1 + SEP(stk, (m1, x0), (x2, x0), perm=(0, 2, 1, 3)))
+            - aug_at(3, -1),
+            "B10O": sk(b1 + SEP(stk, (m2, x0), (x1, x0), perm=(0, 2, 1, 3)))
+            - aug_at(3, -2),
             "I11O": sk(
                 SEP(i1, (m2, m1, x0), (x2, x1, x0), perm=(0, 2, 4, 1, 3, 5))
-            ),
+            )
+            - aug_at(4, -2),
             "I12O": sk(
                 SEP(
                     i2, (m2, m1, x0), (x3, x2, x1, x0),
                     perm=(0, 2, 5, 1, 3, 4, 6),
                 )
-            ),
+            )
+            - aug_at(5, -2),
             "I21O": sk(
                 SEP(
                     i2, (x0, m1, m2, m3), (x0, x1, x2),
                     perm=(1, 3, 4, 6, 0, 2, 5),
                 )
-            ),
+            )
+            - aug_at(5, -3),
             "I22O": sk(
                 SEP(
                     i4, (m3, m2, m1, x0), (x3, x2, x1, x0),
                     perm=(0, 2, 4, 6, 1, 3, 5, 7),
                 )
-            ),
+            )
+            - aug_at(6, -3),
         }
 
     return jax.vmap(one)(seqs, ns)
@@ -1147,8 +1218,7 @@ def _turner_inside_call(mats, ns, tt, B, N, interpret):
         out_specs=(_nn(N, N), _nn(N, N), _nn(N, N)),
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # CB
-            pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # AUGW
+            pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # CAW (close + aug)
             pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # T1W
             pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # T2W
             pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # T3W
@@ -1223,9 +1293,7 @@ def mccaskill_turner_pallas(seqs, ns, tt, N, interpret=False):
         out_specs=_nn(N, N),
         out_shape=jax.ShapeDtypeStruct((B, N, N), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # OBB
-            pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # OBC
-            pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # AUGW
+            pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # OG (bppo-close+aug)
             pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # T1W
             pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # T2W
             pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # T3W
