@@ -390,11 +390,44 @@ def mccaskill_bpp_batch_pallas(seqs, ns, tbl, N, contra=True,
 
     Same outputs as mccaskill_bpp_batch; requires a TPU backend and
     pow-2 N <= 256 (whole-DP-state-in-VMEM budget, ops/pallas_fold.py).
+
+    In fast numerics mode the CONTRA model runs the scaled
+    probability-space kernels (ops/pallas_fold_prob.py): hardware exp/mul
+    instead of log-space cubics, with automatic per-sequence rescale
+    retries.  ``RNA_ALGOS_FAST_IMPL=log`` pins the log-space fast path.
     """
+    import os
+
+    if (
+        contra
+        and get_mode() == "fast"
+        and os.environ.get("RNA_ALGOS_FAST_IMPL", "prob") == "prob"
+    ):
+        from ..ops import pallas_fold_prob as PP
+
+        # The device-side rescale loop covers ln_sigma +- 5.4 (per-base
+        # log-Z in [-4.5, 6.3] — far beyond physical RNA), so no host-side
+        # validity check/fallback is needed; everything stays async.
+        bppo, _ls = PP.mccaskill_contra_pallas_prob(
+            seqs, ns, tbl, N=N, allows_short_hairpins=allows_short_hairpins
+        )
+        return _prob_finish(bppo, ns, N=N)
     return _mccaskill_bpp_batch_pallas(
         seqs, ns, tbl, N=N, contra=contra,
         allows_short_hairpins=allows_short_hairpins, mode=get_mode(),
     )
+
+
+@partial(jax.jit, static_argnames=("N",))
+def _prob_finish(bppo, ns, N):
+    """[d, i] probability table -> (square bpp, presence) per sequence."""
+    bppo_left = jnp.swapaxes(bppo, 1, 2)
+
+    def finish(P, n):
+        bpp = _square_from_left(P, n, N, 0.0)
+        return bpp, bpp > 0.0
+
+    return jax.vmap(finish)(bppo_left, ns)
 
 
 @partial(

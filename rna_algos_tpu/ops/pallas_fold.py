@@ -545,43 +545,49 @@ def _contra_len_di(ct):
     return jnp.concatenate([body.T, jnp.zeros((1, W))], axis=0)
 
 
-def _skew_qone(one_di, N):
-    """QONE[t, l] = one(l-t+1, l-1) with -inf out of range (host prep).
+def _skew_qone(one_di, N, neg=NEG_INF):
+    """QONE[t, l] = one(l-t+1, l-1) with ``neg`` out of range (host prep).
 
     Row t reads one_di row q = t-2 positioned so column l holds p = l-t+1:
     a 2-row downshift + one-column widening turns the (N, N) gather into a
     gather-free :func:`diag.unskew_pq` (log-depth row-indexed right shifts).
     """
     M2 = jnp.concatenate(
-        [jnp.full((2, N), NEG_INF), one_di[: N - 2]], axis=0
+        [jnp.full((2, N), neg), one_di[: N - 2]], axis=0
     )
-    M5 = jnp.concatenate([M2, jnp.full((N, 1), NEG_INF)], axis=1)
-    return diag.unskew_pq(M5, NEG_INF)[:, 1:]
+    M5 = jnp.concatenate([M2, jnp.full((N, 1), neg)], axis=1)
+    return diag.unskew_pq(M5, neg)[:, 1:]
 
 
-def contra_outside_aux(ns, ext_di, one_di, N):
-    """Outside-kernel inputs derived from the inside outputs."""
+def contra_outside_aux(ns, ext_di, one_di, N, neg=NEG_INF, one_val=0.0):
+    """Outside-kernel inputs derived from the inside outputs.
+
+    ``neg`` is the empty-ensemble fill and ``one_val`` the unit-ensemble fill
+    — (-inf, 0) in log space, (0, 1) in the scaled probability space of
+    ops/pallas_fold_prob.py."""
 
     def one_seq(n, ext_d, one_d):
         ONEP = jnp.concatenate(
             [
-                jnp.full((1, 2 * N), NEG_INF),
+                jnp.full((1, 2 * N), neg),
                 jnp.concatenate(
-                    [one_d[: N - 1], jnp.full((N - 1, N), NEG_INF)], axis=1
+                    [one_d[: N - 1], jnp.full((N - 1, N), neg)], axis=1
                 ),
             ],
             axis=0,
         )
         pvec = jnp.arange(N)
         extL = ext_d[:, 0]                              # ext(0, p)
-        extL_sh = jnp.concatenate([jnp.zeros((1,)), extL[:-1]])  # ext(0, i-1)
+        extL_sh = jnp.concatenate(
+            [jnp.full((1,), one_val), extL[:-1]]
+        )                                               # ext(0, i-1)
         extR = jnp.where(
             pvec <= n - 1,
             ext_d[jnp.clip(n - 1 - pvec, 0, N - 1), jnp.clip(pvec, 0, N - 1)],
-            0.0,
+            one_val,
         )                                               # ext(p, n-1)
-        extR_pad = jnp.concatenate([extR, jnp.zeros((N,))])
-        return ONEP, _skew_qone(one_d, N), extL_sh, extR_pad, extR[0]
+        extR_pad = jnp.concatenate([extR, jnp.full((N,), one_val)])
+        return ONEP, _skew_qone(one_d, N, neg), extL_sh, extR_pad, extR[0]
 
     return jax.vmap(one_seq)(ns, ext_di, one_di)
 

@@ -1,0 +1,536 @@
+"""Scaled probability-space McCaskill kernels (CONTRAfold model, fast mode).
+
+The exact kernels (ops/pallas_fold.py) evaluate the reference's piecewise-
+cubic log-sum-exp (~45 VPU ops per combine) because bit-level parity with
+`/root/reference/src/mccaskill_algo.rs` demands log space.  Fast mode has no
+such contract — so this module runs the SAME wavefronts in **scaled
+probability space**, the formulation production folding engines use: every
+log-add becomes a multiply, every lse tree a plain sum, and the 2-loop
+window collapses to multiply-accumulate.
+
+Scaling (the classic partition-function trick): a state covering span ``s``
+stores ``Z * sigma^-s`` for a per-sequence constant ``sigma``.  Every
+recurrence transfers a fixed span delta, so the powers fold into the score
+tables on the host:
+
+* hairpin H' = exp(H - s*ln_sigma), 2-loop LEN' = exp(LEN - (a+b+2)*ln_sigma),
+  multibranch-close MBC' = exp(MBC - 2*ln_sigma),
+* per-base transfers eu1 = exp(external_unpair - ln_sigma), mbu1 likewise,
+* the outside pass works in normalized probability (bppo IS the bpp), with
+  the same LEN'/MBC' constants — the span algebra cancels exactly.
+
+float32 covers ~e+-87, so per-base log-Z must lie within ~87/n of
+``ln_sigma``.  Measured per-base log-Z: ~0.7-1.0 for real RNA, -0.02 for
+unfoldable strings, 2.9 for a perfect CG helix — hence a per-sequence
+``ln_sigma`` (default LN_SIGMA0) plus overflow/underflow detection on the
+partition function with a bisection retry (``mccaskill_contra_pallas_prob``).
+Accuracy: hardware exp/mul instead of the reference's cubic approximations;
+BPPs match exact mode well inside its own ~5e-4 budget (probabilities the
+reference's expf flushes to zero may differ in presence only).
+
+Reference recurrences: mccaskill_algo.rs:380-516 (inside), :612-723
+(outside); layout/machinery notes in ops/pallas_fold.py's docstring.
+"""
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import (
+    MAX_LOOP_LEN,
+    MIN_SPAN_HAIRPIN_CLOSE,
+    NEG_INF,
+)
+from . import diag
+from . import scores as S
+from . import pallas_fold as PF
+from .pallas_fold import (
+    W,
+    W2,
+    WROWS,
+    LPAD,
+    _row3,
+    _shift_insert,
+    _init_swapped,
+    _rotate_right,
+    _win_rows,
+)
+
+LN_SIGMA0 = 0.9          # initial per-base scale (typical folded RNA)
+RETRY_STEP = 0.9         # ln_sigma bisection step on over/underflow
+MAX_RETRIES = 6
+
+
+# ---------------------------------------------------------------------------
+# Host-side transform: log-space [d, i] mats -> scaled probability space
+# ---------------------------------------------------------------------------
+
+def _shift_di(M, dd, ll, fill=0.0):
+    """OUT[d, i] = M[d + dd, i + ll] with ``fill`` outside (static shifts)."""
+    N = M.shape[0]
+    r = jnp.roll(M, (-dd, -ll), axis=(0, 1))
+    di = jnp.arange(N)[:, None]
+    ii = jnp.arange(N)[None, :]
+    ok = (di + dd >= 0) & (di + dd < N) & (ii + ll >= 0) & (ii + ll < N)
+    return jnp.where(ok, r, fill)
+
+
+def contra_prob_mats(seqs, ns, ct, ln_sigma, N):
+    """Per-sequence probability-space score tensors (vmapped over the batch).
+
+    Starts from the shared log-space precompute (PF.contra_precompute_di)
+    and exponentiates with the span powers folded in."""
+    mats = PF.contra_precompute_di(seqs, ns, ct, N)
+
+    def one(m, ls):
+        spanv = (jnp.arange(N, dtype=jnp.float32) + 1.0)[:, None]
+        out = {
+            "H": jnp.exp(m["H"] - spanv * ls),
+            "MBC": jnp.exp(m["MBC"] - 2.0 * ls),
+            "ACC": jnp.exp(m["ACC"]),
+            "JS": jnp.exp(m["JS"]),
+            "JB": jnp.exp(m["JB"]),
+            "CANON": jnp.where(m["CANON"] > -1.0, 1.0, 0.0),
+            # (0,0) stack replaces the whole 2-loop body: ratio out the jb
+            # (inner) / jsn (outer) baked into the merged window buffer and
+            # carry the span-delta power the LEN' path would have supplied
+            "STK": jnp.exp(
+                m["STK"] - _shift_di(m["JB"], -2, 1) - 2.0 * ls
+            ),
+            "I11": jnp.exp(m["I11"]),
+            "B0R": jnp.exp(m["B0R"]),
+            "B0L": jnp.exp(m["B0L"]),
+            "STKO": jnp.exp(
+                m["STKO"] - _shift_di(m["JS"], 2, -1) - 2.0 * ls
+            ),
+            "I11O": jnp.exp(m["I11O"]),
+            "B0RO": jnp.exp(m["B0RO"]),
+            "B0LO": jnp.exp(m["B0LO"]),
+        }
+        return out
+
+    return jax.vmap(one)(mats, ln_sigma)
+
+
+def _contra_len_prob(ct, ln_sigma):
+    """(B, W2, W) [b, a] 2-loop length constants: exp(LEN - (a+b+2)*ln_s)."""
+    base = PF._contra_len_di(ct)  # (W2, W) log
+    ab = (
+        jnp.arange(W2, dtype=jnp.float32)[:, None]
+        + jnp.arange(W, dtype=jnp.float32)[None, :]
+        + 2.0
+    )
+    return jnp.exp(base[None] - ab[None] * ln_sigma[:, None, None])
+
+
+# ---------------------------------------------------------------------------
+# Inside kernel (probability space)
+# ---------------------------------------------------------------------------
+
+def _contra_inside_prob_kernel(
+    SCAL,                                   # (1, 1, 8) SMEM scalars
+    H, MBC, ACC, JS, STK, I11, B0R, B0L, CANON, JB,   # (1, N, N) [d, i]
+    LEN,                                    # (1, W2, W) [b, a]
+    close_out, ext_out, one_out,            # (1, N, N)
+    CJW, FQ, FQM, extS, extrS, mbS, oneS, closeF,
+    *, N,
+):
+    eu1 = SCAL[0, 0, 0]      # exp(external_unpair - ln_sigma)
+    ebp = SCAL[0, 0, 1]      # exp(external_basepair)
+    mbu1 = SCAL[0, 0, 2]     # exp(multibranch_unpair - ln_sigma)
+    mbbp = SCAL[0, 0, 3]     # exp(multibranch_basepair)
+    n_i = SCAL[0, 0, 7].astype(jnp.int32)
+
+    CJW[:] = jnp.zeros_like(CJW[:])
+    FQ[:] = jnp.zeros_like(FQ[:])
+    FQM[:] = jnp.zeros_like(FQM[:])
+    extS[:] = jnp.zeros_like(extS[:])
+    extrS[:] = jnp.ones_like(extrS[:])      # ext(i, i-1) = empty = 1
+    mbS[:] = jnp.zeros_like(mbS[:])
+    oneS[:] = jnp.zeros_like(oneS[:])
+    closeF[:] = jnp.zeros_like(closeF[:])
+
+    b_idx = jax.lax.broadcasted_iota(jnp.int32, (W2, 1), 0)
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
+    zero_row = jnp.zeros((1, N), jnp.float32)
+    # mbu1^t column for the t-length unpaired runs (span powers included)
+    powm = jnp.exp(t_idx.astype(jnp.float32) * jnp.log(mbu1))
+
+    def span_step(d, carry):
+        rm_prev, rmmb_prev, epow_prev = carry
+
+        js_row = _row3(JS, d)
+        two = zero_row
+        for a in range(W):
+            h = _win_rows(a)
+            bi = b_idx[:h]
+            blk = CJW[pl.ds(a + 1, h), pl.ds(1 + a, N)]   # close * jb
+            body = js_row * LEN[0, pl.ds(0, h), pl.ds(a, 1)]
+            if a == 0:
+                body = jnp.where(bi == 0, _row3(STK, d), body)
+                body = jnp.where(bi == 1, body * _row3(B0R, d), body)
+            elif a == 1:
+                body = jnp.where(bi == 0, body * _row3(B0L, d), body)
+                body = jnp.where(bi == 1, body * _row3(I11, d), body)
+            tl = jnp.where(a + bi <= MAX_LOOP_LEN, body, 0.0) * blk
+            two = two + jnp.sum(tl, axis=0, keepdims=True)
+        mb_in = mbS[pl.ds(1, 1), pl.ds(1, N)]   # 2-row ring, +1 lane
+        mb_term = jnp.where(d >= 2, mb_in * _row3(MBC, d), 0.0)
+        close_new = (_row3(H, d) + two + mb_term) * _row3(CANON, d)
+        close_new = jnp.where(
+            d + 1 >= MIN_SPAN_HAIRPIN_CLOSE, close_new, 0.0
+        )
+        closeF[pl.ds(d, 1), :] = close_new
+        acc_new = close_new * _row3(ACC, d)
+
+        rm_new = rm_prev * eu1 + acc_new * ebp
+        rmmb_new = rmmb_prev * mbu1 + acc_new * mbbp
+
+        for buf, row in ((FQ, rm_new), (FQM, rmmb_new)):
+            shifted = buf[pl.ds(0, N - 1), pl.ds(1, N + 7)]
+            buf[pl.ds(1, N - 1), pl.ds(0, N + 7)] = shifted
+            buf[pl.ds(0, 1), pl.ds(0, N)] = row
+
+        qblk = FQ[pl.ds(0, N), pl.ds(0, N)]
+        eblk = extrS[pl.ds(0, N), :]
+        terms = jnp.where(t_idx <= d - 1, qblk * eblk, 0.0)
+        epow = epow_prev * eu1                   # eu1^(d+1): empty ensemble
+        ext_new = epow + jnp.sum(terms, axis=0, keepdims=True)
+        extS[pl.ds(d, 1), :] = ext_new
+        extrS[pl.ds(d + 1, 1), :] = ext_new
+
+        qmblk = FQM[pl.ds(0, N), pl.ds(0, N)]
+        x = jnp.where((t_idx >= 1) & (t_idx <= d - 1), qmblk, 0.0)
+        s1 = rmmb_new + jnp.sum(x * powm, axis=0, keepdims=True)
+        oblk = oneS[pl.ds(0, N), :]
+        s2 = jnp.sum(oblk * x, axis=0, keepdims=True)
+        mbS[pl.ds(1, 1), :] = mbS[pl.ds(0, 1), :]
+        mbS[pl.ds(0, 1), pl.ds(0, N)] = s2
+        oneS[pl.ds(d + 1, 1), :] = s1 + s2
+
+        _shift_insert(CJW, close_new * _row3(JB, d))
+        return (rm_new, rmmb_new, epow)
+
+    lax.fori_loop(
+        0, n_i, span_step, (zero_row, zero_row, jnp.float32(1.0))
+    )
+
+    close_out[0] = closeF[:]
+    ext_out[0] = extS[:]
+    one_out[0] = oneS[pl.ds(1, N), :]
+
+
+# ---------------------------------------------------------------------------
+# Outside kernel (probability space; bppo IS the basepair probability)
+# ---------------------------------------------------------------------------
+
+def _contra_outside_prob_kernel(
+    SCAL,
+    CLOSE, MBC, ACC, STKO, I11O, B0RO, JRB, JSN,   # (1, N, N) [d, i]
+    ONEP,                                    # (1, N, 2N)
+    QONE,                                    # (1, N, N)
+    B0LO, EXTL,                              # (1, 1, N)
+    EXTR,                                    # (1, 1, 2N)
+    LEN,                                     # (1, W2, W)
+    bppo_out,                                # (1, N, N)
+    OG, XS, RPM, RPM2, bppoF, SONEF, REXT,
+    *, N, min_span,
+):
+    ebp = SCAL[0, 0, 1]
+    mbu1 = SCAL[0, 0, 2]
+    mbbp = SCAL[0, 0, 3]
+    glob = SCAL[0, 0, 4]                     # scaled partition function
+    n_i = SCAL[0, 0, 7].astype(jnp.int32)
+
+    OG[:] = jnp.zeros_like(OG[:])
+    XS[:] = jnp.zeros_like(XS[:])
+    RPM[:] = jnp.zeros_like(RPM[:])
+    RPM2[:] = jnp.zeros_like(RPM2[:])
+    bppoF[:] = jnp.zeros_like(bppoF[:])
+    _init_swapped(SONEF, ONEP, N, N)
+    _init_swapped(REXT, EXTR, 1, N)
+
+    def _catch_up(_i, c):
+        _rotate_right(SONEF, N)
+        _rotate_right(REXT, 1)
+        return c
+
+    lax.fori_loop(0, N - n_i, _catch_up, 0)
+
+    b_idx = jax.lax.broadcasted_iota(jnp.int32, (W2, 1), 0)
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
+    s_qone = QONE[0, pl.ds(0, N), pl.ds(0, N)]
+    t_f = t_idx.astype(jnp.float32)
+    powm = jnp.exp(t_f * jnp.log(mbu1))             # mbu1^t
+    powm2 = jnp.exp((t_f - 1.0) * jnp.log(mbu1))    # mbu1^(t-1)
+    s_qone_mb = s_qone + powm2
+    inv_glob = 1.0 / glob
+
+    def span_step(step, carry):
+        d = N - 1 - step
+        span_ok = (d + 1) >= min_span
+
+        Xr = XS[pl.ds(0, N), :]
+        s_one = SONEF[pl.ds(0, N), pl.ds(0, N)]
+        pm_new = jnp.where(
+            span_ok, jnp.sum(Xr * s_one, axis=0, keepdims=True), 0.0
+        )
+        pm2_new = jnp.where(
+            span_ok, jnp.sum(Xr * powm, axis=0, keepdims=True), 0.0
+        )
+
+        for buf, row in ((RPM, pm_new), (RPM2, pm2_new)):
+            shifted = buf[pl.ds(0, N - 1), pl.ds(0, N - 1)]
+            buf[pl.ds(1, N - 1), pl.ds(1, N - 1)] = shifted
+            buf[pl.ds(1, N - 1), pl.ds(0, 1)] = jnp.zeros((N - 1, 1))
+            buf[pl.ds(0, 1), pl.ds(0, N)] = row
+
+        close_row = _row3(CLOSE, d)
+        pos = close_row > 0.0
+        inv_close = jnp.where(pos, 1.0 / jnp.where(pos, close_row, 1.0), 0.0)
+        acc_row = close_row * _row3(ACC, d)
+        lt = EXTL[0, pl.ds(0, 1), :]
+        rt = REXT[pl.ds(0, 1), pl.ds(0, N)]
+        base = lt * acc_row * rt * inv_glob * ebp
+
+        jrb_row = _row3(JRB, d)
+        two = jnp.zeros((1, N), jnp.float32)
+        for a in range(W):
+            h = _win_rows(a)
+            bi = b_idx[:h]
+            blk = OG[pl.ds(a + 1, h), pl.ds(31 - a, N)]
+            body = jrb_row * LEN[0, pl.ds(0, h), pl.ds(a, 1)]
+            if a == 0:
+                body = jnp.where(bi == 0, _row3(STKO, d), body)
+                body = jnp.where(bi == 1, body * _row3(B0RO, d), body)
+            elif a == 1:
+                body = jnp.where(
+                    bi == 0, body * B0LO[0, pl.ds(0, 1), :], body
+                )
+                body = jnp.where(bi == 1, body * _row3(I11O, d), body)
+            tl = jnp.where(a + bi <= MAX_LOOP_LEN, body, 0.0) * blk
+            two = two + jnp.sum(tl, axis=0, keepdims=True)
+        two = two * close_row
+
+        acc_mb = acc_row * mbbp
+        r_pm = RPM[pl.ds(0, N), pl.ds(0, N)]
+        r_pm2 = RPM2[pl.ds(0, N), pl.ds(0, N)]
+        m1 = t_idx >= 1
+        terms_a = jnp.where(m1, r_pm2 * s_qone, 0.0)
+        terms_bc = jnp.where(m1, r_pm * s_qone_mb, 0.0)
+        mb_ctx = acc_mb * (
+            jnp.sum(terms_a, axis=0, keepdims=True)
+            + jnp.sum(terms_bc, axis=0, keepdims=True)
+        )
+
+        bppo_new = base + two + mb_ctx
+        bppo_new = jnp.where(pos & span_ok, bppo_new, 0.0)
+        bppoF[pl.ds(d, 1), :] = bppo_new
+
+        g2 = bppo_new * _row3(JSN, d) * inv_close
+        _shift_insert(OG, g2, lane_off=32)
+        g_row = bppo_new * _row3(MBC, d) * inv_close
+        shifted = XS[pl.ds(0, N - 1), :]
+        XS[pl.ds(1, N - 1), :] = shifted
+        XS[pl.ds(0, 1), :] = g_row
+        _rotate_right(SONEF, N)
+        _rotate_right(REXT, 1)
+        return carry
+
+    lax.fori_loop(N - n_i, N, span_step, 0)
+    bppo_out[0] = bppoF[:]
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers
+# ---------------------------------------------------------------------------
+
+def _nn(*shape):
+    return pl.BlockSpec(
+        (1,) + shape,
+        lambda b: (b,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM,
+    )
+
+
+_SMEM_SPEC = pl.BlockSpec(
+    (1, 1, 8), lambda b: (b, 0, 0), memory_space=pltpu.SMEM
+)
+
+
+def _scal_rows(ct, ln_sigma, ns, glob=None):
+    """(B, 1, 8) SMEM scalar rows for both kernels."""
+    B = ln_sigma.shape[0]
+    eu1 = jnp.exp(ct["external_score_unpair"] - ln_sigma)
+    ebp = jnp.broadcast_to(jnp.exp(ct["external_score_basepair"]), (B,))
+    mbu1 = jnp.exp(ct["multibranch_score_unpair"] - ln_sigma)
+    mbbp = jnp.broadcast_to(jnp.exp(ct["multibranch_score_basepair"]), (B,))
+    g = glob if glob is not None else jnp.zeros((B,))
+    scal = jnp.stack(
+        [
+            eu1, ebp, mbu1, mbbp, g,
+            jnp.zeros((B,)), jnp.zeros((B,)),
+            ns.astype(jnp.float32),
+        ],
+        axis=1,
+    ).astype(jnp.float32)
+    return scal[:, None, :]
+
+
+def _inside_call_prob(pmats, LENp, scal, B, N, interpret):
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((B, N, N), jnp.float32) for _ in range(3)
+    )
+    kernel = functools.partial(_contra_inside_prob_kernel, N=N)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            _SMEM_SPEC,
+            *(_nn(N, N) for _ in range(10)),
+            _nn(W2, W),
+        ],
+        out_specs=(_nn(N, N), _nn(N, N), _nn(N, N)),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # CJW (close * jb)
+            pltpu.VMEM((N, N + 8), jnp.float32),          # FQ
+            pltpu.VMEM((N, N + 8), jnp.float32),          # FQM
+            pltpu.VMEM((N, N), jnp.float32),              # extS
+            pltpu.VMEM((N + 1, N), jnp.float32),          # extrS
+            pltpu.VMEM((2, N + 8), jnp.float32),          # mbS 2-row ring
+            pltpu.VMEM((N + 1, N), jnp.float32),          # oneS
+            pltpu.VMEM((N, N), jnp.float32),              # closeF
+        ],
+        interpret=interpret,
+    )(
+        scal,
+        pmats["H"], pmats["MBC"], pmats["ACC"], pmats["JS"], pmats["STK"],
+        pmats["I11"], pmats["B0R"], pmats["B0L"], pmats["CANON"],
+        pmats["JB"], LENp,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("N", "allows_short_hairpins", "interpret")
+)
+def _mccaskill_contra_prob_run(
+    seqs, ns, ct, ln_sigma, N, allows_short_hairpins=False, interpret=False
+):
+    """One scaled-probability inside+outside run.  Returns (bppo [d, i]
+    probabilities, scaled partition function per sequence)."""
+    return _prob_run_body(
+        seqs, ns, ct, ln_sigma, N, allows_short_hairpins, interpret
+    )
+
+
+def _prob_run_body(
+    seqs, ns, ct, ln_sigma, N, allows_short_hairpins, interpret
+):
+    B = seqs.shape[0]
+    pmats = contra_prob_mats(seqs, ns, ct, ln_sigma, N)
+    LENp = _contra_len_prob(ct, ln_sigma)
+    scal = _scal_rows(ct, ln_sigma, ns)
+    close, ext, one = _inside_call_prob(pmats, LENp, scal, B, N, interpret)
+    ONEP, QONE, extL, extR, glob = PF.contra_outside_aux(
+        ns, ext, one, N, neg=0.0, one_val=1.0
+    )
+    scal_o = _scal_rows(ct, ln_sigma, ns, glob=glob)
+    min_span = 2 if allows_short_hairpins else MIN_SPAN_HAIRPIN_CLOSE
+    kernel = functools.partial(
+        _contra_outside_prob_kernel, N=N, min_span=min_span
+    )
+    bppo = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            _SMEM_SPEC,
+            *(_nn(N, N) for _ in range(8)),
+            _nn(N, 2 * N),                   # ONEP
+            _nn(N, N),                       # QONE
+            _nn(1, N),                       # B0LO
+            _nn(1, N),                       # EXTL
+            _nn(1, 2 * N),                   # EXTR
+            _nn(W2, W),                      # LEN
+        ],
+        out_specs=_nn(N, N),
+        out_shape=jax.ShapeDtypeStruct((B, N, N), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # OG
+            pltpu.VMEM((N, N), jnp.float32),              # XS
+            pltpu.VMEM((N, N), jnp.float32),              # RPM
+            pltpu.VMEM((N, N), jnp.float32),              # RPM2
+            pltpu.VMEM((N, N), jnp.float32),              # bppoF
+            pltpu.VMEM((N, 2 * N), jnp.float32),          # SONEF
+            pltpu.VMEM((1, 2 * N), jnp.float32),          # REXT
+        ],
+        interpret=interpret,
+    )(
+        scal_o,
+        close, pmats["MBC"], pmats["ACC"], pmats["STKO"], pmats["I11O"],
+        pmats["B0RO"], pmats["JB"], pmats["JS"],
+        ONEP, QONE,
+        pmats["B0LO"][:, None, :], extL[:, None, :],
+        extR[:, None, :], LENp,
+    )
+    return bppo, glob
+
+
+@functools.partial(
+    jax.jit, static_argnames=("N", "allows_short_hairpins", "interpret")
+)
+def mccaskill_contra_pallas_prob(
+    seqs, ns, ct, N, allows_short_hairpins=False, interpret=False
+):
+    """Scaled-probability CONTRA McCaskill with automatic rescale retries.
+
+    Returns (bppo [d, i] basepair probabilities, ln_sigma used per seq).
+    Lanes whose scaled partition function over/underflowed re-run inside a
+    device-side ``lax.while_loop`` with ``ln_sigma`` bisection-stepped (the
+    representable band is ~87/n wide, so a few adaptive steps cover every
+    physical per-base log-Z) — no host syncs, so back-to-back batches
+    pipeline."""
+    B = seqs.shape[0]
+
+    def run(ls):
+        return _prob_run_body(
+            seqs, ns, ct, ls, N, allows_short_hairpins, interpret
+        )
+
+    def flags(bppo, glob):
+        s = jnp.sum(bppo, axis=(1, 2))
+        bad_hi = ~jnp.isfinite(glob) | ~jnp.isfinite(s)
+        bad_lo = (glob == 0.0) & ~bad_hi
+        return bad_hi, bad_lo
+
+    ls0 = jnp.full((B,), LN_SIGMA0, jnp.float32)
+    bppo0, glob0 = run(ls0)
+    bh0, bl0 = flags(bppo0, glob0)
+    state = (
+        bppo0, ls0,
+        jnp.full((B,), RETRY_STEP, jnp.float32),
+        jnp.zeros((B,), jnp.float32),
+        bh0, bl0, jnp.int32(0),
+    )
+
+    def cond(st):
+        _bppo, _ls, _step, _last, bh, bl, k = st
+        return jnp.any(bh | bl) & (k < MAX_RETRIES)
+
+    def body(st):
+        _bppo, ls, step, last_dir, bh, bl, k = st
+        direction = bh.astype(jnp.float32) - bl.astype(jnp.float32)
+        step = jnp.where(direction * last_dir < 0, step * 0.5, step)
+        ls = ls + step * direction
+        bppo, glob = run(ls)
+        bh, bl = flags(bppo, glob)
+        return (bppo, ls, step, direction, bh, bl, k + 1)
+
+    state = lax.while_loop(cond, body, state)
+    return state[0], state[1]

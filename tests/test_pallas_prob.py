@@ -1,0 +1,79 @@
+"""Scaled probability-space kernels (fast mode) vs the exact XLA scan.
+
+Interpret mode (backend-agnostic); the Mosaic-compiled path is pinned on
+hardware by tests/test_pallas_hw.py's ("contra", True, "fast") case, which
+dispatches here via models.mccaskill.mccaskill_bpp_batch_pallas.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from rna_algos_tpu.constants import PSEUDO_BASE
+from rna_algos_tpu.params import build_fold_score_sets
+from rna_algos_tpu.ops import scores as S
+from rna_algos_tpu.ops import pallas_fold_prob as PP
+from rna_algos_tpu.models import mccaskill as M
+
+CT = S.contra_table_pytree(build_fold_score_sets())
+
+
+def test_prob_kernels_match_exact_with_retries():
+    rng = np.random.default_rng(11)
+    N, B = 64, 6
+    seqs = np.full((B, N), PSEUDO_BASE, dtype=np.int32)
+    ns = np.zeros(B, dtype=np.int32)
+    for k in range(B):
+        n = N if k == 0 else int(rng.integers(30, N - 1))
+        seqs[k, :n] = rng.integers(0, 4, size=n)
+        ns[k] = n
+    # underflow lane (unfoldable) and overflow lane (perfect CG helix):
+    # both must be recovered by the per-sequence rescale retries
+    seqs[3, :50] = 0
+    ns[3] = 50
+    seqs[4, :60] = np.array([1, 2] * 30, dtype=np.int32)
+    ns[4] = 60
+    seqs, ns = jnp.asarray(seqs), jnp.asarray(ns)
+
+    want, _ = M.mccaskill_bpp_batch(seqs, ns, CT, N=N, contra=True)
+    want = np.asarray(want)
+    bppo, ls = PP.mccaskill_contra_pallas_prob(
+        seqs, ns, CT, N=N, interpret=True
+    )
+    ls = np.asarray(ls)
+    assert ls[4] > PP.LN_SIGMA0, ls  # the helix lane must have rescaled
+
+    got = np.asarray(bppo)
+    for k in range(int(seqs.shape[0])):
+        n = int(ns[k])
+        sq = np.zeros((N, N), dtype=np.float32)
+        for d in range(N):
+            ii = np.arange(N - d)
+            sq[ii, ii + d] = got[k, d, ii]
+        err = np.abs(sq[:n, :n] - want[k, :n, :n]).max()
+        assert err < 5e-4, (k, err)
+
+
+def test_prob_dispatch_in_fast_mode():
+    from rna_algos_tpu import numerics
+
+    rng = np.random.default_rng(3)
+    N, B = 64, 2
+    seqs = np.full((B, N), PSEUDO_BASE, dtype=np.int32)
+    ns = np.zeros(B, dtype=np.int32)
+    for k in range(B):
+        n = int(rng.integers(30, N - 1))
+        seqs[k, :n] = rng.integers(0, 4, size=n)
+        ns[k] = n
+    seqs, ns = jnp.asarray(seqs), jnp.asarray(ns)
+
+    # interpret-only check of the wrapper plumbing: call the prob path the
+    # way the fast-mode dispatch does and compare against the exact batch
+    bppo, _ = PP.mccaskill_contra_pallas_prob(
+        seqs, ns, CT, N=N, interpret=True
+    )
+    bpp, presence = M._prob_finish(bppo, ns, N=N)
+    want, _ = M.mccaskill_bpp_batch(seqs, ns, CT, N=N, contra=True)
+    np.testing.assert_allclose(
+        np.asarray(bpp), np.asarray(want), atol=5e-4
+    )
+    assert bool(np.asarray(presence).any())
