@@ -399,8 +399,7 @@ def mccaskill_bpp_batch_pallas(seqs, ns, tbl, N, contra=True,
     import os
 
     if (
-        contra
-        and get_mode() == "fast"
+        get_mode() == "fast"
         and os.environ.get("RNA_ALGOS_FAST_IMPL", "prob") == "prob"
     ):
         from ..ops import pallas_fold_prob as PP
@@ -408,9 +407,13 @@ def mccaskill_bpp_batch_pallas(seqs, ns, tbl, N, contra=True,
         # The device-side rescale loop covers ln_sigma +- 5.4 (per-base
         # log-Z in [-4.5, 6.3] — far beyond physical RNA), so no host-side
         # validity check/fallback is needed; everything stays async.
-        bppo, _ls = PP.mccaskill_contra_pallas_prob(
-            seqs, ns, tbl, N=N, allows_short_hairpins=allows_short_hairpins
-        )
+        if contra:
+            bppo, _ls = PP.mccaskill_contra_pallas_prob(
+                seqs, ns, tbl, N=N,
+                allows_short_hairpins=allows_short_hairpins,
+            )
+        else:
+            bppo, _ls = PP.mccaskill_turner_pallas_prob(seqs, ns, tbl, N=N)
         return _prob_finish(bppo, ns, N=N)
     return _mccaskill_bpp_batch_pallas(
         seqs, ns, tbl, N=N, contra=contra,

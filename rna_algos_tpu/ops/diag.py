@@ -97,10 +97,13 @@ def skew_pq(M, fill=NEG_INF):
 
     Converts a position-pair matrix (e.g. from ops.lut.sep_lookup) to the
     [i, d] diagonal layout gather-free: log-depth power-of-two column shifts
-    gated on the bits of the row index.
+    gated on the bits of the row index.  The shifts run in place on the
+    (P, Q) buffer — columns a row shifts past its right edge only ever
+    supply ``fill``, so no widening is needed (halves the level traffic;
+    the skews are the precompute's HBM-bandwidth cost).
     """
     P, Q = M.shape
-    X = jnp.concatenate([M, jnp.full_like(M, fill)], axis=1)
+    X = M
     p = jnp.arange(P)[:, None]
     k = 1
     while k < P:
@@ -109,7 +112,22 @@ def skew_pq(M, fill=NEG_INF):
         )
         X = jnp.where((p & k) != 0, shifted, X)
         k *= 2
-    return X[:, :Q]
+    return X
+
+
+def shift_di(M, dd, ll, fill=0.0):
+    """OUT[d, i] = M[d + dd, i + ll] with ``fill`` outside (static shifts).
+
+    One fused roll+mask pass — used to derive [d, i] tables that are plain
+    translations of an already-skewed table (e.g. the outside-window stack
+    grid is the inside one at (span+2, i-1)), instead of paying another
+    log-depth skew."""
+    N = M.shape[0]
+    r = jnp.roll(M, (-dd, -ll), axis=(0, 1))
+    di = jnp.arange(N)[:, None]
+    ii = jnp.arange(N)[None, :]
+    ok = (di + dd >= 0) & (di + dd < N) & (ii + ll >= 0) & (ii + ll < N)
+    return jnp.where(ok, r, fill)
 
 
 def unskew_pq(M, fill=NEG_INF):

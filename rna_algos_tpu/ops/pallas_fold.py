@@ -507,6 +507,12 @@ def contra_precompute_di(seqs, ns, ct, N):
 
         vb0_m1 = jnp.take(b0x1, m1)  # b0x1[x_{p-1}]
         vb0_x1 = jnp.take(b0x1, x1)  # b0x1[x_{p+1}]
+        STK_di = sk(
+            SEP(stk, (x0, x1), (x0, m1), perm=(0, 2, 1, 3))
+            + SEP(bp, (x1,), (m1,))
+        )
+        I11_di = sk(SEP(i1x1, (x1,), (m1,)))
+        B0R_di = sk(jnp.broadcast_to(vb0_m1[None, :], (N, N)))
         return {
             "H": H_id.T,
             "MBC": sk(MBCpq),
@@ -515,19 +521,19 @@ def contra_precompute_di(seqs, ns, ct, N):
             "CANON": CANON.T,
             "JB": sk(JSrevpq + BPpq),
             # inside 2-loop corrections
-            "STK": sk(
-                SEP(stk, (x0, x1), (x0, m1), perm=(0, 2, 1, 3))
-                + SEP(bp, (x1,), (m1,))
-            ),
-            "I11": sk(SEP(i1x1, (x1,), (m1,))),
-            "B0R": sk(jnp.broadcast_to(vb0_m1[None, :], (N, N))),
+            "STK": STK_di,
+            "I11": I11_di,
+            "B0R": B0R_di,
             "B0L": jnp.broadcast_to(vb0_x1[None, :], (N, N)),
-            # outside 2-loop corrections (outer (i-1-a, j+1+b), inner (i, j))
-            "STKO": sk(
-                SEP(stk, (m1, x0), (x1, x0), perm=(0, 2, 1, 3)) + BPpq
-            ),
-            "I11O": sk(SEP(i1x1, (m1,), (x1,))),
-            "B0RO": sk(jnp.broadcast_to(vb0_x1[None, :], (N, N))),
+            # outside 2-loop corrections (outer (i-1-a, j+1+b), inner (i, j)):
+            # plain [d, i] translations of the inside grids — e.g.
+            # STK(p-1, q+1) = stk[x_{p-1}, x_p, x_{q+1}, x_q] + bp[x_p, x_q]
+            # IS the outside stack cell at (p, q) — so one-pass shifts
+            # replace three more log-depth skews (edge cells differ only
+            # where the kernels' masks kill the term anyway)
+            "STKO": diag.shift_di(STK_di, 2, -1),
+            "I11O": diag.shift_di(I11_di, 4, -2),
+            "B0RO": diag.shift_di(B0R_di, 2, 0),
             "B0LO": vb0_m1,
         }
 

@@ -71,14 +71,7 @@ MAX_RETRIES = 6
 # Host-side transform: log-space [d, i] mats -> scaled probability space
 # ---------------------------------------------------------------------------
 
-def _shift_di(M, dd, ll, fill=0.0):
-    """OUT[d, i] = M[d + dd, i + ll] with ``fill`` outside (static shifts)."""
-    N = M.shape[0]
-    r = jnp.roll(M, (-dd, -ll), axis=(0, 1))
-    di = jnp.arange(N)[:, None]
-    ii = jnp.arange(N)[None, :]
-    ok = (di + dd >= 0) & (di + dd < N) & (ii + ll >= 0) & (ii + ll < N)
-    return jnp.where(ok, r, fill)
+_shift_di = diag.shift_di
 
 
 def contra_prob_mats(seqs, ns, ct, ln_sigma, N):
@@ -482,26 +475,14 @@ def _prob_run_body(
     return bppo, glob
 
 
-@functools.partial(
-    jax.jit, static_argnames=("N", "allows_short_hairpins", "interpret")
-)
-def mccaskill_contra_pallas_prob(
-    seqs, ns, ct, N, allows_short_hairpins=False, interpret=False
-):
-    """Scaled-probability CONTRA McCaskill with automatic rescale retries.
+def _retrying(run, B):
+    """Device-side rescale-retry loop around a (ln_sigma,) -> (bppo, Z) run.
 
-    Returns (bppo [d, i] basepair probabilities, ln_sigma used per seq).
     Lanes whose scaled partition function over/underflowed re-run inside a
-    device-side ``lax.while_loop`` with ``ln_sigma`` bisection-stepped (the
+    ``lax.while_loop`` with ``ln_sigma`` bisection-stepped (the
     representable band is ~87/n wide, so a few adaptive steps cover every
     physical per-base log-Z) — no host syncs, so back-to-back batches
     pipeline."""
-    B = seqs.shape[0]
-
-    def run(ls):
-        return _prob_run_body(
-            seqs, ns, ct, ls, N, allows_short_hairpins, interpret
-        )
 
     def flags(bppo, glob):
         s = jnp.sum(bppo, axis=(1, 2))
@@ -534,3 +515,436 @@ def mccaskill_contra_pallas_prob(
 
     state = lax.while_loop(cond, body, state)
     return state[0], state[1]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("N", "allows_short_hairpins", "interpret")
+)
+def mccaskill_contra_pallas_prob(
+    seqs, ns, ct, N, allows_short_hairpins=False, interpret=False
+):
+    """Scaled-probability CONTRA McCaskill with automatic rescale retries.
+
+    Returns (bppo [d, i] basepair probabilities, ln_sigma used per seq)."""
+
+    def run(ls):
+        return _prob_run_body(
+            seqs, ns, ct, ls, N, allows_short_hairpins, interpret
+        )
+
+    return _retrying(run, seqs.shape[0])
+
+
+# ---------------------------------------------------------------------------
+# Turner model (same scaled-probability wavefronts; the Turner recurrences
+# are the CONTRA ones with eu = ebp = mbu = 0 and mbbp = COEFF_NUM_BRANCHES
+# — rm+coeff IS the rmmb table — so only the 2-loop window and the score
+# transform differ)
+# ---------------------------------------------------------------------------
+
+# (a + b + 2) span powers of the small-loop replacement tables (they bypass
+# the LEN' path that carries the power for generic window cells)
+_TURNER_SP_POW = {
+    "STKT": 2, "B01": 3, "B10": 3, "I11T": 4, "I12T": 5, "I21T": 5,
+    "I22T": 6,
+    "STKO": 2, "B01O": 3, "B10O": 3, "I11O": 4, "I12O": 5, "I21O": 5,
+    "I22O": 6,
+}
+def turner_prob_mats(seqs, ns, tt, ln_sigma, N):
+    """Per-sequence probability-space Turner tensors (vmapped)."""
+    mats = PF.turner_precompute_di(seqs, ns, tt, N)
+
+    def one(m, ls):
+        spanv = (jnp.arange(N, dtype=jnp.float32) + 1.0)[:, None]
+        out = {
+            "H": jnp.exp(m["H"] - spanv * ls),
+            "MBC": jnp.exp(m["MBC"] - 2.0 * ls),
+            "CANON": jnp.where(m["CANON"] > -1.0, 1.0, 0.0),
+        }
+        for k in ("ACC", "AUGT", "TMo1", "TMo2", "TMo3",
+                  "TMi1", "TMi2", "TMi3"):
+            out[k] = jnp.exp(m[k])
+        for k, p in _TURNER_SP_POW.items():
+            out[k] = jnp.exp(m[k] - float(p) * ls)
+        return out
+
+    return jax.vmap(one)(mats, ln_sigma)
+
+
+def _turner_len_prob(tt, ln_sigma):
+    """(B, W2, W) exp(LENB/LENI - (a+b+2)*ln_sigma)."""
+    LENB, LENI = PF._turner_len_di(tt)
+    ab = (
+        jnp.arange(W2, dtype=jnp.float32)[:, None]
+        + jnp.arange(W, dtype=jnp.float32)[None, :]
+        + 2.0
+    )
+    f = ab[None] * ln_sigma[:, None, None]
+    return jnp.exp(LENB[None] - f), jnp.exp(LENI[None] - f)
+
+
+def _turner_tl_prob(
+    a, bi, d, blk, T1W, T2W, T3W, lane_off,
+    SP00, SP01, SP10, SP11, SP12, SP21, SP22,
+    TM1, TM2, TM3, AUGT, LENB, LENI,
+):
+    """Probability-space mirror of pallas_fold._turner_tl (x* for +)."""
+    h = bi.shape[0]
+    N = blk.shape[1]
+    aug_row = _row3(AUGT, d)
+    lenb = LENB[0, pl.ds(0, h), pl.ds(a, 1)]
+    if a == 0:
+        body = lenb * aug_row
+    else:
+        is_1 = (a == 1) | (bi == 1)
+        is_23 = ((a == 2) & (bi == 3)) | ((a == 3) & (bi == 2))
+        tmo = jnp.where(
+            is_1, _row3(TM2, d), jnp.where(is_23, _row3(TM3, d), _row3(TM1, d))
+        )
+        if a == 1:
+            w_tmi = T2W[pl.ds(a + 1, h), pl.ds(lane_off, N)]
+        else:
+            w_tmi = T1W[pl.ds(a + 1, h), pl.ds(lane_off, N)]
+            w_tmi = jnp.where(
+                bi == 1, T2W[pl.ds(a + 2, 1), pl.ds(lane_off, N)], w_tmi
+            )
+            if a == 2:
+                w_tmi = jnp.where(
+                    bi == 3, T3W[pl.ds(a + 4, 1), pl.ds(lane_off, N)], w_tmi
+                )
+            elif a == 3:
+                w_tmi = jnp.where(
+                    bi == 2, T3W[pl.ds(a + 3, 1), pl.ds(lane_off, N)], w_tmi
+                )
+        leni = LENI[0, pl.ds(0, h), pl.ds(a, 1)]
+        body = jnp.where(
+            bi == 0, lenb * aug_row, leni * tmo * w_tmi * aug_row
+        )
+    if a == 0:
+        body = jnp.where(bi == 0, _row3(SP00, d), body)
+        body = jnp.where(bi == 1, _row3(SP01, d), body)
+    elif a == 1:
+        body = jnp.where(bi == 0, _row3(SP10, d), body)
+        body = jnp.where(bi == 1, _row3(SP11, d), body)
+        body = jnp.where(bi == 2, _row3(SP12, d), body)
+    elif a == 2:
+        body = jnp.where(bi == 1, _row3(SP21, d), body)
+        body = jnp.where(bi == 2, _row3(SP22, d), body)
+    return jnp.where(a + bi <= MAX_LOOP_LEN, body, 0.0) * blk
+
+
+def _turner_inside_prob_kernel(
+    SCAL,
+    H, MBC, ACC, CANON,
+    STKT, B01, B10, I11T, I12T, I21T, I22T,
+    TMo1, TMo2, TMo3, AUGT, TMi1N, TMi2N, TMi3N,
+    LENB, LENI,
+    close_out, ext_out, one_out,
+    CAW, T1W, T2W, T3W, FQ, FQM, extS, extrS, mbS, oneS, closeF,
+    *, N,
+):
+    eu1 = SCAL[0, 0, 0]      # = u = exp(-ln_sigma)
+    ebp = SCAL[0, 0, 1]      # = 1
+    mbu1 = SCAL[0, 0, 2]     # = u
+    mbbp = SCAL[0, 0, 3]     # = exp(COEFF_NUM_BRANCHES)
+    n_i = SCAL[0, 0, 7].astype(jnp.int32)
+
+    for buf in (CAW, FQ, FQM, mbS, oneS, closeF, T1W, T2W, T3W):
+        buf[:] = jnp.zeros_like(buf[:])
+    extS[:] = jnp.zeros_like(extS[:])
+    extrS[:] = jnp.ones_like(extrS[:])
+
+    b_idx = jax.lax.broadcasted_iota(jnp.int32, (W2, 1), 0)
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
+    zero_row = jnp.zeros((1, N), jnp.float32)
+    powm = jnp.exp(t_idx.astype(jnp.float32) * jnp.log(mbu1))
+
+    def span_step(d, carry):
+        rm_prev, rmmb_prev, epow_prev = carry
+
+        two = zero_row
+        for a in range(W):
+            h = _win_rows(a)
+            bi = b_idx[:h]
+            blk = CAW[pl.ds(a + 1, h), pl.ds(1 + a, N)]   # close * aug
+            tl = _turner_tl_prob(
+                a, bi, d, blk, T1W, T2W, T3W, 1 + a,
+                STKT, B01, B10, I11T, I12T, I21T, I22T,
+                TMo1, TMo2, TMo3, AUGT, LENB, LENI,
+            )
+            two = two + jnp.sum(tl, axis=0, keepdims=True)
+        mb_in = mbS[pl.ds(1, 1), pl.ds(1, N)]
+        mb_term = jnp.where(d >= 2, mb_in * _row3(MBC, d), 0.0)
+        close_new = (_row3(H, d) + two + mb_term) * _row3(CANON, d)
+        close_new = jnp.where(
+            d + 1 >= MIN_SPAN_HAIRPIN_CLOSE, close_new, 0.0
+        )
+        closeF[pl.ds(d, 1), :] = close_new
+        acc_new = close_new * _row3(ACC, d)
+
+        rm_new = rm_prev * eu1 + acc_new * ebp
+        rmmb_new = rmmb_prev * mbu1 + acc_new * mbbp
+
+        for buf, row in ((FQ, rm_new), (FQM, rmmb_new)):
+            shifted = buf[pl.ds(0, N - 1), pl.ds(1, N + 7)]
+            buf[pl.ds(1, N - 1), pl.ds(0, N + 7)] = shifted
+            buf[pl.ds(0, 1), pl.ds(0, N)] = row
+
+        qblk = FQ[pl.ds(0, N), pl.ds(0, N)]
+        eblk = extrS[pl.ds(0, N), :]
+        terms = jnp.where(t_idx <= d - 1, qblk * eblk, 0.0)
+        epow = epow_prev * eu1
+        ext_new = epow + jnp.sum(terms, axis=0, keepdims=True)
+        extS[pl.ds(d, 1), :] = ext_new
+        extrS[pl.ds(d + 1, 1), :] = ext_new
+
+        qmblk = FQM[pl.ds(0, N), pl.ds(0, N)]
+        x = jnp.where((t_idx >= 1) & (t_idx <= d - 1), qmblk, 0.0)
+        s1 = rmmb_new + jnp.sum(x * powm, axis=0, keepdims=True)
+        oblk = oneS[pl.ds(0, N), :]
+        s2 = jnp.sum(oblk * x, axis=0, keepdims=True)
+        mbS[pl.ds(1, 1), :] = mbS[pl.ds(0, 1), :]
+        mbS[pl.ds(0, 1), pl.ds(0, N)] = s2
+        oneS[pl.ds(d + 1, 1), :] = s1 + s2
+
+        _shift_insert(CAW, close_new * _row3(AUGT, d))
+        _shift_insert(T1W, _row3(TMi1N, d))
+        _shift_insert(T2W, _row3(TMi2N, d))
+        _shift_insert(T3W, _row3(TMi3N, d))
+        return (rm_new, rmmb_new, epow)
+
+    lax.fori_loop(
+        0, n_i, span_step, (zero_row, zero_row, jnp.float32(1.0))
+    )
+
+    close_out[0] = closeF[:]
+    ext_out[0] = extS[:]
+    one_out[0] = oneS[pl.ds(1, N), :]
+
+
+def _turner_outside_prob_kernel(
+    SCAL,
+    CLOSE, MBC, ACC,
+    STKO, B01O, B10O, I11O, I12O, I21O, I22O,
+    TMo1N, TMo2N, TMo3N, AUGT, TMi1R, TMi2R, TMi3R,
+    ONEP, QONE,
+    EXTL, EXTR,
+    LENB, LENI,
+    bppo_out,
+    OG, T1W, T2W, T3W, XS, RPM, RPM2, bppoF, SONEF, REXT,
+    *, N, min_span,
+):
+    mbu1 = SCAL[0, 0, 2]
+    mbbp = SCAL[0, 0, 3]
+    glob = SCAL[0, 0, 4]
+    n_i = SCAL[0, 0, 7].astype(jnp.int32)
+
+    for buf in (OG, T1W, T2W, T3W, XS, RPM, RPM2, bppoF):
+        buf[:] = jnp.zeros_like(buf[:])
+    _init_swapped(SONEF, ONEP, N, N)
+    _init_swapped(REXT, EXTR, 1, N)
+
+    def _catch_up(_i, c):
+        _rotate_right(SONEF, N)
+        _rotate_right(REXT, 1)
+        return c
+
+    lax.fori_loop(0, N - n_i, _catch_up, 0)
+
+    b_idx = jax.lax.broadcasted_iota(jnp.int32, (W2, 1), 0)
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
+    s_qone = QONE[0, pl.ds(0, N), pl.ds(0, N)]
+    t_f = t_idx.astype(jnp.float32)
+    powm = jnp.exp(t_f * jnp.log(mbu1))
+    powm2 = jnp.exp((t_f - 1.0) * jnp.log(mbu1))
+    s_qone_mb = s_qone + powm2
+    inv_glob = 1.0 / glob
+
+    def span_step(step, carry):
+        d = N - 1 - step
+        span_ok = (d + 1) >= min_span
+
+        Xr = XS[pl.ds(0, N), :]
+        s_one = SONEF[pl.ds(0, N), pl.ds(0, N)]
+        pm_new = jnp.where(
+            span_ok, jnp.sum(Xr * s_one, axis=0, keepdims=True), 0.0
+        )
+        pm2_new = jnp.where(
+            span_ok, jnp.sum(Xr * powm, axis=0, keepdims=True), 0.0
+        )
+
+        for buf, row in ((RPM, pm_new), (RPM2, pm2_new)):
+            shifted = buf[pl.ds(0, N - 1), pl.ds(0, N - 1)]
+            buf[pl.ds(1, N - 1), pl.ds(1, N - 1)] = shifted
+            buf[pl.ds(1, N - 1), pl.ds(0, 1)] = jnp.zeros((N - 1, 1))
+            buf[pl.ds(0, 1), pl.ds(0, N)] = row
+
+        close_row = _row3(CLOSE, d)
+        pos = close_row > 0.0
+        inv_close = jnp.where(pos, 1.0 / jnp.where(pos, close_row, 1.0), 0.0)
+        acc_row = close_row * _row3(ACC, d)
+        lt = EXTL[0, pl.ds(0, 1), :]
+        rt = REXT[pl.ds(0, 1), pl.ds(0, N)]
+        base = lt * acc_row * rt * inv_glob
+
+        two = jnp.zeros((1, N), jnp.float32)
+        for a in range(W):
+            h = _win_rows(a)
+            bi = b_idx[:h]
+            blk = OG[pl.ds(a + 1, h), pl.ds(31 - a, N)]
+            tl = _turner_tl_prob(
+                a, bi, d, blk, T1W, T2W, T3W, 31 - a,
+                STKO, B01O, B10O, I11O, I12O, I21O, I22O,
+                TMi1R, TMi2R, TMi3R, AUGT, LENB, LENI,
+            )
+            two = two + jnp.sum(tl, axis=0, keepdims=True)
+        two = two * close_row
+
+        acc_mb = acc_row * mbbp
+        r_pm = RPM[pl.ds(0, N), pl.ds(0, N)]
+        r_pm2 = RPM2[pl.ds(0, N), pl.ds(0, N)]
+        m1 = t_idx >= 1
+        terms_a = jnp.where(m1, r_pm2 * s_qone, 0.0)
+        terms_bc = jnp.where(m1, r_pm * s_qone_mb, 0.0)
+        mb_ctx = acc_mb * (
+            jnp.sum(terms_a, axis=0, keepdims=True)
+            + jnp.sum(terms_bc, axis=0, keepdims=True)
+        )
+
+        bppo_new = base + two + mb_ctx
+        bppo_new = jnp.where(pos & span_ok, bppo_new, 0.0)
+        bppoF[pl.ds(d, 1), :] = bppo_new
+
+        g2 = bppo_new * _row3(AUGT, d) * inv_close
+        _shift_insert(OG, g2, lane_off=32)
+        _shift_insert(T1W, _row3(TMo1N, d), lane_off=32)
+        _shift_insert(T2W, _row3(TMo2N, d), lane_off=32)
+        _shift_insert(T3W, _row3(TMo3N, d), lane_off=32)
+        g_row = bppo_new * _row3(MBC, d) * inv_close
+        shifted = XS[pl.ds(0, N - 1), :]
+        XS[pl.ds(1, N - 1), :] = shifted
+        XS[pl.ds(0, 1), :] = g_row
+        _rotate_right(SONEF, N)
+        _rotate_right(REXT, 1)
+        return carry
+
+    lax.fori_loop(N - n_i, N, span_step, 0)
+    bppo_out[0] = bppoF[:]
+
+
+def _turner_scal_rows(tt, ln_sigma, ns, glob=None):
+    """(B, 1, 8) scalars: eu1 = mbu1 = exp(-ln_sigma), ebp = 1,
+    mbbp = exp(COEFF_NUM_BRANCHES)."""
+    B = ln_sigma.shape[0]
+    u = jnp.exp(-ln_sigma)
+    coeffp = jnp.broadcast_to(jnp.exp(tt["coeff_num_branches"]), (B,))
+    g = glob if glob is not None else jnp.zeros((B,))
+    scal = jnp.stack(
+        [
+            u, jnp.ones((B,)), u, coeffp, g,
+            jnp.zeros((B,)), jnp.zeros((B,)),
+            ns.astype(jnp.float32),
+        ],
+        axis=1,
+    ).astype(jnp.float32)
+    return scal[:, None, :]
+
+
+def _turner_prob_run_body(seqs, ns, tt, ln_sigma, N, interpret):
+    B = seqs.shape[0]
+    pmats = turner_prob_mats(seqs, ns, tt, ln_sigma, N)
+    LENBp, LENIp = _turner_len_prob(tt, ln_sigma)
+    scal = _turner_scal_rows(tt, ln_sigma, ns)
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((B, N, N), jnp.float32) for _ in range(3)
+    )
+    kernel = functools.partial(_turner_inside_prob_kernel, N=N)
+    close, ext, one = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            _SMEM_SPEC,
+            *(_nn(N, N) for _ in range(18)),
+            _nn(W2, W), _nn(W2, W),
+        ],
+        out_specs=(_nn(N, N), _nn(N, N), _nn(N, N)),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # CAW (close * aug)
+            pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # T1W
+            pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # T2W
+            pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # T3W
+            pltpu.VMEM((N, N + 8), jnp.float32),          # FQ
+            pltpu.VMEM((N, N + 8), jnp.float32),          # FQM
+            pltpu.VMEM((N, N), jnp.float32),              # extS
+            pltpu.VMEM((N + 1, N), jnp.float32),          # extrS
+            pltpu.VMEM((2, N + 8), jnp.float32),          # mbS 2-row ring
+            pltpu.VMEM((N + 1, N), jnp.float32),          # oneS
+            pltpu.VMEM((N, N), jnp.float32),              # closeF
+        ],
+        interpret=interpret,
+    )(
+        scal,
+        pmats["H"], pmats["MBC"], pmats["ACC"], pmats["CANON"],
+        pmats["STKT"], pmats["B01"], pmats["B10"], pmats["I11T"],
+        pmats["I12T"], pmats["I21T"], pmats["I22T"],
+        pmats["TMo1"], pmats["TMo2"], pmats["TMo3"], pmats["AUGT"],
+        pmats["TMi1"], pmats["TMi2"], pmats["TMi3"],
+        LENBp, LENIp,
+    )
+    ONEP, QONE, extL, extR, glob = PF.contra_outside_aux(
+        ns, ext, one, N, neg=0.0, one_val=1.0
+    )
+    scal_o = _turner_scal_rows(tt, ln_sigma, ns, glob=glob)
+    kernel = functools.partial(
+        _turner_outside_prob_kernel, N=N, min_span=MIN_SPAN_HAIRPIN_CLOSE
+    )
+    bppo = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            _SMEM_SPEC,
+            *(_nn(N, N) for _ in range(17)),
+            _nn(N, 2 * N),                    # ONEP
+            _nn(N, N),                        # QONE
+            _nn(1, N),                        # EXTL
+            _nn(1, 2 * N),                    # EXTR
+            _nn(W2, W), _nn(W2, W),           # LENB LENI
+        ],
+        out_specs=_nn(N, N),
+        out_shape=jax.ShapeDtypeStruct((B, N, N), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # OG
+            pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # T1W
+            pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # T2W
+            pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # T3W
+            pltpu.VMEM((N, N), jnp.float32),              # XS
+            pltpu.VMEM((N, N), jnp.float32),              # RPM
+            pltpu.VMEM((N, N), jnp.float32),              # RPM2
+            pltpu.VMEM((N, N), jnp.float32),              # bppoF
+            pltpu.VMEM((N, 2 * N), jnp.float32),          # SONEF
+            pltpu.VMEM((1, 2 * N), jnp.float32),          # REXT
+        ],
+        interpret=interpret,
+    )(
+        scal_o,
+        close, pmats["MBC"], pmats["ACC"],
+        pmats["STKO"], pmats["B01O"], pmats["B10O"], pmats["I11O"],
+        pmats["I12O"], pmats["I21O"], pmats["I22O"],
+        pmats["TMo1"], pmats["TMo2"], pmats["TMo3"], pmats["AUGT"],
+        pmats["TMi1"], pmats["TMi2"], pmats["TMi3"],
+        ONEP, QONE,
+        extL[:, None, :], extR[:, None, :],
+        LENBp, LENIp,
+    )
+    return bppo, glob
+
+
+@functools.partial(jax.jit, static_argnames=("N", "interpret"))
+def mccaskill_turner_pallas_prob(seqs, ns, tt, N, interpret=False):
+    """Scaled-probability Turner McCaskill with automatic rescale retries."""
+
+    def run(ls):
+        return _turner_prob_run_body(seqs, ns, tt, ls, N, interpret)
+
+    return _retrying(run, seqs.shape[0])

@@ -35,7 +35,8 @@ pytestmark = [
     [
         ("turner", False, "exact"),
         ("contra", True, "exact"),
-        ("contra", True, "fast"),
+        ("contra", True, "fast"),   # scaled probability-space kernels
+        ("turner", False, "fast"),  # scaled probability-space kernels
     ],
 )
 def test_pallas_hw_golden_bpps(model, contra, mode):

@@ -53,6 +53,34 @@ def test_prob_kernels_match_exact_with_retries():
         assert err < 5e-4, (k, err)
 
 
+def test_turner_prob_kernels_match_exact():
+    rng = np.random.default_rng(12)
+    N, B = 64, 3
+    seqs = np.full((B, N), PSEUDO_BASE, dtype=np.int32)
+    ns = np.zeros(B, dtype=np.int32)
+    for k in range(B):
+        n = N if k == 0 else int(rng.integers(30, N - 1))
+        seqs[k, :n] = rng.integers(0, 4, size=n)
+        ns[k] = n
+    seqs, ns = jnp.asarray(seqs), jnp.asarray(ns)
+    tt = S.turner_table_pytree()
+
+    want, _ = M.mccaskill_bpp_batch(seqs, ns, tt, N=N, contra=False)
+    want = np.asarray(want)
+    bppo, _ls = PP.mccaskill_turner_pallas_prob(
+        seqs, ns, tt, N=N, interpret=True
+    )
+    got = np.asarray(bppo)
+    for k in range(B):
+        n = int(ns[k])
+        sq = np.zeros((N, N), dtype=np.float32)
+        for d in range(N):
+            ii = np.arange(N - d)
+            sq[ii, ii + d] = got[k, d, ii]
+        err = np.abs(sq[:n, :n] - want[k, :n, :n]).max()
+        assert err < 5e-4, (k, err)
+
+
 def test_prob_dispatch_in_fast_mode():
     from rna_algos_tpu import numerics
 
