@@ -209,6 +209,18 @@ def durbin_match_probs_batch_auto(seqs1, ns1, seqs2, ns2, sc, N1, N2,
     else:
         use_pallas = PA.pallas_available(N1, N2)
     if use_pallas:
+        if (
+            get_mode() == "fast"
+            and os.environ.get("RNA_ALGOS_FAST_IMPL", "prob") == "prob"
+        ):
+            # scaled probability-space kernels (ops/pallas_align_prob.py);
+            # the device-side rescale-retry loop covers every physical
+            # per-step log growth, so no host-side fallback is needed
+            from ..ops import pallas_align_prob as PAP
+
+            return PAP.durbin_match_probs_batch_pallas_prob(
+                seqs1, ns1, seqs2, ns2, sc, N=N1
+            )
         return PA.durbin_match_probs_batch_pallas(
             seqs1, ns1, seqs2, ns2, sc, N=N1
         )

@@ -212,7 +212,7 @@ def _to_blocks(x, G):
     return jnp.transpose(x.reshape(G, LANES, rows), (0, 2, 1))
 
 
-def _unskew(X, N):
+def _unskew(X, N, fill=NEG_INF):
     """(G, 2N, N, L) diag layout -> (G, L, N, N) matrices M[i, j] = X[i+j, i].
 
     Log-depth shift/select passes (no gathers): column i needs an upward
@@ -222,7 +222,7 @@ def _unskew(X, N):
     k = 1
     while k < N:
         shifted = jnp.concatenate(
-            [X[:, k:], jnp.full_like(X[:, :k], NEG_INF)], axis=1
+            [X[:, k:], jnp.full_like(X[:, :k], fill)], axis=1
         )
         X = jnp.where((i_idx & k) != 0, shifted, X)
         k *= 2

@@ -475,7 +475,7 @@ def _prob_run_body(
     return bppo, glob
 
 
-def _retrying(run, B):
+def _retrying(run, B, ls0=None):
     """Device-side rescale-retry loop around a (ln_sigma,) -> (bppo, Z) run.
 
     Lanes whose scaled partition function over/underflowed re-run inside a
@@ -490,7 +490,10 @@ def _retrying(run, B):
         bad_lo = (glob == 0.0) & ~bad_hi
         return bad_hi, bad_lo
 
-    ls0 = jnp.full((B,), LN_SIGMA0, jnp.float32)
+    if ls0 is None:
+        ls0 = jnp.full((B,), LN_SIGMA0, jnp.float32)
+    else:
+        ls0 = jnp.broadcast_to(ls0.astype(jnp.float32), (B,))
     bppo0, glob0 = run(ls0)
     bh0, bl0 = flags(bppo0, glob0)
     state = (
