@@ -15,9 +15,13 @@ scaled probability-space kernels (``RNA_ALGOS_NUMERICS=fast``,
 ops/pallas_fold_prob.py), whose BPPs sit ~1e-4 from the reference-parity
 cubics (hardware exp is *more* accurate than the reference's piecewise-cubic
 approximations; "exact" trades speed for bit-faithfulness to them).  The
-library default stays ``exact`` (2109 seqs/s at the same shapes — see
+library default stays ``exact`` (~1.7k seqs/s at the same shapes — see
 BASELINE.md) and the golden/parity test suite pins both modes.  Set
 ``BENCH_NUMERICS=exact`` to bench the parity mode instead.
+
+Timing: ``jax.block_until_ready`` does NOT wait on the tunneled remote
+device (utils/trace.force docstring) — every sync here fetches a scalar
+that data-depends on the output buffer.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -38,6 +42,7 @@ os.environ["RNA_ALGOS_NUMERICS"] = os.environ.get("BENCH_NUMERICS", "fast")
 REFERENCE_EST_SEQS_PER_S = 800.0  # est. Rust reference, 1 host / all cores
 BATCH = int(os.environ.get("BENCH_BATCH", "192"))
 REPS = int(os.environ.get("BENCH_REPS", "5"))
+TRIALS = int(os.environ.get("BENCH_TRIALS", "10"))
 
 
 def main():
@@ -64,20 +69,30 @@ def main():
     ns = jnp.asarray(np.array([len(s) for s in batch], dtype=np.int32))
     tbl = S.contra_table_pytree(build_fold_score_sets())
 
-    # compile + warm
-    out = mccaskill_bpp_batch(arr, ns, tbl, N=N, contra=True)
-    jax.block_until_ready(out)
+    from rna_algos_tpu.utils.trace import force
 
-    # sustained throughput: enqueue all reps, sync once — dispatch latency
-    # (26 ms through the axon tunnel) overlaps device compute exactly as a
-    # production serving loop would
-    t0 = time.perf_counter()
-    outs = [
-        mccaskill_bpp_batch(arr, ns, tbl, N=N, contra=True)
-        for _ in range(REPS)
-    ]
-    jax.block_until_ready(outs)
-    dt = (time.perf_counter() - t0) / REPS
+    # compile + warm (force(): block_until_ready does not actually wait on
+    # tunneled remote devices — see utils/trace.force)
+    out = mccaskill_bpp_batch(arr, ns, tbl, N=N, contra=True)
+    force(out)
+
+    # sustained throughput: enqueue all reps (dispatch latency overlaps
+    # device compute exactly as a production serving loop would), then
+    # force every rep's output before stopping the clock.  Criterion-style
+    # min over trials rejects contention jitter on the shared device link.
+    times = []
+    for _ in range(TRIALS):
+        t0 = time.perf_counter()
+        outs = [
+            mccaskill_bpp_batch(arr, ns, tbl, N=N, contra=True)
+            for _ in range(REPS)
+        ]
+        # one fetch per rep: all outputs of a jitted call become ready
+        # together, so forcing the BPP array alone proves the execution
+        # finished
+        force([o[0] for o in outs])
+        times.append((time.perf_counter() - t0) / REPS)
+    dt = min(times)
     seqs_per_s = BATCH / dt
     print(
         json.dumps(

@@ -56,3 +56,15 @@ def test_phase_timer_metrics():
     assert s["calls"] == 1 and s["items"] == 4
     assert s["cells"] == dp_cells(100)
     assert "cells_per_s" in s
+
+
+def test_force_syncs_pytrees():
+    # utils/trace.force: the timing sync used by every bench, since
+    # jax.block_until_ready returns without waiting on tunneled devices
+    import jax.numpy as jnp
+
+    from rna_algos_tpu.utils.trace import force
+
+    tree = {"a": jnp.arange(6.0), "b": (jnp.ones((2, 3)), [3, None])}
+    assert force(tree) == 2
+    assert force([]) == 0
