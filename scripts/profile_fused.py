@@ -25,15 +25,15 @@ REPS = int(os.environ.get("PROF_REPS", "5"))
 
 def _time(fn, *args):
     # force(): block_until_ready does not wait on tunneled remote devices
-    from rna_algos_tpu.utils.trace import force
+    from rna_algos_tpu.utils.trace import force_last
 
     out = fn(*args)
-    force(out)
+    force_last(out)
     times = []
     for _ in range(REPS):
         t0 = time.perf_counter()
         out = fn(*args)
-        force(out)
+        force_last(out)
         times.append(time.perf_counter() - t0)
     return min(times)
 

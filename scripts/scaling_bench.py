@@ -51,13 +51,13 @@ def run(ndevs):
         arr = pad_seqs(batch, N)
         ns = np.array([len(s) for s in batch], dtype=np.int32)
         arr_s, ns_s = mesh_lib.shard_batch(mesh, arr, ns)
-        from rna_algos_tpu.utils.trace import force
+        from rna_algos_tpu.utils.trace import force_last
 
         out = mccaskill_bpp_batch(arr_s, ns_s, tbl, N=N, contra=True)
-        force(out)
+        force_last(out)
         t0 = time.perf_counter()
         out = mccaskill_bpp_batch(arr_s, ns_s, tbl, N=N, contra=True)
-        force(out)
+        force_last(out)
         dt = time.perf_counter() - t0
         results[nd] = B / dt
     base = results[ndevs[0]] / ndevs[0]

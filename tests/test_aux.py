@@ -68,3 +68,8 @@ def test_force_syncs_pytrees():
     tree = {"a": jnp.arange(6.0), "b": (jnp.ones((2, 3)), [3, None])}
     assert force(tree) == 2
     assert force([]) == 0
+
+    from rna_algos_tpu.utils.trace import force_last
+
+    assert force_last(tree) == 1
+    assert force_last([None, 7]) == 0
