@@ -80,6 +80,25 @@ def _win_rows(a):
     return W2
 
 
+def _live_heights(N):
+    """Static pow-2 height ladder for live-region truncation.
+
+    At span d only rows t <= d of the span-indexed scratches (shift
+    registers, ext/one tables) hold data — rows past d are the zero (or
+    log -inf) identity by construction.  Processing the covering power of
+    two instead of the full bucket height N preserves results exactly
+    (zero rows add nothing; identity rows of a pow-2 reduce tree pair off
+    exactly — same argument as _win_rows) while the per-span cost follows
+    the live wavefront instead of the bucket: ~1.9x less sublane traffic
+    at n=85/N=128, ~2.3x at Rfam-scale n<=200/N=256."""
+    hs, h = [], 32
+    while h < N:
+        hs.append(h)
+        h *= 2
+    hs.append(N)
+    return hs
+
+
 def _lse_rows(x):
     """Tree-LSE over axis 0 (sublanes), returns (1, lanes).
 
@@ -223,34 +242,48 @@ def _contra_inside_kernel(
         rm_new = lse_pair(rm_prev + ext_unpair, acc_new + ext_bp)
         rmmb_new = lse_pair(rmmb_prev + mb_unpair, acc_new + mb_bp)
 
-        # ---- bifurcation slides: FQ[t, i] = rm(i+t, i+d) ----
-        # transition d-1 -> d is rows+1 / lanes+1; lane N-1 shifts in the
-        # -inf lane pad, slot 0 takes the fresh row.
-        for buf, row in ((FQ, rm_new), (FQM, rmmb_new)):
-            shifted = buf[pl.ds(0, N - 1), pl.ds(1, N + 7)]
-            buf[pl.ds(1, N - 1), pl.ds(0, N + 7)] = shifted
-            buf[pl.ds(0, 1), pl.ds(0, N)] = row
+        # ---- bifurcation slides + O(span) reductions, truncated to the
+        # live region (_live_heights): rows past d hold the -inf init, which
+        # is an exact identity of every pow-2 lse tree, so each branch is
+        # bit-identical to the full-height computation ----
+        def tail(ht):
+            tb = t_idx[:ht]
+            # FQ[t, i] = rm(i+t, i+d); transition d-1 -> d is rows+1 /
+            # lanes+1; lane N-1 shifts in the -inf lane pad
+            for buf, row in ((FQ, rm_new), (FQM, rmmb_new)):
+                shifted = buf[pl.ds(0, ht - 1), pl.ds(1, N + 7)]
+                buf[pl.ds(1, ht - 1), pl.ds(0, N + 7)] = shifted
+                buf[pl.ds(0, 1), pl.ds(0, N)] = row
 
-        # ---- external: terms[t, i] = rm(i+t, i+d) + ext(i, i+t-1) ----
-        qblk = FQ[pl.ds(0, N), pl.ds(0, N)]
-        eblk = extrS[pl.ds(0, N), :]
-        terms = jnp.where(t_idx <= d - 1, qblk + eblk, NEG_INF)
-        base = ext_unpair * (d + 1).astype(jnp.float32)
-        ext_new = lse_pair(jnp.full((1, N), 0.0) + base, _lse_rows(terms))
-        extS[pl.ds(d, 1), :] = ext_new
-        extrS[pl.ds(d + 1, 1), :] = ext_new
+            # external: terms[t, i] = rm(i+t, i+d) + ext(i, i+t-1)
+            qblk = FQ[pl.ds(0, ht), pl.ds(0, N)]
+            eblk = extrS[pl.ds(0, ht), :]
+            terms = jnp.where(tb <= d - 1, qblk + eblk, NEG_INF)
+            base = ext_unpair * (d + 1).astype(jnp.float32)
+            ext_new = lse_pair(
+                jnp.full((1, N), 0.0) + base, _lse_rows(terms)
+            )
+            extS[pl.ds(d, 1), :] = ext_new
+            extrS[pl.ds(d + 1, 1), :] = ext_new
 
-        # ---- multibranch / one-or-more: t in [1, d-1] ----
-        qmblk = FQM[pl.ds(0, N), pl.ds(0, N)]
-        x = jnp.where((t_idx >= 1) & (t_idx <= d - 1), qmblk, NEG_INF)
-        s1 = lse_pair(
-            rmmb_new, _lse_rows(x + mb_unpair * t_idx.astype(jnp.float32))
-        )
-        oblk = oneS[pl.ds(0, N), :]                 # one(i, i+t-1): row t
-        s2 = _lse_rows(oblk + x)
-        mbS[pl.ds(1, 1), :] = mbS[pl.ds(0, 1), :]
-        mbS[pl.ds(0, 1), pl.ds(0, N)] = s2
-        oneS[pl.ds(d + 1, 1), :] = lse_pair(s1, s2)
+            # multibranch / one-or-more: t in [1, d-1]
+            qmblk = FQM[pl.ds(0, ht), pl.ds(0, N)]
+            x = jnp.where((tb >= 1) & (tb <= d - 1), qmblk, NEG_INF)
+            s1 = lse_pair(
+                rmmb_new,
+                _lse_rows(x + mb_unpair * tb.astype(jnp.float32)),
+            )
+            oblk = oneS[pl.ds(0, ht), :]            # one(i, i+t-1): row t
+            s2 = _lse_rows(oblk + x)
+            mbS[pl.ds(1, 1), :] = mbS[pl.ds(0, 1), :]
+            mbS[pl.ds(0, 1), pl.ds(0, N)] = s2
+            oneS[pl.ds(d + 1, 1), :] = lse_pair(s1, s2)
+
+        prev = 0
+        for ht in _live_heights(N):
+            cond = d < ht if prev == 0 else (d >= prev) & (d < ht)
+            pl.when(cond)(functools.partial(tail, ht))
+            prev = ht
 
         # ---- window slide picks up span d for the next steps ----
         jb_row = _row3(JB, d)
@@ -301,19 +334,13 @@ def _contra_outside_kernel(
     RPM[:] = jnp.full_like(RPM[:], NEG_INF)
     RPM2[:] = jnp.full_like(RPM2[:], NEG_INF)
     bppoF[:] = jnp.full_like(bppoF[:], NEG_INF)
-    # j-anchored context rows land in rotating scratches: static half-swap
-    # init + (N - n) catch-up rotates to the first span's alignment, then one
-    # cheap lane-rotate per span (pltpu.roll costs ~1us fixed per call on
-    # v5e, so no rolls are emitted at all)
-    _init_swapped(SONEF, ONEP, N, N)
-    _init_swapped(REXT, EXTR, 1, N)
-
-    def _catch_up(_i, c):
-        _rotate_right(SONEF, N)
-        _rotate_right(REXT, 1)
-        return c
-
-    lax.fori_loop(0, N - n_i, _catch_up, 0)
+    # j-anchored context rows land in rotating scratches; ONEP/EXTR arrive
+    # pre-rotated by (2N - n) from contra_outside_aux, so the init is a
+    # straight copy (the old half-swap + (N - n) catch-up rotations cost
+    # bucket-, not length-, proportional work) and the rotation count is a
+    # static function of the step index
+    SONEF[pl.ds(0, N), :] = ONEP[0, pl.ds(0, N), :]
+    REXT[pl.ds(0, 1), :] = EXTR[0, pl.ds(0, 1), :]
 
     b_idx = jax.lax.broadcasted_iota(jnp.int32, (W2, 1), 0)
     t_idx = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
@@ -327,27 +354,12 @@ def _contra_outside_kernel(
             mb_unpair * (t_idx - 1).astype(jnp.float32), (N, N)
         ),
     )
+    C2 = SONEF.shape[1]
 
     def span_step(step, carry):
         d = N - 1 - step
+        k = step - (N - n_i)      # completed spans: live scratch rows <= k
         span_ok = (d + 1) >= min_span
-
-        # ---- pm / pm2 (k > j context): XS[s, i] = G(i, i+d+s+1) ----
-        Xr = XS[pl.ds(0, N), :]
-        s_one = SONEF[pl.ds(0, N), pl.ds(0, N)]      # [s, i] = one(j+1, j+s)
-        pm_new = jnp.where(span_ok, _lse_rows(Xr + s_one)[0:1], NEG_INF)
-        pm2_new = jnp.where(
-            span_ok,
-            _lse_rows(Xr + mb_unpair * t_idx.astype(jnp.float32))[0:1],
-            NEG_INF,
-        )
-
-        # ---- RPM slides: RPM[t', i] = pm(i-t', i+d), rows+1 / lanes+1 ----
-        for buf, row in ((RPM, pm_new), (RPM2, pm2_new)):
-            shifted = buf[pl.ds(0, N - 1), pl.ds(0, N - 1)]
-            buf[pl.ds(1, N - 1), pl.ds(1, N - 1)] = shifted
-            buf[pl.ds(1, N - 1), pl.ds(0, 1)] = jnp.full((N - 1, 1), NEG_INF)
-            buf[pl.ds(0, 1), pl.ds(0, N)] = row
 
         # ---- bpp outside ----
         close_row = _row3(CLOSE, d)
@@ -382,42 +394,89 @@ def _contra_outside_kernel(
             tl = jnp.where(a + bi <= MAX_LOOP_LEN, body, NEG_INF)
             term = tl + blk + close_row
             two = lse_pair(two, _lse_rows(term))
-
-        # multibranch context: k < i, t' = i - k in [1, i]
         acc_mb = acc_row + mb_bp
-        r_pm = RPM[pl.ds(0, N), pl.ds(0, N)]
-        r_pm2 = RPM2[pl.ds(0, N), pl.ds(0, N)]
-        m1 = t_idx >= 1
-        terms_a = jnp.where(m1, acc_mb + r_pm2 + s_qone, NEG_INF)
-        terms_bc = jnp.where(m1, acc_mb + r_pm + s_qone_mb, NEG_INF)
-        mb_ctx = lse_pair(_lse_rows(terms_a), _lse_rows(terms_bc))
-
-        bppo_new = lse_pair(lse_pair(base, two), mb_ctx)
-        bppo_new = jnp.where(
-            (close_row > NEG_INF) & span_ok, bppo_new, NEG_INF
-        )
-        bppoF[pl.ds(d, 1), :] = bppo_new
-
-        # ---- slides pick up span d for smaller spans ----
         jsn_row = _row3(JSN, d)
-        g2 = jnp.where(
-            close_row > NEG_INF,
-            bppo_new - close_row + jsn_row,
-            NEG_INF,
-        )
-        _shift_insert(OBG, g2, lane_off=32)
-        JSR[pl.ds(1, 1), :] = JSR[pl.ds(0, 1), :]
-        JSR[pl.ds(0, 1), pl.ds(32, N)] = jsn_row
-        g_row = jnp.where(
-            close_row > NEG_INF,
-            bppo_new + _row3(MBC, d) - close_row,
-            NEG_INF,
-        )
-        shifted = XS[pl.ds(0, N - 1), :]
-        XS[pl.ds(1, N - 1), :] = shifted
-        XS[pl.ds(0, 1), :] = g_row
-        _rotate_right(SONEF, N)
-        _rotate_right(REXT, 1)
+        mbc_row = _row3(MBC, d)
+
+        # live-region truncation + lazy pow-2 block rotation: at step k only
+        # rows <= k of XS/RPM/RPM2/SONEF matter; rows past the live region
+        # hold the -inf init (exact identities of the pow-2 lse trees), so
+        # every branch is bit-identical to the full-height computation.
+        # SONEF rows a height branch doesn't cover pick up their missed
+        # rotations in one static bulk rotate when the branch activates.
+        def tail(ht):
+            tb = t_idx[:ht]
+            # pm / pm2 (k > j context): XS[s, i] = G(i, i+d+s+1)
+            Xr = XS[pl.ds(0, ht), :]
+            s_one = SONEF[pl.ds(0, ht), pl.ds(0, N)]  # [s,i] = one(j+1,j+s)
+            pm_new = jnp.where(
+                span_ok, _lse_rows(Xr + s_one)[0:1], NEG_INF
+            )
+            pm2_new = jnp.where(
+                span_ok,
+                _lse_rows(Xr + mb_unpair * tb.astype(jnp.float32))[0:1],
+                NEG_INF,
+            )
+
+            # RPM slides: RPM[t', i] = pm(i-t', i+d), rows+1 / lanes+1
+            for buf, row in ((RPM, pm_new), (RPM2, pm2_new)):
+                shifted = buf[pl.ds(0, ht - 1), pl.ds(0, N - 1)]
+                buf[pl.ds(1, ht - 1), pl.ds(1, N - 1)] = shifted
+                buf[pl.ds(1, ht - 1), pl.ds(0, 1)] = jnp.full(
+                    (ht - 1, 1), NEG_INF
+                )
+                buf[pl.ds(0, 1), pl.ds(0, N)] = row
+
+            # multibranch context: k < i, t' = i - k in [1, i]
+            r_pm = RPM[pl.ds(0, ht), pl.ds(0, N)]
+            r_pm2 = RPM2[pl.ds(0, ht), pl.ds(0, N)]
+            m1 = tb >= 1
+            terms_a = jnp.where(m1, acc_mb + r_pm2 + s_qone[:ht], NEG_INF)
+            terms_bc = jnp.where(
+                m1, acc_mb + r_pm + s_qone_mb[:ht], NEG_INF
+            )
+            mb_ctx = lse_pair(_lse_rows(terms_a), _lse_rows(terms_bc))
+
+            bppo_new = lse_pair(lse_pair(base, two), mb_ctx)
+            bppo_new = jnp.where(
+                (close_row > NEG_INF) & span_ok, bppo_new, NEG_INF
+            )
+            bppoF[pl.ds(d, 1), :] = bppo_new
+
+            # slides pick up span d for smaller spans
+            g2 = jnp.where(
+                close_row > NEG_INF,
+                bppo_new - close_row + jsn_row,
+                NEG_INF,
+            )
+            _shift_insert(OBG, g2, lane_off=32)
+            JSR[pl.ds(1, 1), :] = JSR[pl.ds(0, 1), :]
+            JSR[pl.ds(0, 1), pl.ds(32, N)] = jsn_row
+            g_row = jnp.where(
+                close_row > NEG_INF,
+                bppo_new + mbc_row - close_row,
+                NEG_INF,
+            )
+            shifted = XS[pl.ds(0, ht - 1), :]
+            XS[pl.ds(1, ht - 1), :] = shifted
+            XS[pl.ds(0, 1), :] = g_row
+            _rotate_right(SONEF, ht)
+            _rotate_right(REXT, 1)
+
+        prev = 0
+        for ht in _live_heights(N):
+            if prev:
+                def bulk(lo=prev, hi=ht):
+                    rows = hi - lo
+                    wrap = SONEF[pl.ds(lo, rows), pl.ds(C2 - lo, lo)]
+                    body = SONEF[pl.ds(lo, rows), pl.ds(0, C2 - lo)]
+                    SONEF[pl.ds(lo, rows), pl.ds(lo, C2 - lo)] = body
+                    SONEF[pl.ds(lo, rows), pl.ds(0, lo)] = wrap
+
+                pl.when(k == prev)(bulk)
+            cond = k < ht if prev == 0 else (k >= prev) & (k < ht)
+            pl.when(cond)(functools.partial(tail, ht))
+            prev = ht
         return carry
 
     # Spans >= n are dead: start the decreasing-span loop at d = n - 1
@@ -593,6 +652,15 @@ def contra_outside_aux(ns, ext_di, one_di, N, neg=NEG_INF, one_val=0.0):
             one_val,
         )                                               # ext(p, n-1)
         extR_pad = jnp.concatenate([extR, jnp.full((N,), one_val)])
+        # pre-rotate the j-anchored tables by (2N - n): the outside kernels
+        # then init their rotating scratches with a straight copy instead of
+        # a half-swap plus (N - n) catch-up rotations (bucket-, not length-,
+        # proportional work), and their per-span rotation count becomes a
+        # static function of the step index (enabling the pow-2 lazy block
+        # rotation of the live region)
+        sh = 2 * N - n.astype(jnp.int32)
+        ONEP = jnp.roll(ONEP, sh, axis=-1)
+        extR_pad = jnp.roll(extR_pad, sh)
         return ONEP, _skew_qone(one_d, N, neg), extL_sh, extR_pad, extR[0]
 
     return jax.vmap(one_seq)(ns, ext_di, one_di)
@@ -861,27 +929,39 @@ def _turner_inside_kernel(
         acc_new = close_new + _row3(ACC, d)
 
         rm_new = lse_pair(rm_prev, acc_new)
-        shifted = FQ[pl.ds(0, N - 1), pl.ds(1, N + 7)]
-        FQ[pl.ds(1, N - 1), pl.ds(0, N + 7)] = shifted
-        FQ[pl.ds(0, 1), pl.ds(0, N)] = rm_new
 
-        qblk = FQ[pl.ds(0, N), pl.ds(0, N)]
-        eblk = extrS[pl.ds(0, N), :]
-        terms = jnp.where(t_idx <= d - 1, qblk + eblk, NEG_INF)
-        ext_new = lse_pair(jnp.full((1, N), 0.0), _lse_rows(terms))
-        extS[pl.ds(d, 1), :] = ext_new
-        extrS[pl.ds(d + 1, 1), :] = ext_new
+        # live-region truncation: see the CONTRA inside kernel (rows past d
+        # hold -inf — exact identities of the pow-2 lse trees)
+        def tail(ht):
+            tb = t_idx[:ht]
+            shifted = FQ[pl.ds(0, ht - 1), pl.ds(1, N + 7)]
+            FQ[pl.ds(1, ht - 1), pl.ds(0, N + 7)] = shifted
+            FQ[pl.ds(0, 1), pl.ds(0, N)] = rm_new
 
-        # multibranch: x = rm(k, j) + coeff, t in [1, d-1] (mccaskill:364-374)
-        x = jnp.where(
-            (t_idx >= 1) & (t_idx <= d - 1), qblk + coeff, NEG_INF
-        )
-        s1 = lse_pair(rm_new + coeff, _lse_rows(x))
-        oblk = oneS[pl.ds(0, N), :]
-        s2 = _lse_rows(oblk + x)
-        mbS[pl.ds(1, 1), :] = mbS[pl.ds(0, 1), :]
-        mbS[pl.ds(0, 1), pl.ds(0, N)] = s2
-        oneS[pl.ds(d + 1, 1), :] = lse_pair(s1, s2)
+            qblk = FQ[pl.ds(0, ht), pl.ds(0, N)]
+            eblk = extrS[pl.ds(0, ht), :]
+            terms = jnp.where(tb <= d - 1, qblk + eblk, NEG_INF)
+            ext_new = lse_pair(jnp.full((1, N), 0.0), _lse_rows(terms))
+            extS[pl.ds(d, 1), :] = ext_new
+            extrS[pl.ds(d + 1, 1), :] = ext_new
+
+            # multibranch: x = rm(k, j) + coeff, t in [1, d-1]
+            # (mccaskill:364-374)
+            x = jnp.where(
+                (tb >= 1) & (tb <= d - 1), qblk + coeff, NEG_INF
+            )
+            s1 = lse_pair(rm_new + coeff, _lse_rows(x))
+            oblk = oneS[pl.ds(0, ht), :]
+            s2 = _lse_rows(oblk + x)
+            mbS[pl.ds(1, 1), :] = mbS[pl.ds(0, 1), :]
+            mbS[pl.ds(0, 1), pl.ds(0, N)] = s2
+            oneS[pl.ds(d + 1, 1), :] = lse_pair(s1, s2)
+
+        prev = 0
+        for ht in _live_heights(N):
+            cond = d < ht if prev == 0 else (d >= prev) & (d < ht)
+            pl.when(cond)(functools.partial(tail, ht))
+            prev = ht
 
         _shift_insert(CAW, close_new + _row3(AUGT, d))
         _shift_insert(T1W, _row3(TMi1N, d))
@@ -917,15 +997,11 @@ def _turner_outside_kernel(
     # host-pre-corrected (turner_precompute_di)
     for buf in (OG, T1W, T2W, T3W, XS, RPM, RPM2, bppoF):
         buf[:] = jnp.full_like(buf[:], NEG_INF)
-    _init_swapped(SONEF, ONEP, N, N)
-    _init_swapped(REXT, EXTR, 1, N)
-
-    def _catch_up(_i, c):
-        _rotate_right(SONEF, N)
-        _rotate_right(REXT, 1)
-        return c
-
-    lax.fori_loop(0, N - n_i, _catch_up, 0)
+    # ONEP/EXTR arrive pre-rotated by (2N - n) from contra_outside_aux:
+    # straight-copy init, static per-step rotation count (see the CONTRA
+    # outside kernel)
+    SONEF[pl.ds(0, N), :] = ONEP[0, pl.ds(0, N), :]
+    REXT[pl.ds(0, 1), :] = EXTR[0, pl.ds(0, 1), :]
 
     b_idx = jax.lax.broadcasted_iota(jnp.int32, (W2, 1), 0)
     t_idx = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
@@ -933,21 +1009,12 @@ def _turner_outside_kernel(
     # span-invariant merge of the two r_pm multibranch contexts (bare run
     # and the one(k+1, i-1) factor): one tree reduce per span, not two.
     s_qone_mb = lse_pair(s_qone, jnp.zeros((N, N), jnp.float32))
+    C2 = SONEF.shape[1]
 
     def span_step(step, carry):
         d = N - 1 - step
+        k = step - (N - n_i)      # completed spans: live scratch rows <= k
         span_ok = (d + 1) >= min_span
-
-        Xr = XS[pl.ds(0, N), :]
-        s_one = SONEF[pl.ds(0, N), pl.ds(0, N)]
-        pm_new = jnp.where(span_ok, _lse_rows(Xr + s_one), NEG_INF)
-        pm2_new = jnp.where(span_ok, _lse_rows(Xr), NEG_INF)
-
-        for buf, row in ((RPM, pm_new), (RPM2, pm2_new)):
-            shifted = buf[pl.ds(0, N - 1), pl.ds(0, N - 1)]
-            buf[pl.ds(1, N - 1), pl.ds(1, N - 1)] = shifted
-            buf[pl.ds(1, N - 1), pl.ds(0, 1)] = jnp.full((N - 1, 1), NEG_INF)
-            buf[pl.ds(0, 1), pl.ds(0, N)] = row
 
         close_row = _row3(CLOSE, d)
         acc_row = close_row + _row3(ACC, d)
@@ -967,40 +1034,76 @@ def _turner_outside_kernel(
             )
             term = tl + close_row
             two = lse_pair(two, _lse_rows(term))
-
         acc_mb = acc_row + coeff
-        r_pm = RPM[pl.ds(0, N), pl.ds(0, N)]
-        r_pm2 = RPM2[pl.ds(0, N), pl.ds(0, N)]
-        m1 = t_idx >= 1
-        terms_a = jnp.where(m1, acc_mb + r_pm2 + s_qone, NEG_INF)
-        terms_bc = jnp.where(m1, acc_mb + r_pm + s_qone_mb, NEG_INF)
-        mb_ctx = lse_pair(_lse_rows(terms_a), _lse_rows(terms_bc))
+        augt_row = _row3(AUGT, d)
+        mbc_row = _row3(MBC, d)
 
-        bppo_new = lse_pair(lse_pair(base, two), mb_ctx)
-        bppo_new = jnp.where(
-            (close_row > NEG_INF) & span_ok, bppo_new, NEG_INF
-        )
-        bppoF[pl.ds(d, 1), :] = bppo_new
+        # live-region truncation + lazy pow-2 block rotation: see the
+        # CONTRA outside kernel (same bit-exactness argument)
+        def tail(ht):
+            tb = t_idx[:ht]
+            Xr = XS[pl.ds(0, ht), :]
+            s_one = SONEF[pl.ds(0, ht), pl.ds(0, N)]
+            pm_new = jnp.where(span_ok, _lse_rows(Xr + s_one), NEG_INF)
+            pm2_new = jnp.where(span_ok, _lse_rows(Xr), NEG_INF)
 
-        g2 = jnp.where(
-            close_row > NEG_INF,
-            bppo_new - close_row + _row3(AUGT, d),
-            NEG_INF,
-        )
-        _shift_insert(OG, g2, lane_off=32)
-        _shift_insert(T1W, _row3(TMo1N, d), lane_off=32)
-        _shift_insert(T2W, _row3(TMo2N, d), lane_off=32)
-        _shift_insert(T3W, _row3(TMo3N, d), lane_off=32)
-        g_row = jnp.where(
-            close_row > NEG_INF,
-            bppo_new + _row3(MBC, d) - close_row,
-            NEG_INF,
-        )
-        shifted = XS[pl.ds(0, N - 1), :]
-        XS[pl.ds(1, N - 1), :] = shifted
-        XS[pl.ds(0, 1), :] = g_row
-        _rotate_right(SONEF, N)
-        _rotate_right(REXT, 1)
+            for buf, row in ((RPM, pm_new), (RPM2, pm2_new)):
+                shifted = buf[pl.ds(0, ht - 1), pl.ds(0, N - 1)]
+                buf[pl.ds(1, ht - 1), pl.ds(1, N - 1)] = shifted
+                buf[pl.ds(1, ht - 1), pl.ds(0, 1)] = jnp.full(
+                    (ht - 1, 1), NEG_INF
+                )
+                buf[pl.ds(0, 1), pl.ds(0, N)] = row
+
+            r_pm = RPM[pl.ds(0, ht), pl.ds(0, N)]
+            r_pm2 = RPM2[pl.ds(0, ht), pl.ds(0, N)]
+            m1 = tb >= 1
+            terms_a = jnp.where(m1, acc_mb + r_pm2 + s_qone[:ht], NEG_INF)
+            terms_bc = jnp.where(
+                m1, acc_mb + r_pm + s_qone_mb[:ht], NEG_INF
+            )
+            mb_ctx = lse_pair(_lse_rows(terms_a), _lse_rows(terms_bc))
+
+            bppo_new = lse_pair(lse_pair(base, two), mb_ctx)
+            bppo_new = jnp.where(
+                (close_row > NEG_INF) & span_ok, bppo_new, NEG_INF
+            )
+            bppoF[pl.ds(d, 1), :] = bppo_new
+
+            g2 = jnp.where(
+                close_row > NEG_INF,
+                bppo_new - close_row + augt_row,
+                NEG_INF,
+            )
+            _shift_insert(OG, g2, lane_off=32)
+            _shift_insert(T1W, _row3(TMo1N, d), lane_off=32)
+            _shift_insert(T2W, _row3(TMo2N, d), lane_off=32)
+            _shift_insert(T3W, _row3(TMo3N, d), lane_off=32)
+            g_row = jnp.where(
+                close_row > NEG_INF,
+                bppo_new + mbc_row - close_row,
+                NEG_INF,
+            )
+            shifted = XS[pl.ds(0, ht - 1), :]
+            XS[pl.ds(1, ht - 1), :] = shifted
+            XS[pl.ds(0, 1), :] = g_row
+            _rotate_right(SONEF, ht)
+            _rotate_right(REXT, 1)
+
+        prev = 0
+        for ht in _live_heights(N):
+            if prev:
+                def bulk(lo=prev, hi=ht):
+                    rows = hi - lo
+                    wrap = SONEF[pl.ds(lo, rows), pl.ds(C2 - lo, lo)]
+                    body = SONEF[pl.ds(lo, rows), pl.ds(0, C2 - lo)]
+                    SONEF[pl.ds(lo, rows), pl.ds(lo, C2 - lo)] = body
+                    SONEF[pl.ds(lo, rows), pl.ds(0, lo)] = wrap
+
+                pl.when(k == prev)(bulk)
+            cond = k < ht if prev == 0 else (k >= prev) & (k < ht)
+            pl.when(cond)(functools.partial(tail, ht))
+            prev = ht
         return carry
 
     # Spans >= n are dead: start at d = n - 1 (same as the CONTRA outside).

@@ -52,6 +52,7 @@ from . import scores as S
 from . import pallas_fold as PF
 from .pallas_fold import (
     W,
+    _live_heights,
     W2,
     WROWS,
     LPAD,
@@ -184,28 +185,39 @@ def _contra_inside_prob_kernel(
 
         rm_new = rm_prev * eu1 + acc_new * ebp
         rmmb_new = rmmb_prev * mbu1 + acc_new * mbbp
-
-        for buf, row in ((FQ, rm_new), (FQM, rmmb_new)):
-            shifted = buf[pl.ds(0, N - 1), pl.ds(1, N + 7)]
-            buf[pl.ds(1, N - 1), pl.ds(0, N + 7)] = shifted
-            buf[pl.ds(0, 1), pl.ds(0, N)] = row
-
-        qblk = FQ[pl.ds(0, N), pl.ds(0, N)]
-        eblk = extrS[pl.ds(0, N), :]
-        terms = jnp.where(t_idx <= d - 1, qblk * eblk, 0.0)
         epow = epow_prev * eu1                   # eu1^(d+1): empty ensemble
-        ext_new = epow + jnp.sum(terms, axis=0, keepdims=True)
-        extS[pl.ds(d, 1), :] = ext_new
-        extrS[pl.ds(d + 1, 1), :] = ext_new
 
-        qmblk = FQM[pl.ds(0, N), pl.ds(0, N)]
-        x = jnp.where((t_idx >= 1) & (t_idx <= d - 1), qmblk, 0.0)
-        s1 = rmmb_new + jnp.sum(x * powm, axis=0, keepdims=True)
-        oblk = oneS[pl.ds(0, N), :]
-        s2 = jnp.sum(oblk * x, axis=0, keepdims=True)
-        mbS[pl.ds(1, 1), :] = mbS[pl.ds(0, 1), :]
-        mbS[pl.ds(0, 1), pl.ds(0, N)] = s2
-        oneS[pl.ds(d + 1, 1), :] = s1 + s2
+        # live-region truncation (_live_heights): rows past d are zero by
+        # construction, so each span's shifts and bifurcation sums run at
+        # the covering pow-2 height instead of the full bucket height
+        def tail(ht):
+            tb = t_idx[:ht]
+            for buf, row in ((FQ, rm_new), (FQM, rmmb_new)):
+                shifted = buf[pl.ds(0, ht - 1), pl.ds(1, N + 7)]
+                buf[pl.ds(1, ht - 1), pl.ds(0, N + 7)] = shifted
+                buf[pl.ds(0, 1), pl.ds(0, N)] = row
+
+            qblk = FQ[pl.ds(0, ht), pl.ds(0, N)]
+            eblk = extrS[pl.ds(0, ht), :]
+            terms = jnp.where(tb <= d - 1, qblk * eblk, 0.0)
+            ext_new = epow + jnp.sum(terms, axis=0, keepdims=True)
+            extS[pl.ds(d, 1), :] = ext_new
+            extrS[pl.ds(d + 1, 1), :] = ext_new
+
+            qmblk = FQM[pl.ds(0, ht), pl.ds(0, N)]
+            x = jnp.where((tb >= 1) & (tb <= d - 1), qmblk, 0.0)
+            s1 = rmmb_new + jnp.sum(x * powm[:ht], axis=0, keepdims=True)
+            oblk = oneS[pl.ds(0, ht), :]
+            s2 = jnp.sum(oblk * x, axis=0, keepdims=True)
+            mbS[pl.ds(1, 1), :] = mbS[pl.ds(0, 1), :]
+            mbS[pl.ds(0, 1), pl.ds(0, N)] = s2
+            oneS[pl.ds(d + 1, 1), :] = s1 + s2
+
+        prev = 0
+        for ht in _live_heights(N):
+            cond = d < ht if prev == 0 else (d >= prev) & (d < ht)
+            pl.when(cond)(functools.partial(tail, ht))
+            prev = ht
 
         _shift_insert(CJW, close_new * _row3(JB, d))
         return (rm_new, rmmb_new, epow)
@@ -246,15 +258,11 @@ def _contra_outside_prob_kernel(
     RPM[:] = jnp.zeros_like(RPM[:])
     RPM2[:] = jnp.zeros_like(RPM2[:])
     bppoF[:] = jnp.zeros_like(bppoF[:])
-    _init_swapped(SONEF, ONEP, N, N)
-    _init_swapped(REXT, EXTR, 1, N)
-
-    def _catch_up(_i, c):
-        _rotate_right(SONEF, N)
-        _rotate_right(REXT, 1)
-        return c
-
-    lax.fori_loop(0, N - n_i, _catch_up, 0)
+    # ONEP/EXTR arrive pre-rotated by (2N - n) from the XLA side (the old
+    # in-kernel half-swap + (N - n) catch-up rotations cost bucket-, not
+    # length-, proportional work); straight copies into scratch
+    SONEF[pl.ds(0, N), :] = ONEP[0, pl.ds(0, N), :]
+    REXT[pl.ds(0, 1), :] = EXTR[0, pl.ds(0, 1), :]
 
     b_idx = jax.lax.broadcasted_iota(jnp.int32, (W2, 1), 0)
     t_idx = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
@@ -264,25 +272,12 @@ def _contra_outside_prob_kernel(
     powm2 = jnp.exp((t_f - 1.0) * jnp.log(mbu1))    # mbu1^(t-1)
     s_qone_mb = s_qone + powm2
     inv_glob = 1.0 / glob
+    C2 = SONEF.shape[1]
 
     def span_step(step, carry):
         d = N - 1 - step
+        k = step - (N - n_i)      # completed spans: live scratch rows <= k
         span_ok = (d + 1) >= min_span
-
-        Xr = XS[pl.ds(0, N), :]
-        s_one = SONEF[pl.ds(0, N), pl.ds(0, N)]
-        pm_new = jnp.where(
-            span_ok, jnp.sum(Xr * s_one, axis=0, keepdims=True), 0.0
-        )
-        pm2_new = jnp.where(
-            span_ok, jnp.sum(Xr * powm, axis=0, keepdims=True), 0.0
-        )
-
-        for buf, row in ((RPM, pm_new), (RPM2, pm2_new)):
-            shifted = buf[pl.ds(0, N - 1), pl.ds(0, N - 1)]
-            buf[pl.ds(1, N - 1), pl.ds(1, N - 1)] = shifted
-            buf[pl.ds(1, N - 1), pl.ds(0, 1)] = jnp.zeros((N - 1, 1))
-            buf[pl.ds(0, 1), pl.ds(0, N)] = row
 
         close_row = _row3(CLOSE, d)
         pos = close_row > 0.0
@@ -310,30 +305,72 @@ def _contra_outside_prob_kernel(
             tl = jnp.where(a + bi <= MAX_LOOP_LEN, body, 0.0) * blk
             two = two + jnp.sum(tl, axis=0, keepdims=True)
         two = two * close_row
-
         acc_mb = acc_row * mbbp
-        r_pm = RPM[pl.ds(0, N), pl.ds(0, N)]
-        r_pm2 = RPM2[pl.ds(0, N), pl.ds(0, N)]
-        m1 = t_idx >= 1
-        terms_a = jnp.where(m1, r_pm2 * s_qone, 0.0)
-        terms_bc = jnp.where(m1, r_pm * s_qone_mb, 0.0)
-        mb_ctx = acc_mb * (
-            jnp.sum(terms_a, axis=0, keepdims=True)
-            + jnp.sum(terms_bc, axis=0, keepdims=True)
-        )
+        jsn_row = _row3(JSN, d)
+        mbc_row = _row3(MBC, d)
 
-        bppo_new = base + two + mb_ctx
-        bppo_new = jnp.where(pos & span_ok, bppo_new, 0.0)
-        bppoF[pl.ds(d, 1), :] = bppo_new
+        # live-region truncation (_live_heights): at step k only rows <= k
+        # of XS/RPM/RPM2/SONEF matter, so each span's scans, shifts, and
+        # the SONEF rotate run at the covering pow-2 height.  SONEF rows
+        # that a height branch doesn't cover pick up their missed rotations
+        # in one static bulk rotate when the branch activates
+        def tail(ht):
+            tb = t_idx[:ht]
+            Xr = XS[pl.ds(0, ht), :]
+            s_one = SONEF[pl.ds(0, ht), pl.ds(0, N)]
+            pm_new = jnp.where(
+                span_ok, jnp.sum(Xr * s_one, axis=0, keepdims=True), 0.0
+            )
+            pm2_new = jnp.where(
+                span_ok,
+                jnp.sum(Xr * powm[:ht], axis=0, keepdims=True),
+                0.0,
+            )
+            for buf, row in ((RPM, pm_new), (RPM2, pm2_new)):
+                shifted = buf[pl.ds(0, ht - 1), pl.ds(0, N - 1)]
+                buf[pl.ds(1, ht - 1), pl.ds(1, N - 1)] = shifted
+                buf[pl.ds(1, ht - 1), pl.ds(0, 1)] = jnp.zeros((ht - 1, 1))
+                buf[pl.ds(0, 1), pl.ds(0, N)] = row
 
-        g2 = bppo_new * _row3(JSN, d) * inv_close
-        _shift_insert(OG, g2, lane_off=32)
-        g_row = bppo_new * _row3(MBC, d) * inv_close
-        shifted = XS[pl.ds(0, N - 1), :]
-        XS[pl.ds(1, N - 1), :] = shifted
-        XS[pl.ds(0, 1), :] = g_row
-        _rotate_right(SONEF, N)
-        _rotate_right(REXT, 1)
+            r_pm = RPM[pl.ds(0, ht), pl.ds(0, N)]
+            r_pm2 = RPM2[pl.ds(0, ht), pl.ds(0, N)]
+            m1 = tb >= 1
+            terms_a = jnp.where(m1, r_pm2 * s_qone[:ht], 0.0)
+            terms_bc = jnp.where(m1, r_pm * s_qone_mb[:ht], 0.0)
+            mb_ctx = acc_mb * (
+                jnp.sum(terms_a, axis=0, keepdims=True)
+                + jnp.sum(terms_bc, axis=0, keepdims=True)
+            )
+
+            bppo_new = base + two + mb_ctx
+            bppo_new = jnp.where(pos & span_ok, bppo_new, 0.0)
+            bppoF[pl.ds(d, 1), :] = bppo_new
+
+            g2 = bppo_new * jsn_row * inv_close
+            _shift_insert(OG, g2, lane_off=32)
+            g_row = bppo_new * mbc_row * inv_close
+            shifted = XS[pl.ds(0, ht - 1), :]
+            XS[pl.ds(1, ht - 1), :] = shifted
+            XS[pl.ds(0, 1), :] = g_row
+            _rotate_right(SONEF, ht)
+            _rotate_right(REXT, 1)
+
+        prev = 0
+        for ht in _live_heights(N):
+            if prev:
+                # rows [prev, ht) become live next step; apply the `prev`
+                # per-step rotations they missed in one static bulk rotate
+                def bulk(lo=prev, hi=ht):
+                    rows = hi - lo
+                    wrap = SONEF[pl.ds(lo, rows), pl.ds(C2 - lo, lo)]
+                    body = SONEF[pl.ds(lo, rows), pl.ds(0, C2 - lo)]
+                    SONEF[pl.ds(lo, rows), pl.ds(lo, C2 - lo)] = body
+                    SONEF[pl.ds(lo, rows), pl.ds(0, lo)] = wrap
+
+                pl.when(k == prev)(bulk)
+            cond = k < ht if prev == 0 else (k >= prev) & (k < ht)
+            pl.when(cond)(functools.partial(tail, ht))
+            prev = ht
         return carry
 
     lax.fori_loop(N - n_i, N, span_step, 0)
@@ -687,28 +724,37 @@ def _turner_inside_prob_kernel(
 
         rm_new = rm_prev * eu1 + acc_new * ebp
         rmmb_new = rmmb_prev * mbu1 + acc_new * mbbp
-
-        for buf, row in ((FQ, rm_new), (FQM, rmmb_new)):
-            shifted = buf[pl.ds(0, N - 1), pl.ds(1, N + 7)]
-            buf[pl.ds(1, N - 1), pl.ds(0, N + 7)] = shifted
-            buf[pl.ds(0, 1), pl.ds(0, N)] = row
-
-        qblk = FQ[pl.ds(0, N), pl.ds(0, N)]
-        eblk = extrS[pl.ds(0, N), :]
-        terms = jnp.where(t_idx <= d - 1, qblk * eblk, 0.0)
         epow = epow_prev * eu1
-        ext_new = epow + jnp.sum(terms, axis=0, keepdims=True)
-        extS[pl.ds(d, 1), :] = ext_new
-        extrS[pl.ds(d + 1, 1), :] = ext_new
 
-        qmblk = FQM[pl.ds(0, N), pl.ds(0, N)]
-        x = jnp.where((t_idx >= 1) & (t_idx <= d - 1), qmblk, 0.0)
-        s1 = rmmb_new + jnp.sum(x * powm, axis=0, keepdims=True)
-        oblk = oneS[pl.ds(0, N), :]
-        s2 = jnp.sum(oblk * x, axis=0, keepdims=True)
-        mbS[pl.ds(1, 1), :] = mbS[pl.ds(0, 1), :]
-        mbS[pl.ds(0, 1), pl.ds(0, N)] = s2
-        oneS[pl.ds(d + 1, 1), :] = s1 + s2
+        # live-region truncation: see the CONTRA inside kernel
+        def tail(ht):
+            tb = t_idx[:ht]
+            for buf, row in ((FQ, rm_new), (FQM, rmmb_new)):
+                shifted = buf[pl.ds(0, ht - 1), pl.ds(1, N + 7)]
+                buf[pl.ds(1, ht - 1), pl.ds(0, N + 7)] = shifted
+                buf[pl.ds(0, 1), pl.ds(0, N)] = row
+
+            qblk = FQ[pl.ds(0, ht), pl.ds(0, N)]
+            eblk = extrS[pl.ds(0, ht), :]
+            terms = jnp.where(tb <= d - 1, qblk * eblk, 0.0)
+            ext_new = epow + jnp.sum(terms, axis=0, keepdims=True)
+            extS[pl.ds(d, 1), :] = ext_new
+            extrS[pl.ds(d + 1, 1), :] = ext_new
+
+            qmblk = FQM[pl.ds(0, ht), pl.ds(0, N)]
+            x = jnp.where((tb >= 1) & (tb <= d - 1), qmblk, 0.0)
+            s1 = rmmb_new + jnp.sum(x * powm[:ht], axis=0, keepdims=True)
+            oblk = oneS[pl.ds(0, ht), :]
+            s2 = jnp.sum(oblk * x, axis=0, keepdims=True)
+            mbS[pl.ds(1, 1), :] = mbS[pl.ds(0, 1), :]
+            mbS[pl.ds(0, 1), pl.ds(0, N)] = s2
+            oneS[pl.ds(d + 1, 1), :] = s1 + s2
+
+        prev = 0
+        for ht in _live_heights(N):
+            cond = d < ht if prev == 0 else (d >= prev) & (d < ht)
+            pl.when(cond)(functools.partial(tail, ht))
+            prev = ht
 
         _shift_insert(CAW, close_new * _row3(AUGT, d))
         _shift_insert(T1W, _row3(TMi1N, d))
@@ -744,15 +790,10 @@ def _turner_outside_prob_kernel(
 
     for buf in (OG, T1W, T2W, T3W, XS, RPM, RPM2, bppoF):
         buf[:] = jnp.zeros_like(buf[:])
-    _init_swapped(SONEF, ONEP, N, N)
-    _init_swapped(REXT, EXTR, 1, N)
-
-    def _catch_up(_i, c):
-        _rotate_right(SONEF, N)
-        _rotate_right(REXT, 1)
-        return c
-
-    lax.fori_loop(0, N - n_i, _catch_up, 0)
+    # ONEP/EXTR arrive pre-rotated by (2N - n) from the XLA side (see the
+    # CONTRA outside kernel)
+    SONEF[pl.ds(0, N), :] = ONEP[0, pl.ds(0, N), :]
+    REXT[pl.ds(0, 1), :] = EXTR[0, pl.ds(0, 1), :]
 
     b_idx = jax.lax.broadcasted_iota(jnp.int32, (W2, 1), 0)
     t_idx = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
@@ -762,25 +803,12 @@ def _turner_outside_prob_kernel(
     powm2 = jnp.exp((t_f - 1.0) * jnp.log(mbu1))
     s_qone_mb = s_qone + powm2
     inv_glob = 1.0 / glob
+    C2 = SONEF.shape[1]
 
     def span_step(step, carry):
         d = N - 1 - step
+        k = step - (N - n_i)      # completed spans: live scratch rows <= k
         span_ok = (d + 1) >= min_span
-
-        Xr = XS[pl.ds(0, N), :]
-        s_one = SONEF[pl.ds(0, N), pl.ds(0, N)]
-        pm_new = jnp.where(
-            span_ok, jnp.sum(Xr * s_one, axis=0, keepdims=True), 0.0
-        )
-        pm2_new = jnp.where(
-            span_ok, jnp.sum(Xr * powm, axis=0, keepdims=True), 0.0
-        )
-
-        for buf, row in ((RPM, pm_new), (RPM2, pm2_new)):
-            shifted = buf[pl.ds(0, N - 1), pl.ds(0, N - 1)]
-            buf[pl.ds(1, N - 1), pl.ds(1, N - 1)] = shifted
-            buf[pl.ds(1, N - 1), pl.ds(0, 1)] = jnp.zeros((N - 1, 1))
-            buf[pl.ds(0, 1), pl.ds(0, N)] = row
 
         close_row = _row3(CLOSE, d)
         pos = close_row > 0.0
@@ -802,33 +830,70 @@ def _turner_outside_prob_kernel(
             )
             two = two + jnp.sum(tl, axis=0, keepdims=True)
         two = two * close_row
-
         acc_mb = acc_row * mbbp
-        r_pm = RPM[pl.ds(0, N), pl.ds(0, N)]
-        r_pm2 = RPM2[pl.ds(0, N), pl.ds(0, N)]
-        m1 = t_idx >= 1
-        terms_a = jnp.where(m1, r_pm2 * s_qone, 0.0)
-        terms_bc = jnp.where(m1, r_pm * s_qone_mb, 0.0)
-        mb_ctx = acc_mb * (
-            jnp.sum(terms_a, axis=0, keepdims=True)
-            + jnp.sum(terms_bc, axis=0, keepdims=True)
-        )
+        augt_row = _row3(AUGT, d)
+        mbc_row = _row3(MBC, d)
 
-        bppo_new = base + two + mb_ctx
-        bppo_new = jnp.where(pos & span_ok, bppo_new, 0.0)
-        bppoF[pl.ds(d, 1), :] = bppo_new
+        # live-region truncation + lazy pow-2 block rotation: see the
+        # CONTRA outside kernel
+        def tail(ht):
+            tb = t_idx[:ht]
+            Xr = XS[pl.ds(0, ht), :]
+            s_one = SONEF[pl.ds(0, ht), pl.ds(0, N)]
+            pm_new = jnp.where(
+                span_ok, jnp.sum(Xr * s_one, axis=0, keepdims=True), 0.0
+            )
+            pm2_new = jnp.where(
+                span_ok,
+                jnp.sum(Xr * powm[:ht], axis=0, keepdims=True),
+                0.0,
+            )
+            for buf, row in ((RPM, pm_new), (RPM2, pm2_new)):
+                shifted = buf[pl.ds(0, ht - 1), pl.ds(0, N - 1)]
+                buf[pl.ds(1, ht - 1), pl.ds(1, N - 1)] = shifted
+                buf[pl.ds(1, ht - 1), pl.ds(0, 1)] = jnp.zeros((ht - 1, 1))
+                buf[pl.ds(0, 1), pl.ds(0, N)] = row
 
-        g2 = bppo_new * _row3(AUGT, d) * inv_close
-        _shift_insert(OG, g2, lane_off=32)
-        _shift_insert(T1W, _row3(TMo1N, d), lane_off=32)
-        _shift_insert(T2W, _row3(TMo2N, d), lane_off=32)
-        _shift_insert(T3W, _row3(TMo3N, d), lane_off=32)
-        g_row = bppo_new * _row3(MBC, d) * inv_close
-        shifted = XS[pl.ds(0, N - 1), :]
-        XS[pl.ds(1, N - 1), :] = shifted
-        XS[pl.ds(0, 1), :] = g_row
-        _rotate_right(SONEF, N)
-        _rotate_right(REXT, 1)
+            r_pm = RPM[pl.ds(0, ht), pl.ds(0, N)]
+            r_pm2 = RPM2[pl.ds(0, ht), pl.ds(0, N)]
+            m1 = tb >= 1
+            terms_a = jnp.where(m1, r_pm2 * s_qone[:ht], 0.0)
+            terms_bc = jnp.where(m1, r_pm * s_qone_mb[:ht], 0.0)
+            mb_ctx = acc_mb * (
+                jnp.sum(terms_a, axis=0, keepdims=True)
+                + jnp.sum(terms_bc, axis=0, keepdims=True)
+            )
+
+            bppo_new = base + two + mb_ctx
+            bppo_new = jnp.where(pos & span_ok, bppo_new, 0.0)
+            bppoF[pl.ds(d, 1), :] = bppo_new
+
+            g2 = bppo_new * augt_row * inv_close
+            _shift_insert(OG, g2, lane_off=32)
+            _shift_insert(T1W, _row3(TMo1N, d), lane_off=32)
+            _shift_insert(T2W, _row3(TMo2N, d), lane_off=32)
+            _shift_insert(T3W, _row3(TMo3N, d), lane_off=32)
+            g_row = bppo_new * mbc_row * inv_close
+            shifted = XS[pl.ds(0, ht - 1), :]
+            XS[pl.ds(1, ht - 1), :] = shifted
+            XS[pl.ds(0, 1), :] = g_row
+            _rotate_right(SONEF, ht)
+            _rotate_right(REXT, 1)
+
+        prev = 0
+        for ht in _live_heights(N):
+            if prev:
+                def bulk(lo=prev, hi=ht):
+                    rows = hi - lo
+                    wrap = SONEF[pl.ds(lo, rows), pl.ds(C2 - lo, lo)]
+                    body = SONEF[pl.ds(lo, rows), pl.ds(0, C2 - lo)]
+                    SONEF[pl.ds(lo, rows), pl.ds(lo, C2 - lo)] = body
+                    SONEF[pl.ds(lo, rows), pl.ds(0, lo)] = wrap
+
+                pl.when(k == prev)(bulk)
+            cond = k < ht if prev == 0 else (k >= prev) & (k < ht)
+            pl.when(cond)(functools.partial(tail, ht))
+            prev = ht
         return carry
 
     lax.fori_loop(N - n_i, N, span_step, 0)
