@@ -123,6 +123,54 @@ def _contra_len_prob(ct, ln_sigma):
     return jnp.exp(base[None] - ab[None] * ln_sigma[:, None, None])
 
 
+def _banded_window_kernel(LENp, specials=((0, 0), (0, 1), (1, 0), (1, 1))):
+    """(B, 32, 32) banded MXU kernel K[a, r] = LEN[r-a-1, a].
+
+    In probability space the 2-loop window sum over (a, b) is, for fixed
+    lane shift ``a``, a weighted sum over window-buffer rows r = a+b+1 —
+    so the whole window collapses to ONE (32, 32) @ (32, N+LPAD) matmul
+    per span (rows r in [1, 31] carry the live band; a + b <= MAX_LOOP_LEN
+    bounds b <= 30 - a).  The ``specials`` (a, b) cells — stack / 0x1
+    bulges / 1x1 interior, which don't factor as LEN[b, a] * row — are
+    zeroed here and added explicitly in the kernel."""
+    a_i = jnp.arange(32)[:, None]
+    r_i = jnp.arange(32)[None, :]
+    b_v = r_i - a_i - 1
+    valid = (b_v >= 0) & (b_v <= 30 - a_i) & (a_i <= 30)
+    for (sa, sb) in specials:
+        valid = valid & ~((a_i == sa) & (b_v == sb))
+    bs = jnp.clip(b_v, 0, W2 - 1)
+    as_ = jnp.clip(a_i, 0, W - 1)
+    gathered = LENp[:, bs, jnp.broadcast_to(as_, bs.shape)]
+    return jnp.where(valid[None], gathered, 0.0)
+
+
+def _skew_extract_sum(OUT, N, base_shift, descending=False):
+    """sum_a OUT[a, i + shift(a)] via a fused log-depth shift+sum.
+
+    ``shift(a) = base_shift + a`` (inside windows) or ``base_shift - a``
+    (``descending=True``, outside windows).  Each halving level shifts one
+    half-block by the level stride and adds it to the other — rows with
+    shifts differing by h merge into one row with the common residual —
+    so the whole extraction is 5 slice+adds on halving heights (no
+    per-row selects, no separate reduce tree).  OUT is (32, >= N + 32 +
+    base_shift); returns (1, N)."""
+    x = OUT if descending else OUT[:, base_shift:]
+    h = 16
+    while h >= 1:
+        L = x.shape[1]
+        if descending:
+            # row a needs shift base - a: the LOW half needs h more
+            x = x[:h, h:] + x[h:, : L - h]
+        else:
+            x = x[:h, : L - h] + x[h:, h:]
+        h //= 2
+    if descending:
+        # residual common shift after folding 31..16..1: base - 31
+        x = x[:, base_shift - 31:]
+    return x[:, :N]
+
+
 # ---------------------------------------------------------------------------
 # Inside kernel (probability space)
 # ---------------------------------------------------------------------------
@@ -131,6 +179,7 @@ def _contra_inside_prob_kernel(
     SCAL,                                   # (1, 1, 8) SMEM scalars
     H, MBC, ACC, JS, STK, I11, B0R, B0L, CANON, JB,   # (1, N, N) [d, i]
     LEN,                                    # (1, W2, W) [b, a]
+    KB,                                     # (1, 32, 32) banded MXU kernel
     close_out, ext_out, one_out,            # (1, N, N)
     CJW, FQ, FQM, extS, extrS, mbS, oneS, closeF,
     *, N,
@@ -160,20 +209,32 @@ def _contra_inside_prob_kernel(
         rm_prev, rmmb_prev, epow_prev = carry
 
         js_row = _row3(JS, d)
-        two = zero_row
-        for a in range(W):
-            h = _win_rows(a)
-            bi = b_idx[:h]
-            blk = CJW[pl.ds(a + 1, h), pl.ds(1 + a, N)]   # close * jb
-            body = js_row * LEN[0, pl.ds(0, h), pl.ds(a, 1)]
-            if a == 0:
-                body = jnp.where(bi == 0, _row3(STK, d), body)
-                body = jnp.where(bi == 1, body * _row3(B0R, d), body)
-            elif a == 1:
-                body = jnp.where(bi == 0, body * _row3(B0L, d), body)
-                body = jnp.where(bi == 1, body * _row3(I11, d), body)
-            tl = jnp.where(a + bi <= MAX_LOOP_LEN, body, 0.0) * blk
-            two = two + jnp.sum(tl, axis=0, keepdims=True)
+        # 2-loop window as ONE MXU matmul (see _banded_window_kernel): for
+        # fixed lane shift a the b-sum is a weighted sum over window rows
+        # r = a+b+1, so OUT = K @ CJW-rows, then shift row a left by a+1
+        # and sum rows (log-depth value shifts).  The 4 special (a, b)
+        # cells are zeroed in K and added explicitly below.
+        kw = KB[0, pl.ds(0, 32), pl.ds(0, 32)]
+        rows = CJW[pl.ds(0, 32), :]
+        OUT = jax.lax.dot_general(
+            kw, rows, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,  # full-f32 MXU passes
+            preferred_element_type=jnp.float32,
+        )
+        two = js_row * _skew_extract_sum(OUT, N, 1)
+        two = two + _row3(STK, d) * CJW[pl.ds(1, 1), pl.ds(1, N)]
+        two = two + (
+            js_row * LEN[0, pl.ds(1, 1), pl.ds(0, 1)] * _row3(B0R, d)
+            * CJW[pl.ds(2, 1), pl.ds(1, N)]
+        )
+        two = two + (
+            js_row * LEN[0, pl.ds(0, 1), pl.ds(1, 1)] * _row3(B0L, d)
+            * CJW[pl.ds(2, 1), pl.ds(2, N)]
+        )
+        two = two + (
+            js_row * LEN[0, pl.ds(1, 1), pl.ds(1, 1)] * _row3(I11, d)
+            * CJW[pl.ds(3, 1), pl.ds(2, N)]
+        )
         mb_in = mbS[pl.ds(1, 1), pl.ds(1, N)]   # 2-row ring, +1 lane
         mb_term = jnp.where(d >= 2, mb_in * _row3(MBC, d), 0.0)
         close_new = (_row3(H, d) + two + mb_term) * _row3(CANON, d)
@@ -243,6 +304,7 @@ def _contra_outside_prob_kernel(
     B0LO, EXTL,                              # (1, 1, N)
     EXTR,                                    # (1, 1, 2N)
     LEN,                                     # (1, W2, W)
+    KB,                                      # (1, 32, 32) banded MXU kernel
     bppo_out,                                # (1, N, N)
     OG, XS, RPM, RPM2, bppoF, SONEF, REXT,
     *, N, min_span,
@@ -287,23 +349,31 @@ def _contra_outside_prob_kernel(
         rt = REXT[pl.ds(0, 1), pl.ds(0, N)]
         base = lt * acc_row * rt * inv_glob * ebp
 
+        # 2-loop context window as ONE MXU matmul + fused skew extraction
+        # (see the inside kernel); lane shifts here DESCEND with a (the
+        # outer pair sits left of i), hence descending extraction
         jrb_row = _row3(JRB, d)
-        two = jnp.zeros((1, N), jnp.float32)
-        for a in range(W):
-            h = _win_rows(a)
-            bi = b_idx[:h]
-            blk = OG[pl.ds(a + 1, h), pl.ds(31 - a, N)]
-            body = jrb_row * LEN[0, pl.ds(0, h), pl.ds(a, 1)]
-            if a == 0:
-                body = jnp.where(bi == 0, _row3(STKO, d), body)
-                body = jnp.where(bi == 1, body * _row3(B0RO, d), body)
-            elif a == 1:
-                body = jnp.where(
-                    bi == 0, body * B0LO[0, pl.ds(0, 1), :], body
-                )
-                body = jnp.where(bi == 1, body * _row3(I11O, d), body)
-            tl = jnp.where(a + bi <= MAX_LOOP_LEN, body, 0.0) * blk
-            two = two + jnp.sum(tl, axis=0, keepdims=True)
+        kw = KB[0, pl.ds(0, 32), pl.ds(0, 32)]
+        rows = OG[pl.ds(0, 32), :]
+        OUT = jax.lax.dot_general(
+            kw, rows, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,  # full-f32 MXU passes
+            preferred_element_type=jnp.float32,
+        )
+        two = jrb_row * _skew_extract_sum(OUT, N, 31, descending=True)
+        two = two + _row3(STKO, d) * OG[pl.ds(1, 1), pl.ds(31, N)]
+        two = two + (
+            jrb_row * LEN[0, pl.ds(1, 1), pl.ds(0, 1)] * _row3(B0RO, d)
+            * OG[pl.ds(2, 1), pl.ds(31, N)]
+        )
+        two = two + (
+            jrb_row * LEN[0, pl.ds(0, 1), pl.ds(1, 1)]
+            * B0LO[0, pl.ds(0, 1), :] * OG[pl.ds(2, 1), pl.ds(30, N)]
+        )
+        two = two + (
+            jrb_row * LEN[0, pl.ds(1, 1), pl.ds(1, 1)] * _row3(I11O, d)
+            * OG[pl.ds(3, 1), pl.ds(30, N)]
+        )
         two = two * close_row
         acc_mb = acc_row * mbbp
         jsn_row = _row3(JSN, d)
@@ -425,6 +495,7 @@ def _inside_call_prob(pmats, LENp, scal, B, N, interpret):
             _SMEM_SPEC,
             *(_nn(N, N) for _ in range(10)),
             _nn(W2, W),
+            _nn(32, 32),
         ],
         out_specs=(_nn(N, N), _nn(N, N), _nn(N, N)),
         out_shape=out_shape,
@@ -443,7 +514,7 @@ def _inside_call_prob(pmats, LENp, scal, B, N, interpret):
         scal,
         pmats["H"], pmats["MBC"], pmats["ACC"], pmats["JS"], pmats["STK"],
         pmats["I11"], pmats["B0R"], pmats["B0L"], pmats["CANON"],
-        pmats["JB"], LENp,
+        pmats["JB"], LENp, _banded_window_kernel(LENp),
     )
 
 
@@ -488,6 +559,7 @@ def _prob_run_body(
             _nn(1, N),                       # EXTL
             _nn(1, 2 * N),                   # EXTR
             _nn(W2, W),                      # LEN
+            _nn(32, 32),                     # KB
         ],
         out_specs=_nn(N, N),
         out_shape=jax.ShapeDtypeStruct((B, N, N), jnp.float32),
@@ -507,7 +579,7 @@ def _prob_run_body(
         pmats["B0RO"], pmats["JB"], pmats["JS"],
         ONEP, QONE,
         pmats["B0LO"][:, None, :], extL[:, None, :],
-        extR[:, None, :], LENp,
+        extR[:, None, :], LENp, _banded_window_kernel(LENp),
     )
     return bppo, glob
 
