@@ -60,7 +60,6 @@ from .pallas_fold import (
     _shift_insert,
     _init_swapped,
     _rotate_right,
-    _win_rows,
 )
 
 LN_SIGMA0 = 0.9          # initial per-base scale (typical folded RNA)
@@ -123,26 +122,76 @@ def _contra_len_prob(ct, ln_sigma):
     return jnp.exp(base[None] - ab[None] * ln_sigma[:, None, None])
 
 
-def _banded_window_kernel(LENp, specials=((0, 0), (0, 1), (1, 0), (1, 1))):
-    """(B, 32, 32) banded MXU kernel K[a, r] = LEN[r-a-1, a].
+def _banded_kernel(LENp, keep):
+    """(B, 32, 32) banded MXU kernel K[a, r] = LEN[r-a-1, a] on keep(a, b).
 
     In probability space the 2-loop window sum over (a, b) is, for fixed
     lane shift ``a``, a weighted sum over window-buffer rows r = a+b+1 —
-    so the whole window collapses to ONE (32, 32) @ (32, N+LPAD) matmul
-    per span (rows r in [1, 31] carry the live band; a + b <= MAX_LOOP_LEN
-    bounds b <= 30 - a).  The ``specials`` (a, b) cells — stack / 0x1
-    bulges / 1x1 interior, which don't factor as LEN[b, a] * row — are
-    zeroed here and added explicitly in the kernel."""
+    so a whole window region collapses to ONE (32, 32) @ (32, N+LPAD)
+    matmul per span (rows r in [1, 31] carry the live band;
+    a + b <= MAX_LOOP_LEN bounds b <= 30 - a).  ``keep(a, b)`` selects the
+    region whose body factors as LEN[b, a] * row; cells that don't factor
+    (stack / small bulges / small interiors, and for Turner the
+    per-region terminal-mismatch splits) are zeroed here and handled
+    explicitly in the kernel."""
     a_i = jnp.arange(32)[:, None]
     r_i = jnp.arange(32)[None, :]
     b_v = r_i - a_i - 1
-    valid = (b_v >= 0) & (b_v <= 30 - a_i) & (a_i <= 30)
-    for (sa, sb) in specials:
-        valid = valid & ~((a_i == sa) & (b_v == sb))
+    valid = (b_v >= 0) & (b_v <= 30 - a_i) & (a_i <= 30) & keep(a_i, b_v)
     bs = jnp.clip(b_v, 0, W2 - 1)
     as_ = jnp.clip(a_i, 0, W - 1)
     gathered = LENp[:, bs, jnp.broadcast_to(as_, bs.shape)]
     return jnp.where(valid[None], gathered, 0.0)
+
+
+def _banded_window_kernel(LENp, specials=((0, 0), (0, 1), (1, 0), (1, 1))):
+    """CONTRA variant: the full band minus the 4 special cells."""
+
+    def keep(a_i, b_v):
+        v = jnp.ones(jnp.broadcast_shapes(a_i.shape, b_v.shape), bool)
+        for (sa, sb) in specials:
+            v = v & ~((a_i == sa) & (b_v == sb))
+        return v
+
+    return _banded_kernel(LENp, keep)
+
+
+# Turner window regions (from the per-cell dispatch the loop formulation
+# used — see _turner_tl_prob in git history / pallas_fold._turner_tl):
+# bulges read CAW alone; TM1/TM2 interiors read CAW merged with the
+# matching inner-terminal-mismatch window; the two TM3 cells (2,3)/(3,2)
+# and the 7 small-loop specials are added explicitly.
+def _turner_banded_kernels(LENBp, LENIp):
+    KB = _banded_kernel(
+        LENBp,
+        lambda a, b: ((a == 0) & (b >= 2)) | ((a >= 2) & (b == 0)),
+    )
+    K2 = _banded_kernel(
+        LENIp,
+        lambda a, b: ((a == 1) & (b >= 3)) | ((a >= 3) & (b == 1)),
+    )
+    KI = _banded_kernel(
+        LENIp,
+        lambda a, b: (
+            ((a == 2) & (b >= 4)) | ((a == 3) & (b >= 3))
+            | ((a >= 4) & (b >= 2))
+        ),
+    )
+    return KB, K2, KI
+
+
+def _band_mm(KREF, ROWS):
+    """One banded-window MXU pass: (32, 32) kernel @ 32 window rows.
+
+    full-f32 (HIGHEST) passes — fast mode's ~1e-4 budget is against the
+    exact cubics, not against f32 rounding."""
+    kw = KREF[0, pl.ds(0, 32), pl.ds(0, 32)]
+    rows = ROWS[pl.ds(0, 32), :]
+    return jax.lax.dot_general(
+        kw, rows, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
 
 
 def _skew_extract_sum(OUT, N, base_shift, descending=False):
@@ -199,7 +248,6 @@ def _contra_inside_prob_kernel(
     oneS[:] = jnp.zeros_like(oneS[:])
     closeF[:] = jnp.zeros_like(closeF[:])
 
-    b_idx = jax.lax.broadcasted_iota(jnp.int32, (W2, 1), 0)
     t_idx = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
     zero_row = jnp.zeros((1, N), jnp.float32)
     # mbu1^t column for the t-length unpaired runs (span powers included)
@@ -214,13 +262,7 @@ def _contra_inside_prob_kernel(
         # r = a+b+1, so OUT = K @ CJW-rows, then shift row a left by a+1
         # and sum rows (log-depth value shifts).  The 4 special (a, b)
         # cells are zeroed in K and added explicitly below.
-        kw = KB[0, pl.ds(0, 32), pl.ds(0, 32)]
-        rows = CJW[pl.ds(0, 32), :]
-        OUT = jax.lax.dot_general(
-            kw, rows, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,  # full-f32 MXU passes
-            preferred_element_type=jnp.float32,
-        )
+        OUT = _band_mm(KB, CJW)
         two = js_row * _skew_extract_sum(OUT, N, 1)
         two = two + _row3(STK, d) * CJW[pl.ds(1, 1), pl.ds(1, N)]
         two = two + (
@@ -326,7 +368,6 @@ def _contra_outside_prob_kernel(
     SONEF[pl.ds(0, N), :] = ONEP[0, pl.ds(0, N), :]
     REXT[pl.ds(0, 1), :] = EXTR[0, pl.ds(0, 1), :]
 
-    b_idx = jax.lax.broadcasted_iota(jnp.int32, (W2, 1), 0)
     t_idx = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
     s_qone = QONE[0, pl.ds(0, N), pl.ds(0, N)]
     t_f = t_idx.astype(jnp.float32)
@@ -353,13 +394,7 @@ def _contra_outside_prob_kernel(
         # (see the inside kernel); lane shifts here DESCEND with a (the
         # outer pair sits left of i), hence descending extraction
         jrb_row = _row3(JRB, d)
-        kw = KB[0, pl.ds(0, 32), pl.ds(0, 32)]
-        rows = OG[pl.ds(0, 32), :]
-        OUT = jax.lax.dot_general(
-            kw, rows, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,  # full-f32 MXU passes
-            preferred_element_type=jnp.float32,
-        )
+        OUT = _band_mm(KB, OG)
         two = jrb_row * _skew_extract_sum(OUT, N, 31, descending=True)
         two = two + _row3(STKO, d) * OG[pl.ds(1, 1), pl.ds(31, N)]
         two = two + (
@@ -695,64 +730,14 @@ def _turner_len_prob(tt, ln_sigma):
     return jnp.exp(LENB[None] - f), jnp.exp(LENI[None] - f)
 
 
-def _turner_tl_prob(
-    a, bi, d, blk, T1W, T2W, T3W, lane_off,
-    SP00, SP01, SP10, SP11, SP12, SP21, SP22,
-    TM1, TM2, TM3, AUGT, LENB, LENI,
-):
-    """Probability-space mirror of pallas_fold._turner_tl (x* for +)."""
-    h = bi.shape[0]
-    N = blk.shape[1]
-    aug_row = _row3(AUGT, d)
-    lenb = LENB[0, pl.ds(0, h), pl.ds(a, 1)]
-    if a == 0:
-        body = lenb * aug_row
-    else:
-        is_1 = (a == 1) | (bi == 1)
-        is_23 = ((a == 2) & (bi == 3)) | ((a == 3) & (bi == 2))
-        tmo = jnp.where(
-            is_1, _row3(TM2, d), jnp.where(is_23, _row3(TM3, d), _row3(TM1, d))
-        )
-        if a == 1:
-            w_tmi = T2W[pl.ds(a + 1, h), pl.ds(lane_off, N)]
-        else:
-            w_tmi = T1W[pl.ds(a + 1, h), pl.ds(lane_off, N)]
-            w_tmi = jnp.where(
-                bi == 1, T2W[pl.ds(a + 2, 1), pl.ds(lane_off, N)], w_tmi
-            )
-            if a == 2:
-                w_tmi = jnp.where(
-                    bi == 3, T3W[pl.ds(a + 4, 1), pl.ds(lane_off, N)], w_tmi
-                )
-            elif a == 3:
-                w_tmi = jnp.where(
-                    bi == 2, T3W[pl.ds(a + 3, 1), pl.ds(lane_off, N)], w_tmi
-                )
-        leni = LENI[0, pl.ds(0, h), pl.ds(a, 1)]
-        body = jnp.where(
-            bi == 0, lenb * aug_row, leni * tmo * w_tmi * aug_row
-        )
-    if a == 0:
-        body = jnp.where(bi == 0, _row3(SP00, d), body)
-        body = jnp.where(bi == 1, _row3(SP01, d), body)
-    elif a == 1:
-        body = jnp.where(bi == 0, _row3(SP10, d), body)
-        body = jnp.where(bi == 1, _row3(SP11, d), body)
-        body = jnp.where(bi == 2, _row3(SP12, d), body)
-    elif a == 2:
-        body = jnp.where(bi == 1, _row3(SP21, d), body)
-        body = jnp.where(bi == 2, _row3(SP22, d), body)
-    return jnp.where(a + bi <= MAX_LOOP_LEN, body, 0.0) * blk
-
-
 def _turner_inside_prob_kernel(
     SCAL,
     H, MBC, ACC, CANON,
     STKT, B01, B10, I11T, I12T, I21T, I22T,
     TMo1, TMo2, TMo3, AUGT, TMi1N, TMi2N, TMi3N,
-    LENB, LENI,
+    LENB, LENI, KB, K2, KI,
     close_out, ext_out, one_out,
-    CAW, T1W, T2W, T3W, FQ, FQM, extS, extrS, mbS, oneS, closeF,
+    CAW, GW1, GW2, GW3, FQ, FQM, extS, extrS, mbS, oneS, closeF,
     *, N,
 ):
     eu1 = SCAL[0, 0, 0]      # = u = exp(-ln_sigma)
@@ -761,12 +746,11 @@ def _turner_inside_prob_kernel(
     mbbp = SCAL[0, 0, 3]     # = exp(COEFF_NUM_BRANCHES)
     n_i = SCAL[0, 0, 7].astype(jnp.int32)
 
-    for buf in (CAW, FQ, FQM, mbS, oneS, closeF, T1W, T2W, T3W):
+    for buf in (CAW, FQ, FQM, mbS, oneS, closeF, GW1, GW2, GW3):
         buf[:] = jnp.zeros_like(buf[:])
     extS[:] = jnp.zeros_like(extS[:])
     extrS[:] = jnp.ones_like(extrS[:])
 
-    b_idx = jax.lax.broadcasted_iota(jnp.int32, (W2, 1), 0)
     t_idx = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
     zero_row = jnp.zeros((1, N), jnp.float32)
     powm = jnp.exp(t_idx.astype(jnp.float32) * jnp.log(mbu1))
@@ -774,17 +758,34 @@ def _turner_inside_prob_kernel(
     def span_step(d, carry):
         rm_prev, rmmb_prev, epow_prev = carry
 
-        two = zero_row
-        for a in range(W):
-            h = _win_rows(a)
-            bi = b_idx[:h]
-            blk = CAW[pl.ds(a + 1, h), pl.ds(1 + a, N)]   # close * aug
-            tl = _turner_tl_prob(
-                a, bi, d, blk, T1W, T2W, T3W, 1 + a,
-                STKT, B01, B10, I11T, I12T, I21T, I22T,
-                TMo1, TMo2, TMo3, AUGT, LENB, LENI,
-            )
-            two = two + jnp.sum(tl, axis=0, keepdims=True)
+        aug_row = _row3(AUGT, d)
+        # 2-loop window as 3 banded MXU matmuls + fused skew extractions
+        # (see _banded_kernel / the CONTRA kernel): bulges over the raw
+        # close*aug window, TM1/TM2 interiors over merged close*aug*TMi
+        # windows (blk and w_tmi were read at identical [row, lane]
+        # offsets, so the products fold into the inserted rows), the 2
+        # TM3 cells and the 7 small-loop specials added explicitly.
+        two = _skew_extract_sum(_band_mm(KB, CAW), N, 1)
+        two = two + _row3(TMo1, d) * _skew_extract_sum(
+            _band_mm(KI, GW1), N, 1
+        )
+        two = two + _row3(TMo2, d) * _skew_extract_sum(
+            _band_mm(K2, GW2), N, 1
+        )
+        two = two + _row3(TMo3, d) * (
+            LENI[0, pl.ds(3, 1), pl.ds(2, 1)]
+            * GW3[pl.ds(6, 1), pl.ds(3, N)]
+            + LENI[0, pl.ds(2, 1), pl.ds(3, 1)]
+            * GW3[pl.ds(6, 1), pl.ds(4, N)]
+        )
+        two = two * aug_row
+        two = two + _row3(STKT, d) * CAW[pl.ds(1, 1), pl.ds(1, N)]
+        two = two + _row3(B01, d) * CAW[pl.ds(2, 1), pl.ds(1, N)]
+        two = two + _row3(B10, d) * CAW[pl.ds(2, 1), pl.ds(2, N)]
+        two = two + _row3(I11T, d) * CAW[pl.ds(3, 1), pl.ds(2, N)]
+        two = two + _row3(I12T, d) * CAW[pl.ds(4, 1), pl.ds(2, N)]
+        two = two + _row3(I21T, d) * CAW[pl.ds(4, 1), pl.ds(3, N)]
+        two = two + _row3(I22T, d) * CAW[pl.ds(5, 1), pl.ds(3, N)]
         mb_in = mbS[pl.ds(1, 1), pl.ds(1, N)]
         mb_term = jnp.where(d >= 2, mb_in * _row3(MBC, d), 0.0)
         close_new = (_row3(H, d) + two + mb_term) * _row3(CANON, d)
@@ -828,10 +829,11 @@ def _turner_inside_prob_kernel(
             pl.when(cond)(functools.partial(tail, ht))
             prev = ht
 
-        _shift_insert(CAW, close_new * _row3(AUGT, d))
-        _shift_insert(T1W, _row3(TMi1N, d))
-        _shift_insert(T2W, _row3(TMi2N, d))
-        _shift_insert(T3W, _row3(TMi3N, d))
+        g = close_new * aug_row
+        _shift_insert(CAW, g)
+        _shift_insert(GW1, g * _row3(TMi1N, d))
+        _shift_insert(GW2, g * _row3(TMi2N, d))
+        _shift_insert(GW3, g * _row3(TMi3N, d))
         return (rm_new, rmmb_new, epow)
 
     lax.fori_loop(
@@ -850,9 +852,9 @@ def _turner_outside_prob_kernel(
     TMo1N, TMo2N, TMo3N, AUGT, TMi1R, TMi2R, TMi3R,
     ONEP, QONE,
     EXTL, EXTR,
-    LENB, LENI,
+    LENB, LENI, KB, K2, KI,
     bppo_out,
-    OG, T1W, T2W, T3W, XS, RPM, RPM2, bppoF, SONEF, REXT,
+    OG, GW1, GW2, GW3, XS, RPM, RPM2, bppoF, SONEF, REXT,
     *, N, min_span,
 ):
     mbu1 = SCAL[0, 0, 2]
@@ -860,14 +862,13 @@ def _turner_outside_prob_kernel(
     glob = SCAL[0, 0, 4]
     n_i = SCAL[0, 0, 7].astype(jnp.int32)
 
-    for buf in (OG, T1W, T2W, T3W, XS, RPM, RPM2, bppoF):
+    for buf in (OG, GW1, GW2, GW3, XS, RPM, RPM2, bppoF):
         buf[:] = jnp.zeros_like(buf[:])
     # ONEP/EXTR arrive pre-rotated by (2N - n) from the XLA side (see the
     # CONTRA outside kernel)
     SONEF[pl.ds(0, N), :] = ONEP[0, pl.ds(0, N), :]
     REXT[pl.ds(0, 1), :] = EXTR[0, pl.ds(0, 1), :]
 
-    b_idx = jax.lax.broadcasted_iota(jnp.int32, (W2, 1), 0)
     t_idx = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
     s_qone = QONE[0, pl.ds(0, N), pl.ds(0, N)]
     t_f = t_idx.astype(jnp.float32)
@@ -889,21 +890,35 @@ def _turner_outside_prob_kernel(
         lt = EXTL[0, pl.ds(0, 1), :]
         rt = REXT[pl.ds(0, 1), pl.ds(0, N)]
         base = lt * acc_row * rt * inv_glob
+        augt_row = _row3(AUGT, d)
 
-        two = jnp.zeros((1, N), jnp.float32)
-        for a in range(W):
-            h = _win_rows(a)
-            bi = b_idx[:h]
-            blk = OG[pl.ds(a + 1, h), pl.ds(31 - a, N)]
-            tl = _turner_tl_prob(
-                a, bi, d, blk, T1W, T2W, T3W, 31 - a,
-                STKO, B01O, B10O, I11O, I12O, I21O, I22O,
-                TMi1R, TMi2R, TMi3R, AUGT, LENB, LENI,
-            )
-            two = two + jnp.sum(tl, axis=0, keepdims=True)
+        # 2-loop context window: same 3 banded matmuls as the inside
+        # kernel; lane shifts DESCEND with a (outer pair left of i)
+        two = _skew_extract_sum(
+            _band_mm(KB, OG), N, 31, descending=True
+        )
+        two = two + _row3(TMi1R, d) * _skew_extract_sum(
+            _band_mm(KI, GW1), N, 31, descending=True
+        )
+        two = two + _row3(TMi2R, d) * _skew_extract_sum(
+            _band_mm(K2, GW2), N, 31, descending=True
+        )
+        two = two + _row3(TMi3R, d) * (
+            LENI[0, pl.ds(3, 1), pl.ds(2, 1)]
+            * GW3[pl.ds(6, 1), pl.ds(29, N)]
+            + LENI[0, pl.ds(2, 1), pl.ds(3, 1)]
+            * GW3[pl.ds(6, 1), pl.ds(28, N)]
+        )
+        two = two * augt_row
+        two = two + _row3(STKO, d) * OG[pl.ds(1, 1), pl.ds(31, N)]
+        two = two + _row3(B01O, d) * OG[pl.ds(2, 1), pl.ds(31, N)]
+        two = two + _row3(B10O, d) * OG[pl.ds(2, 1), pl.ds(30, N)]
+        two = two + _row3(I11O, d) * OG[pl.ds(3, 1), pl.ds(30, N)]
+        two = two + _row3(I12O, d) * OG[pl.ds(4, 1), pl.ds(30, N)]
+        two = two + _row3(I21O, d) * OG[pl.ds(4, 1), pl.ds(29, N)]
+        two = two + _row3(I22O, d) * OG[pl.ds(5, 1), pl.ds(29, N)]
         two = two * close_row
         acc_mb = acc_row * mbbp
-        augt_row = _row3(AUGT, d)
         mbc_row = _row3(MBC, d)
 
         # live-region truncation + lazy pow-2 block rotation: see the
@@ -942,9 +957,9 @@ def _turner_outside_prob_kernel(
 
             g2 = bppo_new * augt_row * inv_close
             _shift_insert(OG, g2, lane_off=32)
-            _shift_insert(T1W, _row3(TMo1N, d), lane_off=32)
-            _shift_insert(T2W, _row3(TMo2N, d), lane_off=32)
-            _shift_insert(T3W, _row3(TMo3N, d), lane_off=32)
+            _shift_insert(GW1, g2 * _row3(TMo1N, d), lane_off=32)
+            _shift_insert(GW2, g2 * _row3(TMo2N, d), lane_off=32)
+            _shift_insert(GW3, g2 * _row3(TMo3N, d), lane_off=32)
             g_row = bppo_new * mbc_row * inv_close
             shifted = XS[pl.ds(0, ht - 1), :]
             XS[pl.ds(1, ht - 1), :] = shifted
@@ -994,6 +1009,7 @@ def _turner_prob_run_body(seqs, ns, tt, ln_sigma, N, interpret):
     B = seqs.shape[0]
     pmats = turner_prob_mats(seqs, ns, tt, ln_sigma, N)
     LENBp, LENIp = _turner_len_prob(tt, ln_sigma)
+    KB, K2, KI = _turner_banded_kernels(LENBp, LENIp)
     scal = _turner_scal_rows(tt, ln_sigma, ns)
     out_shape = tuple(
         jax.ShapeDtypeStruct((B, N, N), jnp.float32) for _ in range(3)
@@ -1006,6 +1022,7 @@ def _turner_prob_run_body(seqs, ns, tt, ln_sigma, N, interpret):
             _SMEM_SPEC,
             *(_nn(N, N) for _ in range(18)),
             _nn(W2, W), _nn(W2, W),
+            _nn(32, 32), _nn(32, 32), _nn(32, 32),
         ],
         out_specs=(_nn(N, N), _nn(N, N), _nn(N, N)),
         out_shape=out_shape,
@@ -1030,7 +1047,7 @@ def _turner_prob_run_body(seqs, ns, tt, ln_sigma, N, interpret):
         pmats["I12T"], pmats["I21T"], pmats["I22T"],
         pmats["TMo1"], pmats["TMo2"], pmats["TMo3"], pmats["AUGT"],
         pmats["TMi1"], pmats["TMi2"], pmats["TMi3"],
-        LENBp, LENIp,
+        LENBp, LENIp, KB, K2, KI,
     )
     ONEP, QONE, extL, extR, glob = PF.contra_outside_aux(
         ns, ext, one, N, neg=0.0, one_val=1.0
@@ -1050,6 +1067,7 @@ def _turner_prob_run_body(seqs, ns, tt, ln_sigma, N, interpret):
             _nn(1, N),                        # EXTL
             _nn(1, 2 * N),                    # EXTR
             _nn(W2, W), _nn(W2, W),           # LENB LENI
+            _nn(32, 32), _nn(32, 32), _nn(32, 32),   # KB K2 KI
         ],
         out_specs=_nn(N, N),
         out_shape=jax.ShapeDtypeStruct((B, N, N), jnp.float32),
@@ -1075,7 +1093,7 @@ def _turner_prob_run_body(seqs, ns, tt, ln_sigma, N, interpret):
         pmats["TMi1"], pmats["TMi2"], pmats["TMi3"],
         ONEP, QONE,
         extL[:, None, :], extR[:, None, :],
-        LENBp, LENIp,
+        LENBp, LENIp, KB, K2, KI,
     )
     return bppo, glob
 
