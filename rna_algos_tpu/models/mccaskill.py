@@ -392,26 +392,47 @@ def mccaskill_bpp_batch_pallas(seqs, ns, tbl, N, contra=True,
     pow-2 N <= 256 (whole-DP-state-in-VMEM budget, ops/pallas_fold.py).
 
     In fast numerics mode the CONTRA model runs the scaled
-    probability-space kernels (ops/pallas_fold_prob.py): hardware exp/mul
-    instead of log-space cubics, with automatic per-sequence rescale
-    retries.  ``RNA_ALGOS_FAST_IMPL=log`` pins the log-space fast path.
+    probability-space kernels — sublane-stacked 8-seqs-per-grid-step at
+    N <= 128 (ops/pallas_fold_prob8.py), per-sequence otherwise
+    (ops/pallas_fold_prob.py) — with automatic per-sequence rescale
+    retries.  ``RNA_ALGOS_FAST_IMPL=prob1`` pins the per-sequence
+    probability kernels; ``=log`` pins the log-space fast path.
     """
     import os
 
-    if (
-        get_mode() == "fast"
-        and os.environ.get("RNA_ALGOS_FAST_IMPL", "prob") == "prob"
-    ):
+    impl = os.environ.get("RNA_ALGOS_FAST_IMPL", "prob")
+    if get_mode() == "fast" and impl in ("prob", "prob1"):
         from ..ops import pallas_fold_prob as PP
 
         # The device-side rescale loop covers ln_sigma +- 5.4 (per-base
         # log-Z in [-4.5, 6.3] — far beyond physical RNA), so no host-side
         # validity check/fallback is needed; everything stays async.
         if contra:
-            bppo, _ls = PP.mccaskill_contra_pallas_prob(
-                seqs, ns, tbl, N=N,
-                allows_short_hairpins=allows_short_hairpins,
-            )
+            if impl == "prob" and N <= 128:
+                # sublane-stacked kernels (8 seqs per grid step; see
+                # ops/pallas_fold_prob8.py); batch padded to a multiple
+                # of 8 (static shapes — the pad is compile-time)
+                from ..ops import pallas_fold_prob8 as P8
+
+                B = seqs.shape[0]
+                pad = (-B) % P8.G
+                if pad:
+                    seqs_p = jnp.concatenate(
+                        [seqs, jnp.tile(seqs[:1], (pad, 1))], axis=0
+                    )
+                    ns_p = jnp.concatenate([ns, jnp.tile(ns[:1], (pad,))])
+                else:
+                    seqs_p, ns_p = seqs, ns
+                bppo, _ls = P8.mccaskill_contra_pallas_prob8(
+                    seqs_p, ns_p, tbl, N=N,
+                    allows_short_hairpins=allows_short_hairpins,
+                )
+                bppo = bppo[:B]
+            else:
+                bppo, _ls = PP.mccaskill_contra_pallas_prob(
+                    seqs, ns, tbl, N=N,
+                    allows_short_hairpins=allows_short_hairpins,
+                )
         else:
             bppo, _ls = PP.mccaskill_turner_pallas_prob(seqs, ns, tbl, N=N)
         return _prob_finish(bppo, ns, N=N)

@@ -624,14 +624,18 @@ def _skew_qone(one_di, N, neg=NEG_INF):
     return diag.unskew_pq(M5, neg)[:, 1:]
 
 
-def contra_outside_aux(ns, ext_di, one_di, N, neg=NEG_INF, one_val=0.0):
+def contra_outside_aux(ns, ext_di, one_di, N, neg=NEG_INF, one_val=0.0,
+                       n_rot=None):
     """Outside-kernel inputs derived from the inside outputs.
 
     ``neg`` is the empty-ensemble fill and ``one_val`` the unit-ensemble fill
     — (-inf, 0) in log space, (0, 1) in the scaled probability space of
-    ops/pallas_fold_prob.py."""
+    ops/pallas_fold_prob.py.  ``n_rot`` overrides the per-sequence
+    pre-rotation length (the stacked kernels loop each 8-sequence group to
+    the group max, so every member must be pre-rotated by 2N - max_n; the
+    in-kernel alignment N + step is then identical for all members)."""
 
-    def one_seq(n, ext_d, one_d):
+    def one_seq(n, nr, ext_d, one_d):
         ONEP = jnp.concatenate(
             [
                 jnp.full((1, 2 * N), neg),
@@ -658,12 +662,14 @@ def contra_outside_aux(ns, ext_di, one_di, N, neg=NEG_INF, one_val=0.0):
         # proportional work), and their per-span rotation count becomes a
         # static function of the step index (enabling the pow-2 lazy block
         # rotation of the live region)
-        sh = 2 * N - n.astype(jnp.int32)
+        sh = 2 * N - nr.astype(jnp.int32)
         ONEP = jnp.roll(ONEP, sh, axis=-1)
         extR_pad = jnp.roll(extR_pad, sh)
         return ONEP, _skew_qone(one_d, N, neg), extL_sh, extR_pad, extR[0]
 
-    return jax.vmap(one_seq)(ns, ext_di, one_di)
+    if n_rot is None:
+        n_rot = ns
+    return jax.vmap(one_seq)(ns, n_rot, ext_di, one_di)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,570 @@
+"""Sublane-stacked (G=8) scaled probability-space CONTRA McCaskill kernels.
+
+The per-sequence fast kernels (ops/pallas_fold_prob.py) are ISSUE-bound:
+each span step is ~30-40 Mosaic ops on (1, N) rows / small blocks, so a
+span costs ~0.35-0.75 us regardless of how little data it touches, and a
+192-seq batch serializes ~16k span steps on the one TensorCore.  This
+module runs the SAME recurrences with G = 8 sequences interleaved along
+sublanes: row ``t`` of every per-sequence table/scratch becomes row block
+``t*8 + g``.  Consequences, all structural:
+
+* every dynamic row read/write ``[d]`` becomes an 8-row block at offset
+  ``8*d`` — exactly Mosaic's 8-aligned dynamic multi-row access pattern
+  (unaligned dynamic loads fail to lower, see ops/pallas_fold.py);
+* every (1, N) row op becomes an (8, N) op — one vreg at N = 128 — so the
+  same instruction count serves 8 sequences;
+* the banded 2-loop window matmul (see pallas_fold_prob._banded_kernel)
+  becomes ONE (256, 256) @ (256, N+33) striped-block-diagonal matmul per
+  span for all 8 sequences (KBIG[a*8+g, r*8+g] = K_g[a, r]);
+* O(span) bifurcation sums become strided tree reductions (`_tree8`) that
+  halve on multiples of 8 sublanes, preserving per-sequence alignment.
+
+Per-sequence scalars (eu1, sigma powers, 1/Z) ride either lane-broadcast
+(8, N) rows of a small VEC input or are folded into the score tables on
+the host (`_merge_inside` / `_merge_outside`), which also drops the CANON
+/ LEN-special reads from the span loop entirely.
+
+Short sequences in a group of 8 run to the group's max length; the extra
+spans produce exact zeros (CANON zeroes `close`, and everything else is
+data-dependent on it), and the inside outputs are re-masked to the
+per-sequence length before the outside auxiliaries — so results equal
+the per-sequence kernels' up to float reassociation of the tree sums.
+
+Reference recurrences: /root/reference/src/mccaskill_algo.rs:380-516
+(inside), :612-723 (outside).  Gated to buckets N <= 128: the VMEM
+working set (tables + scratches) is ~10 MB at N = 128 and would exceed
+the ~16 MB/core VMEM at 256; larger buckets keep the per-sequence path.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..constants import MIN_SPAN_HAIRPIN_CLOSE
+from . import pallas_fold as PF
+from . import pallas_fold_prob as PP
+from .pallas_fold import LPAD
+
+G = 8
+WB = 33 * G       # window scratch rows: insert block + 32 aged read blocks
+
+
+# ---------------------------------------------------------------------------
+# Host-side layout helpers
+# ---------------------------------------------------------------------------
+
+def ilv(x):
+    """(B, R, C) -> (B/G, R*G, C): row t of seq k*G+g lands at [k, t*G+g]."""
+    B, R, C = x.shape
+    return (
+        x.reshape(B // G, G, R, C).transpose(0, 2, 1, 3).reshape(B // G, R * G, C)
+    )
+
+
+def dilv(y):
+    """Inverse of :func:`ilv`."""
+    K, RG, C = y.shape
+    R = RG // G
+    return y.reshape(K, R, G, C).transpose(0, 2, 1, 3).reshape(K * G, R, C)
+
+
+def _kbig(K):
+    """(B, 32, 32) per-seq banded kernels -> (B/G, 256, 256) striped
+    block-diagonal: KBIG[a*8+g, r*8+g'] = K[g, a, r] * delta(g, g')."""
+    B = K.shape[0]
+    Kg = K.reshape(B // G, G, 32, 32)
+    eye = jnp.eye(G, dtype=K.dtype)
+    # [k, a, g, r, g'] -> (k, 256, 256)
+    out = jnp.einsum("kgar,gh->kagrh", Kg, eye)
+    return out.reshape(B // G, 32 * G, 32 * G)
+
+
+def _bcast_rows(N, *cols):
+    """Stack per-seq scalars (B,) as lane-broadcast rows: (B/G, 8*len, N)."""
+    blocks = [
+        jnp.broadcast_to(c.reshape(-1, G, 1, 1), (c.shape[0] // G, G, 1, N))
+        for c in cols
+    ]
+    return jnp.concatenate(blocks, axis=2).transpose(0, 2, 1, 3).reshape(
+        cols[0].shape[0] // G, len(cols) * G, N
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kernel-side helpers
+# ---------------------------------------------------------------------------
+
+def _tree8(x):
+    """Per-sequence sublane sum: (t*8, N) -> (8, N), halving on multiples
+    of 8 so row t*8+g only ever merges with rows of the same g."""
+    while x.shape[0] > G:
+        h = x.shape[0] // 2
+        x = x[:h] + x[h:]
+    return x
+
+
+def _shift_insert8(buf, blk, lane_off=0):
+    """Slide a window scratch one 8-row block down, insert ``blk`` at 0."""
+    R = buf.shape[0]
+    buf[pl.ds(G, R - G), :] = buf[pl.ds(0, R - G), :]
+    buf[pl.ds(0, G), pl.ds(lane_off, blk.shape[1])] = blk
+
+
+def _skew_extract_sum8(OUT, N, base_shift, descending=False):
+    """Stacked skew extraction: rows a*8+g, per-a lane shifts as in
+    pallas_fold_prob._skew_extract_sum; returns (8, N)."""
+    x = OUT if descending else OUT[:, base_shift:]
+    h = 16
+    while h >= 1:
+        L = x.shape[1]
+        hh = h * G
+        if descending:
+            x = x[:hh, h:] + x[hh:, : L - h]
+        else:
+            x = x[:hh, : L - h] + x[hh:, h:]
+        h //= 2
+    if descending:
+        x = x[:, base_shift - 31:]
+    return x[:, :N]
+
+
+def _band_mm8(KREF, ROWS):
+    """(256, 256) striped kernel @ 256 window rows (32 blocks of 8)."""
+    kw = KREF[0, pl.ds(0, 32 * G), pl.ds(0, 32 * G)]
+    rows = ROWS[pl.ds(0, 32 * G), :]
+    return jax.lax.dot_general(
+        kw, rows, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _blk(ref, d):
+    """(8, N) dynamic 8-row block read of a (1, R*8, C) input ref."""
+    return ref[0, pl.ds(d * G, G), :]
+
+
+def _powm_rows(LOGMBU, N, off=0.0):
+    """(N*8, N) powm[t*8+g, :] = mbu1_g ** (t - off), from the (8, N)
+    lane-broadcast LOGMBU value (no concat: 8 masked selects)."""
+    NG = N * G
+    sub = jax.lax.broadcasted_iota(jnp.int32, (NG, 1), 0)
+    t8 = (sub // G).astype(jnp.float32) - off
+    logm = jnp.zeros((NG, N), jnp.float32)
+    for g in range(G):
+        logm = jnp.where(sub % G == g, LOGMBU[g : g + 1, :], logm)
+    return jnp.exp(t8 * logm)
+
+
+# ---------------------------------------------------------------------------
+# Inside kernel (stacked)
+# ---------------------------------------------------------------------------
+
+def _inside8_kernel(
+    SCAL,                                    # (1, 1, 8) SMEM: [7] = max n
+    VEC,                                     # (1, 40, N): eu1 ebp mbu1 mbbp logmbu
+    H, MBC, ACC, JS, STK, I11, B0R, B0L, JB,  # (1, N*8, N) merged [d*8+g, i]
+    KBIG,                                    # (1, 256, 256)
+    close_out, ext_out, one_out,             # (1, N*8, N)
+    CJW, FQ, FQM, extrS, mbS, oneS, POWS,
+    *, N,
+):
+    n_i = SCAL[0, 0, 7].astype(jnp.int32)
+    EU1 = VEC[0, pl.ds(0, G), :]
+    EBP = VEC[0, pl.ds(G, G), :]
+    MBU1 = VEC[0, pl.ds(2 * G, G), :]
+    MBBP = VEC[0, pl.ds(3 * G, G), :]
+    LOGMBU = VEC[0, pl.ds(4 * G, G), :]
+
+    for buf in (CJW, FQ, FQM, mbS, oneS, extrS):
+        buf[:] = jnp.zeros_like(buf[:])
+    extrS[pl.ds(0, G), :] = jnp.ones((G, N), jnp.float32)
+    close_out[0] = jnp.zeros_like(close_out[0])
+    ext_out[0] = jnp.zeros_like(ext_out[0])
+    one_out[0] = jnp.zeros_like(one_out[0])
+    POWS[:] = _powm_rows(LOGMBU, N)
+
+    NG = N * G
+    sub = jax.lax.broadcasted_iota(jnp.int32, (NG, 1), 0)
+    tb_full = sub // G
+    zero_blk = jnp.zeros((G, N), jnp.float32)
+
+    def span_step(d, carry):
+        rm_prev, rmmb_prev, epow_prev = carry
+
+        js_blk = _blk(JS, d)
+        OUT = _band_mm8(KBIG, CJW)
+        two = js_blk * _skew_extract_sum8(OUT, N, 1)
+        two = two + _blk(STK, d) * CJW[pl.ds(G, G), pl.ds(1, N)]
+        two = two + _blk(B0R, d) * CJW[pl.ds(2 * G, G), pl.ds(1, N)]
+        two = two + _blk(B0L, d) * CJW[pl.ds(2 * G, G), pl.ds(2, N)]
+        two = two + _blk(I11, d) * CJW[pl.ds(3 * G, G), pl.ds(2, N)]
+        mb_in = mbS[pl.ds(G, G), pl.ds(1, N)]
+        mb_term = jnp.where(d >= 2, mb_in * _blk(MBC, d), 0.0)
+        close_new = _blk(H, d) + two + mb_term
+        close_new = jnp.where(
+            d + 1 >= MIN_SPAN_HAIRPIN_CLOSE, close_new, 0.0
+        )
+        close_out[0, pl.ds(d * G, G), :] = close_new
+        acc_new = close_new * _blk(ACC, d)
+
+        rm_new = rm_prev * EU1 + acc_new * EBP
+        rmmb_new = rmmb_prev * MBU1 + acc_new * MBBP
+        epow = epow_prev * EU1
+
+        def tail(ht):
+            hg = ht * G
+            tb = tb_full[:hg]
+            for buf, row in ((FQ, rm_new), (FQM, rmmb_new)):
+                shifted = buf[pl.ds(0, hg - G), pl.ds(1, N + 7)]
+                buf[pl.ds(G, hg - G), pl.ds(0, N + 7)] = shifted
+                buf[pl.ds(0, G), pl.ds(0, N)] = row
+
+            qblk = FQ[pl.ds(0, hg), pl.ds(0, N)]
+            eblk = extrS[pl.ds(0, hg), :]
+            terms = jnp.where(tb <= d - 1, qblk * eblk, 0.0)
+            ext_new = epow + _tree8(terms)
+            ext_out[0, pl.ds(d * G, G), :] = ext_new
+            extrS[pl.ds((d + 1) * G, G), :] = ext_new
+
+            qmblk = FQM[pl.ds(0, hg), pl.ds(0, N)]
+            x = jnp.where((tb >= 1) & (tb <= d - 1), qmblk, 0.0)
+            s1 = rmmb_new + _tree8(x * POWS[pl.ds(0, hg), :])
+            oblk = oneS[pl.ds(0, hg), :]
+            s2 = _tree8(oblk * x)
+            mbS[pl.ds(G, G), :] = mbS[pl.ds(0, G), :]
+            mbS[pl.ds(0, G), pl.ds(0, N)] = s2
+            oneS[pl.ds((d + 1) * G, G), :] = s1 + s2
+
+        prev = 0
+        for ht in PF._live_heights(N):
+            cond = d < ht if prev == 0 else (d >= prev) & (d < ht)
+            pl.when(cond)(functools.partial(tail, ht))
+            prev = ht
+
+        _shift_insert8(CJW, close_new * _blk(JB, d))
+        return (rm_new, rmmb_new, epow)
+
+    lax.fori_loop(
+        0, n_i, span_step, (zero_blk, zero_blk, jnp.ones((G, N), jnp.float32))
+    )
+    one_out[0] = oneS[pl.ds(G, NG), :]
+
+
+# ---------------------------------------------------------------------------
+# Outside kernel (stacked)
+# ---------------------------------------------------------------------------
+
+def _outside8_kernel(
+    SCAL,                                    # (1, 1, 8) SMEM: [7] = max n
+    VEC,                                     # (1, 16, N): logmbu, b0lo'
+    CLOSE, MBC, ACCB, ACCMB, STKO, I11O, B0RO, JRB, JSN,  # (1, N*8, N)
+    ONEP,                                    # (1, N*8, 2N) pre-rotated
+    QONE,                                    # (1, N*8, N)
+    EXTR,                                    # (1, 8, 2N) pre-rotated
+    KBIG,                                    # (1, 256, 256)
+    bppo_out,                                # (1, N*8, N)
+    OG, XS, RPM, RPM2, SONEF, REXT, POWS, POW2S,
+    *, N, min_span,
+):
+    n_i = SCAL[0, 0, 7].astype(jnp.int32)
+    LOGMBU = VEC[0, pl.ds(0, G), :]
+    B0LOv = VEC[0, pl.ds(G, G), :]
+
+    for buf in (OG, XS, RPM, RPM2):
+        buf[:] = jnp.zeros_like(buf[:])
+    bppo_out[0] = jnp.zeros_like(bppo_out[0])
+    NG = N * G
+    SONEF[pl.ds(0, NG), :] = ONEP[0, pl.ds(0, NG), :]
+    REXT[pl.ds(0, G), :] = EXTR[0, pl.ds(0, G), :]
+    POWS[:] = _powm_rows(LOGMBU, N)
+    POW2S[:] = _powm_rows(LOGMBU, N, off=1.0)
+
+    sub = jax.lax.broadcasted_iota(jnp.int32, (NG, 1), 0)
+    tb_full = sub // G
+    C2 = SONEF.shape[1]
+
+    def span_step(step, carry):
+        d = N - 1 - step
+        k = step - (N - n_i)
+        span_ok = (d + 1) >= min_span
+
+        close_blk = _blk(CLOSE, d)
+        pos = close_blk > 0.0
+        inv_close = jnp.where(
+            pos, 1.0 / jnp.where(pos, close_blk, 1.0), 0.0
+        )
+        rt = REXT[pl.ds(0, G), pl.ds(0, N)]
+        base = close_blk * _blk(ACCB, d) * rt
+
+        jrb_blk = _blk(JRB, d)
+        OUT = _band_mm8(KBIG, OG)
+        two = jrb_blk * _skew_extract_sum8(OUT, N, 31, descending=True)
+        two = two + _blk(STKO, d) * OG[pl.ds(G, G), pl.ds(31, N)]
+        two = two + _blk(B0RO, d) * OG[pl.ds(2 * G, G), pl.ds(31, N)]
+        two = two + jrb_blk * B0LOv * OG[pl.ds(2 * G, G), pl.ds(30, N)]
+        two = two + _blk(I11O, d) * OG[pl.ds(3 * G, G), pl.ds(30, N)]
+        two = two * close_blk
+        acc_mb = close_blk * _blk(ACCMB, d)
+        jsn_blk = _blk(JSN, d)
+        mbc_blk = _blk(MBC, d)
+
+        def tail(ht):
+            hg = ht * G
+            tb = tb_full[:hg]
+            Xr = XS[pl.ds(0, hg), :]
+            s_one = SONEF[pl.ds(0, hg), pl.ds(0, N)]
+            pm_new = jnp.where(span_ok, _tree8(Xr * s_one), 0.0)
+            pm2_new = jnp.where(
+                span_ok, _tree8(Xr * POWS[pl.ds(0, hg), :]), 0.0
+            )
+            for buf, row in ((RPM, pm_new), (RPM2, pm2_new)):
+                shifted = buf[pl.ds(0, hg - G), pl.ds(0, N - 1)]
+                buf[pl.ds(G, hg - G), pl.ds(1, N - 1)] = shifted
+                buf[pl.ds(G, hg - G), pl.ds(0, 1)] = jnp.zeros(
+                    (hg - G, 1), jnp.float32
+                )
+                buf[pl.ds(0, G), pl.ds(0, N)] = row
+
+            r_pm = RPM[pl.ds(0, hg), pl.ds(0, N)]
+            r_pm2 = RPM2[pl.ds(0, hg), pl.ds(0, N)]
+            m1 = tb >= 1
+            qone_blk = QONE[0, pl.ds(0, hg), :]
+            qone_mb = qone_blk + POW2S[pl.ds(0, hg), :]
+            terms_a = jnp.where(m1, r_pm2 * qone_blk, 0.0)
+            terms_bc = jnp.where(m1, r_pm * qone_mb, 0.0)
+            mb_ctx = acc_mb * (_tree8(terms_a) + _tree8(terms_bc))
+
+            bppo_new = base + two + mb_ctx
+            bppo_new = jnp.where(pos & span_ok, bppo_new, 0.0)
+            bppo_out[0, pl.ds(d * G, G), :] = bppo_new
+
+            g2 = bppo_new * jsn_blk * inv_close
+            _shift_insert8(OG, g2, lane_off=32)
+            g_row = bppo_new * mbc_blk * inv_close
+            shifted = XS[pl.ds(0, hg - G), :]
+            XS[pl.ds(G, hg - G), :] = shifted
+            XS[pl.ds(0, G), :] = g_row
+            PF._rotate_right(SONEF, hg)
+            PF._rotate_right(REXT, G)
+
+        prev = 0
+        for ht in PF._live_heights(N):
+            if prev:
+                def bulk(lo=prev, hi=ht):
+                    rows = (hi - lo) * G
+                    wrap = SONEF[pl.ds(lo * G, rows), pl.ds(C2 - lo, lo)]
+                    body = SONEF[pl.ds(lo * G, rows), pl.ds(0, C2 - lo)]
+                    SONEF[pl.ds(lo * G, rows), pl.ds(lo, C2 - lo)] = body
+                    SONEF[pl.ds(lo * G, rows), pl.ds(0, lo)] = wrap
+
+                pl.when(k == prev)(bulk)
+            cond = k < ht if prev == 0 else (k >= prev) & (k < ht)
+            pl.when(cond)(functools.partial(tail, ht))
+            prev = ht
+        return carry
+
+    lax.fori_loop(N - n_i, N, span_step, 0)
+
+
+# ---------------------------------------------------------------------------
+# Host-side table merging + call wrappers
+# ---------------------------------------------------------------------------
+
+def _nn(*shape):
+    return pl.BlockSpec(
+        (1,) + shape,
+        lambda b: (b,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM,
+    )
+
+
+_SMEM_SPEC = pl.BlockSpec(
+    (1, 1, 8), lambda b: (b, 0, 0), memory_space=pltpu.SMEM
+)
+
+
+def _group_scal(ns, B):
+    n_max = jnp.max(ns.reshape(B // G, G), axis=1).astype(jnp.float32)
+    z = jnp.zeros((B // G,), jnp.float32)
+    scal = jnp.stack([z] * 7 + [n_max], axis=1)
+    return scal[:, None, :], n_max
+
+
+def _merge_inside(pmats, LENp):
+    """Fold CANON and the per-seq LEN special coefficients into the
+    [d, i] tables (see the per-seq kernel's span body)."""
+    canon = pmats["CANON"]
+    js = pmats["JS"] * canon
+    len10 = LENp[:, 1, 0][:, None, None]
+    len01 = LENp[:, 0, 1][:, None, None]
+    len11 = LENp[:, 1, 1][:, None, None]
+    return {
+        "H": pmats["H"] * canon,
+        "MBC": pmats["MBC"] * canon,
+        "ACC": pmats["ACC"],
+        "JS": js,
+        "STK": pmats["STK"] * canon,
+        "I11": js * len11 * pmats["I11"],
+        "B0R": js * len10 * pmats["B0R"],
+        "B0L": js * len01 * pmats["B0L"],
+        "JB": pmats["JB"],
+    }
+
+
+def _merge_outside(close, pmats, LENp, extL, glob, ebp, mbbp):
+    """Fold EXTL / 1/Z / ebp / mbbp / LEN specials into the [d, i] tables.
+
+    Same role swap as the per-sequence outside call: the inner-junction
+    table JB plays the outer role (JRB) and JS the new-inner role (JSN)."""
+    inv_glob = (1.0 / glob)[:, None, None]
+    len10 = LENp[:, 1, 0][:, None, None]
+    len01 = LENp[:, 0, 1][:, None, None]
+    len11 = LENp[:, 1, 1][:, None, None]
+    jrb = pmats["JB"]
+    return {
+        "CLOSE": close,
+        "MBC": pmats["MBC"],
+        "ACCB": pmats["ACC"] * extL[:, None, :] * inv_glob
+        * ebp[:, None, None],
+        "ACCMB": pmats["ACC"] * mbbp[:, None, None],
+        "STKO": pmats["STKO"],
+        "I11O": jrb * len11 * pmats["I11O"],
+        "B0RO": jrb * len10 * pmats["B0RO"],
+        "JRB": jrb,
+        "JSN": pmats["JS"],
+    }, len01[:, 0] * pmats["B0LO"]
+
+
+def _prob8_run_body(seqs, ns, ct, ln_sigma, N, allows_short_hairpins,
+                    interpret):
+    B = seqs.shape[0]
+    K = B // G
+    NG = N * G
+    pmats = PP.contra_prob_mats(seqs, ns, ct, ln_sigma, N)
+    LENp = PP._contra_len_prob(ct, ln_sigma)
+    KBIG = _kbig(PP._banded_window_kernel(LENp))
+    scal, n_max = _group_scal(ns, B)
+
+    eu1 = jnp.exp(ct["external_score_unpair"] - ln_sigma)
+    ebp = jnp.broadcast_to(jnp.exp(ct["external_score_basepair"]), (B,))
+    mbu1 = jnp.exp(ct["multibranch_score_unpair"] - ln_sigma)
+    mbbp = jnp.broadcast_to(
+        jnp.exp(ct["multibranch_score_basepair"]), (B,)
+    )
+    logmbu = jnp.broadcast_to(
+        ct["multibranch_score_unpair"] - ln_sigma, (B,)
+    )
+    vec_i = _bcast_rows(N, eu1, ebp, mbu1, mbbp, logmbu)
+
+    mi = {k: ilv(v) for k, v in _merge_inside(pmats, LENp).items()}
+
+    kernel = functools.partial(_inside8_kernel, N=N)
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((K, NG, N), jnp.float32) for _ in range(3)
+    )
+    close8, ext8, one8 = pl.pallas_call(
+        kernel,
+        grid=(K,),
+        in_specs=[
+            _SMEM_SPEC,
+            _nn(5 * G, N),
+            *(_nn(NG, N) for _ in range(9)),
+            _nn(32 * G, 32 * G),
+        ],
+        out_specs=(_nn(NG, N), _nn(NG, N), _nn(NG, N)),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((WB, N + LPAD), jnp.float32),        # CJW
+            pltpu.VMEM((NG, N + 8), jnp.float32),           # FQ
+            pltpu.VMEM((NG, N + 8), jnp.float32),           # FQM
+            pltpu.VMEM((NG + G, N), jnp.float32),           # extrS
+            pltpu.VMEM((2 * G, N + 8), jnp.float32),        # mbS
+            pltpu.VMEM((NG + G, N), jnp.float32),           # oneS
+            pltpu.VMEM((NG, N), jnp.float32),               # POWS
+        ],
+        interpret=interpret,
+    )(
+        scal, vec_i,
+        mi["H"], mi["MBC"], mi["ACC"], mi["JS"], mi["STK"],
+        mi["I11"], mi["B0R"], mi["B0L"], mi["JB"], KBIG,
+    )
+
+    close, ext, one = dilv(close8), dilv(ext8), dilv(one8)
+    # re-mask rows past each sequence's own length: the group loop runs to
+    # the group max, and the outside auxiliaries index rows by per-seq n
+    live = jnp.arange(N)[None, :, None] < ns[:, None, None]
+    ext = jnp.where(live, ext, 0.0)
+    one = jnp.where(live, one, 0.0)
+
+    ONEP, QONE, extL, extR, glob = PF.contra_outside_aux(
+        ns, ext, one, N, neg=0.0, one_val=1.0,
+        n_rot=jnp.repeat(n_max.astype(jnp.int32), G),
+    )
+
+    mo, b0lo = _merge_outside(close, pmats, LENp, extL, glob, ebp, mbbp)
+    mo8 = {k: ilv(v) for k, v in mo.items()}
+    vec_o = jnp.concatenate(
+        [_bcast_rows(N, logmbu), ilv(b0lo[:, None, :])], axis=1
+    )
+    ONEP8 = ilv(ONEP)
+    QONE8 = ilv(QONE)
+    EXTR8 = ilv(extR[:, None, :])
+
+    min_span = 2 if allows_short_hairpins else MIN_SPAN_HAIRPIN_CLOSE
+    kernel_o = functools.partial(_outside8_kernel, N=N, min_span=min_span)
+    bppo8 = pl.pallas_call(
+        kernel_o,
+        grid=(K,),
+        in_specs=[
+            _SMEM_SPEC,
+            _nn(2 * G, N),
+            *(_nn(NG, N) for _ in range(9)),
+            _nn(NG, 2 * N),                    # ONEP
+            _nn(NG, N),                        # QONE
+            _nn(G, 2 * N),                     # EXTR
+            _nn(32 * G, 32 * G),
+        ],
+        out_specs=_nn(NG, N),
+        out_shape=jax.ShapeDtypeStruct((K, NG, N), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((WB, N + LPAD), jnp.float32),        # OG
+            pltpu.VMEM((NG, N), jnp.float32),               # XS
+            pltpu.VMEM((NG, N), jnp.float32),               # RPM
+            pltpu.VMEM((NG, N), jnp.float32),               # RPM2
+            pltpu.VMEM((NG, 2 * N), jnp.float32),           # SONEF
+            pltpu.VMEM((G, 2 * N), jnp.float32),            # REXT
+            pltpu.VMEM((NG, N), jnp.float32),               # POWS
+            pltpu.VMEM((NG, N), jnp.float32),               # POW2S
+        ],
+        interpret=interpret,
+    )(
+        scal, vec_o,
+        mo8["CLOSE"], mo8["MBC"], mo8["ACCB"], mo8["ACCMB"], mo8["STKO"],
+        mo8["I11O"], mo8["B0RO"], mo8["JRB"], mo8["JSN"],
+        ONEP8, QONE8, EXTR8, KBIG,
+    )
+    return dilv(bppo8), glob
+
+
+@functools.partial(
+    jax.jit, static_argnames=("N", "allows_short_hairpins", "interpret")
+)
+def mccaskill_contra_pallas_prob8(
+    seqs, ns, ct, N, allows_short_hairpins=False, interpret=False
+):
+    """Stacked (G=8) scaled-probability CONTRA McCaskill with retries.
+
+    Requires batch size a multiple of 8 (callers pad; see
+    models.mccaskill).  Returns (bppo [d, i], ln_sigma per seq)."""
+
+    def run(ls):
+        return _prob8_run_body(
+            seqs, ns, ct, ls, N, allows_short_hairpins, interpret
+        )
+
+    return PP._retrying(run, seqs.shape[0])

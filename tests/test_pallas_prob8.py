@@ -1,0 +1,69 @@
+"""Sublane-stacked (G=8) fast-mode kernels vs the per-sequence ones.
+
+Interpret mode (backend-agnostic); the Mosaic-compiled stacked path is
+pinned on hardware by tests/test_pallas_hw.py's ("contra", True, "fast")
+case, which dispatches here via models.mccaskill at N <= 128.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from rna_algos_tpu.constants import PSEUDO_BASE
+from rna_algos_tpu.params import build_fold_score_sets
+from rna_algos_tpu.ops import scores as S
+from rna_algos_tpu.ops import pallas_fold_prob as PP
+from rna_algos_tpu.ops import pallas_fold_prob8 as P8
+
+CT = S.contra_table_pytree(build_fold_score_sets())
+
+
+def _batch(B, N, seed):
+    rng = np.random.default_rng(seed)
+    seqs = np.full((B, N), PSEUDO_BASE, dtype=np.int32)
+    ns = np.zeros(B, dtype=np.int32)
+    for k in range(B):
+        n = N if k == 0 else int(rng.integers(30, N - 1))
+        seqs[k, :n] = rng.integers(0, 4, size=n)
+        ns[k] = n
+    return jnp.asarray(seqs), jnp.asarray(ns)
+
+
+def test_stacked8_matches_perseq():
+    N, B = 64, 16  # two groups, ragged lengths within each
+    seqs, ns = _batch(B, N, 5)
+    want, ls_w = PP.mccaskill_contra_pallas_prob(
+        seqs, ns, CT, N=N, interpret=True
+    )
+    got, ls_g = P8.mccaskill_contra_pallas_prob8(
+        seqs, ns, CT, N=N, interpret=True
+    )
+    assert np.array_equal(np.asarray(ls_w), np.asarray(ls_g))
+    err = np.abs(np.asarray(got) - np.asarray(want)).max()
+    # identical recurrences; only the strided tree-sum reassociation differs
+    assert err < 1e-4, err
+
+
+def test_stacked8_interleave_roundtrip():
+    x = jnp.arange(16 * 5 * 3, dtype=jnp.float32).reshape(16, 5, 3)
+    y = P8.ilv(x)
+    assert y.shape == (2, 40, 3)
+    # row t of seq k*G+g lands at [k, t*G+g]
+    assert np.array_equal(np.asarray(y[1, 2 * 8 + 3]), np.asarray(x[11, 2]))
+    assert np.array_equal(np.asarray(P8.dilv(y)), np.asarray(x))
+
+
+def test_stacked8_dispatch_pads_ragged_batch():
+    from rna_algos_tpu.models import mccaskill as M
+    from rna_algos_tpu import numerics
+
+    N, B = 64, 11  # not a multiple of 8: dispatch must pad and slice
+    seqs, ns = _batch(B, N, 9)
+    want, _ = M.mccaskill_bpp_batch(seqs, ns, CT, N=N, contra=True)
+    bppo, _ = P8.mccaskill_contra_pallas_prob8(
+        jnp.concatenate([seqs, jnp.tile(seqs[:1], (5, 1))], axis=0),
+        jnp.concatenate([ns, jnp.tile(ns[:1], (5,))]),
+        CT, N=N, interpret=True,
+    )
+    got = np.asarray(M._prob_finish(bppo[:B], ns, N=N)[0])
+    want = np.asarray(want)
+    assert np.abs(got - want).max() < 5e-4
