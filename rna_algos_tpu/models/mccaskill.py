@@ -434,7 +434,26 @@ def mccaskill_bpp_batch_pallas(seqs, ns, tbl, N, contra=True,
                     allows_short_hairpins=allows_short_hairpins,
                 )
         else:
-            bppo, _ls = PP.mccaskill_turner_pallas_prob(seqs, ns, tbl, N=N)
+            if impl == "prob" and N <= 128:
+                from ..ops import pallas_fold_prob8 as P8
+
+                B = seqs.shape[0]
+                pad = (-B) % P8.G
+                if pad:
+                    seqs_p = jnp.concatenate(
+                        [seqs, jnp.tile(seqs[:1], (pad, 1))], axis=0
+                    )
+                    ns_p = jnp.concatenate([ns, jnp.tile(ns[:1], (pad,))])
+                else:
+                    seqs_p, ns_p = seqs, ns
+                bppo, _ls = P8.mccaskill_turner_pallas_prob8(
+                    seqs_p, ns_p, tbl, N=N
+                )
+                bppo = bppo[:B]
+            else:
+                bppo, _ls = PP.mccaskill_turner_pallas_prob(
+                    seqs, ns, tbl, N=N
+                )
         return _prob_finish(bppo, ns, N=N)
     return _mccaskill_bpp_batch_pallas(
         seqs, ns, tbl, N=N, contra=contra,

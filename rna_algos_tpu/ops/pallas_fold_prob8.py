@@ -568,3 +568,437 @@ def mccaskill_contra_pallas_prob8(
         )
 
     return PP._retrying(run, seqs.shape[0])
+
+
+# ---------------------------------------------------------------------------
+# Turner model, stacked (same machinery; 3 banded regions + 7 specials +
+# 2 TM3 cells per span — see pallas_fold_prob's per-seq Turner kernels)
+# ---------------------------------------------------------------------------
+
+def _turner_inside8_kernel(
+    SCAL,                                    # (1, 1, 8) SMEM: [7] = max n
+    VEC,                                     # (1, 56, N)
+    H, MBC, ACC, AUGC, TMO1C, TMO2C, TMO3C,  # (1, N*8, N) merged
+    SP00, SP01, SP10, SP11, SP12, SP21, SP22,
+    AUGT, TMI1, TMI2, TMI3,
+    KB, K2, KI,                              # (1, 256, 256)
+    close_out, ext_out, one_out,
+    CAW, GW1, GW2, GW3, FQ, FQM, extrS, mbS, oneS, POWS,
+    *, N,
+):
+    n_i = SCAL[0, 0, 7].astype(jnp.int32)
+    EU1 = VEC[0, pl.ds(0, G), :]
+    EBP = VEC[0, pl.ds(G, G), :]
+    MBU1 = VEC[0, pl.ds(2 * G, G), :]
+    MBBP = VEC[0, pl.ds(3 * G, G), :]
+    LOGMBU = VEC[0, pl.ds(4 * G, G), :]
+    LENI32 = VEC[0, pl.ds(5 * G, G), :]
+    LENI23 = VEC[0, pl.ds(6 * G, G), :]
+
+    for buf in (CAW, GW1, GW2, GW3, FQ, FQM, mbS, oneS, extrS):
+        buf[:] = jnp.zeros_like(buf[:])
+    extrS[pl.ds(0, G), :] = jnp.ones((G, N), jnp.float32)
+    close_out[0] = jnp.zeros_like(close_out[0])
+    ext_out[0] = jnp.zeros_like(ext_out[0])
+    POWS[:] = _powm_rows(LOGMBU, N)
+
+    NG = N * G
+    sub = jax.lax.broadcasted_iota(jnp.int32, (NG, 1), 0)
+    tb_full = sub // G
+    zero_blk = jnp.zeros((G, N), jnp.float32)
+
+    def span_step(d, carry):
+        rm_prev, rmmb_prev, epow_prev = carry
+
+        two = _blk(AUGC, d) * _skew_extract_sum8(_band_mm8(KB, CAW), N, 1)
+        two = two + _blk(TMO1C, d) * _skew_extract_sum8(
+            _band_mm8(KI, GW1), N, 1
+        )
+        two = two + _blk(TMO2C, d) * _skew_extract_sum8(
+            _band_mm8(K2, GW2), N, 1
+        )
+        two = two + _blk(TMO3C, d) * (
+            LENI32 * GW3[pl.ds(6 * G, G), pl.ds(3, N)]
+            + LENI23 * GW3[pl.ds(6 * G, G), pl.ds(4, N)]
+        )
+        two = two + _blk(SP00, d) * CAW[pl.ds(G, G), pl.ds(1, N)]
+        two = two + _blk(SP01, d) * CAW[pl.ds(2 * G, G), pl.ds(1, N)]
+        two = two + _blk(SP10, d) * CAW[pl.ds(2 * G, G), pl.ds(2, N)]
+        two = two + _blk(SP11, d) * CAW[pl.ds(3 * G, G), pl.ds(2, N)]
+        two = two + _blk(SP12, d) * CAW[pl.ds(4 * G, G), pl.ds(2, N)]
+        two = two + _blk(SP21, d) * CAW[pl.ds(4 * G, G), pl.ds(3, N)]
+        two = two + _blk(SP22, d) * CAW[pl.ds(5 * G, G), pl.ds(3, N)]
+        mb_in = mbS[pl.ds(G, G), pl.ds(1, N)]
+        mb_term = jnp.where(d >= 2, mb_in * _blk(MBC, d), 0.0)
+        close_new = _blk(H, d) + two + mb_term
+        close_new = jnp.where(
+            d + 1 >= MIN_SPAN_HAIRPIN_CLOSE, close_new, 0.0
+        )
+        close_out[0, pl.ds(d * G, G), :] = close_new
+        acc_new = close_new * _blk(ACC, d)
+
+        rm_new = rm_prev * EU1 + acc_new * EBP
+        rmmb_new = rmmb_prev * MBU1 + acc_new * MBBP
+        epow = epow_prev * EU1
+
+        def tail(ht):
+            hg = ht * G
+            tb = tb_full[:hg]
+            for buf, row in ((FQ, rm_new), (FQM, rmmb_new)):
+                shifted = buf[pl.ds(0, hg - G), pl.ds(1, N + 7)]
+                buf[pl.ds(G, hg - G), pl.ds(0, N + 7)] = shifted
+                buf[pl.ds(0, G), pl.ds(0, N)] = row
+
+            qblk = FQ[pl.ds(0, hg), pl.ds(0, N)]
+            eblk = extrS[pl.ds(0, hg), :]
+            terms = jnp.where(tb <= d - 1, qblk * eblk, 0.0)
+            ext_new = epow + _tree8(terms)
+            ext_out[0, pl.ds(d * G, G), :] = ext_new
+            extrS[pl.ds((d + 1) * G, G), :] = ext_new
+
+            qmblk = FQM[pl.ds(0, hg), pl.ds(0, N)]
+            x = jnp.where((tb >= 1) & (tb <= d - 1), qmblk, 0.0)
+            s1 = rmmb_new + _tree8(x * POWS[pl.ds(0, hg), :])
+            oblk = oneS[pl.ds(0, hg), :]
+            s2 = _tree8(oblk * x)
+            mbS[pl.ds(G, G), :] = mbS[pl.ds(0, G), :]
+            mbS[pl.ds(0, G), pl.ds(0, N)] = s2
+            oneS[pl.ds((d + 1) * G, G), :] = s1 + s2
+
+        prev = 0
+        for ht in PF._live_heights(N):
+            cond = d < ht if prev == 0 else (d >= prev) & (d < ht)
+            pl.when(cond)(functools.partial(tail, ht))
+            prev = ht
+
+        g = close_new * _blk(AUGT, d)
+        _shift_insert8(CAW, g)
+        _shift_insert8(GW1, g * _blk(TMI1, d))
+        _shift_insert8(GW2, g * _blk(TMI2, d))
+        _shift_insert8(GW3, g * _blk(TMI3, d))
+        return (rm_new, rmmb_new, epow)
+
+    lax.fori_loop(
+        0, n_i, span_step, (zero_blk, zero_blk, jnp.ones((G, N), jnp.float32))
+    )
+    one_out[0] = oneS[pl.ds(G, NG), :]
+
+
+def _turner_outside8_kernel(
+    SCAL,
+    VEC,                                     # (1, 8, N): logmbu
+    CLOSE, MBC, ACCB, ACCMB, AUGT, TMI1C, TMI2C, TMI3C,
+    SP00, SP01, SP10, SP11, SP12, SP21, SP22,
+    TMO1, TMO2, TMO3,
+    ONEP, QONE, EXTR,
+    KB, K2, KI,
+    bppo_out,
+    OG, GW1, GW2, GW3, XS, RPM, RPM2, SONEF, REXT, POWS, POW2S,
+    *, N, min_span,
+):
+    n_i = SCAL[0, 0, 7].astype(jnp.int32)
+    LOGMBU = VEC[0, pl.ds(0, G), :]
+    LENI32 = VEC[0, pl.ds(G, G), :]
+    LENI23 = VEC[0, pl.ds(2 * G, G), :]
+
+    for buf in (OG, GW1, GW2, GW3, XS, RPM, RPM2):
+        buf[:] = jnp.zeros_like(buf[:])
+    bppo_out[0] = jnp.zeros_like(bppo_out[0])
+    NG = N * G
+    SONEF[pl.ds(0, NG), :] = ONEP[0, pl.ds(0, NG), :]
+    REXT[pl.ds(0, G), :] = EXTR[0, pl.ds(0, G), :]
+    POWS[:] = _powm_rows(LOGMBU, N)
+    POW2S[:] = _powm_rows(LOGMBU, N, off=1.0)
+
+    sub = jax.lax.broadcasted_iota(jnp.int32, (NG, 1), 0)
+    tb_full = sub // G
+    C2 = SONEF.shape[1]
+
+    def span_step(step, carry):
+        d = N - 1 - step
+        k = step - (N - n_i)
+        span_ok = (d + 1) >= min_span
+
+        close_blk = _blk(CLOSE, d)
+        pos = close_blk > 0.0
+        inv_close = jnp.where(
+            pos, 1.0 / jnp.where(pos, close_blk, 1.0), 0.0
+        )
+        rt = REXT[pl.ds(0, G), pl.ds(0, N)]
+        base = close_blk * _blk(ACCB, d) * rt
+
+        two = _blk(AUGT, d) * _skew_extract_sum8(
+            _band_mm8(KB, OG), N, 31, descending=True
+        )
+        two = two + _blk(TMI1C, d) * _skew_extract_sum8(
+            _band_mm8(KI, GW1), N, 31, descending=True
+        )
+        two = two + _blk(TMI2C, d) * _skew_extract_sum8(
+            _band_mm8(K2, GW2), N, 31, descending=True
+        )
+        two = two + _blk(TMI3C, d) * (
+            LENI32 * GW3[pl.ds(6 * G, G), pl.ds(29, N)]
+            + LENI23 * GW3[pl.ds(6 * G, G), pl.ds(28, N)]
+        )
+        two = two + _blk(SP00, d) * OG[pl.ds(G, G), pl.ds(31, N)]
+        two = two + _blk(SP01, d) * OG[pl.ds(2 * G, G), pl.ds(31, N)]
+        two = two + _blk(SP10, d) * OG[pl.ds(2 * G, G), pl.ds(30, N)]
+        two = two + _blk(SP11, d) * OG[pl.ds(3 * G, G), pl.ds(30, N)]
+        two = two + _blk(SP12, d) * OG[pl.ds(4 * G, G), pl.ds(30, N)]
+        two = two + _blk(SP21, d) * OG[pl.ds(4 * G, G), pl.ds(29, N)]
+        two = two + _blk(SP22, d) * OG[pl.ds(5 * G, G), pl.ds(29, N)]
+        two = two * close_blk
+        acc_mb = close_blk * _blk(ACCMB, d)
+
+        def tail(ht):
+            hg = ht * G
+            tb = tb_full[:hg]
+            Xr = XS[pl.ds(0, hg), :]
+            s_one = SONEF[pl.ds(0, hg), pl.ds(0, N)]
+            pm_new = jnp.where(span_ok, _tree8(Xr * s_one), 0.0)
+            pm2_new = jnp.where(
+                span_ok, _tree8(Xr * POWS[pl.ds(0, hg), :]), 0.0
+            )
+            for buf, row in ((RPM, pm_new), (RPM2, pm2_new)):
+                shifted = buf[pl.ds(0, hg - G), pl.ds(0, N - 1)]
+                buf[pl.ds(G, hg - G), pl.ds(1, N - 1)] = shifted
+                buf[pl.ds(G, hg - G), pl.ds(0, 1)] = jnp.zeros(
+                    (hg - G, 1), jnp.float32
+                )
+                buf[pl.ds(0, G), pl.ds(0, N)] = row
+
+            r_pm = RPM[pl.ds(0, hg), pl.ds(0, N)]
+            r_pm2 = RPM2[pl.ds(0, hg), pl.ds(0, N)]
+            m1 = tb >= 1
+            qone_blk = QONE[0, pl.ds(0, hg), :]
+            qone_mb = qone_blk + POW2S[pl.ds(0, hg), :]
+            terms_a = jnp.where(m1, r_pm2 * qone_blk, 0.0)
+            terms_bc = jnp.where(m1, r_pm * qone_mb, 0.0)
+            mb_ctx = acc_mb * (_tree8(terms_a) + _tree8(terms_bc))
+
+            bppo_new = base + two + mb_ctx
+            bppo_new = jnp.where(pos & span_ok, bppo_new, 0.0)
+            bppo_out[0, pl.ds(d * G, G), :] = bppo_new
+
+            g2 = bppo_new * _blk(AUGT, d) * inv_close
+            _shift_insert8(OG, g2, lane_off=32)
+            _shift_insert8(GW1, g2 * _blk(TMO1, d), lane_off=32)
+            _shift_insert8(GW2, g2 * _blk(TMO2, d), lane_off=32)
+            _shift_insert8(GW3, g2 * _blk(TMO3, d), lane_off=32)
+            g_row = bppo_new * _blk(MBC, d) * inv_close
+            shifted = XS[pl.ds(0, hg - G), :]
+            XS[pl.ds(G, hg - G), :] = shifted
+            XS[pl.ds(0, G), :] = g_row
+            PF._rotate_right(SONEF, hg)
+            PF._rotate_right(REXT, G)
+
+        prev = 0
+        for ht in PF._live_heights(N):
+            if prev:
+                def bulk(lo=prev, hi=ht):
+                    rows = (hi - lo) * G
+                    wrap = SONEF[pl.ds(lo * G, rows), pl.ds(C2 - lo, lo)]
+                    body = SONEF[pl.ds(lo * G, rows), pl.ds(0, C2 - lo)]
+                    SONEF[pl.ds(lo * G, rows), pl.ds(lo, C2 - lo)] = body
+                    SONEF[pl.ds(lo * G, rows), pl.ds(0, lo)] = wrap
+
+                pl.when(k == prev)(bulk)
+            cond = k < ht if prev == 0 else (k >= prev) & (k < ht)
+            pl.when(cond)(functools.partial(tail, ht))
+            prev = ht
+        return carry
+
+    lax.fori_loop(N - n_i, N, span_step, 0)
+
+
+def _turner_merge_inside(pmats):
+    """Fold CANON and the outer-terminal-mismatch * aug products into the
+    [d, i] tables (see the per-seq Turner kernel's span body)."""
+    canon = pmats["CANON"]
+    augc = pmats["AUGT"] * canon
+    return {
+        "H": pmats["H"] * canon,
+        "MBC": pmats["MBC"] * canon,
+        "ACC": pmats["ACC"],
+        "AUGC": augc,
+        "TMO1C": pmats["TMo1"] * augc,
+        "TMO2C": pmats["TMo2"] * augc,
+        "TMO3C": pmats["TMo3"] * augc,
+        "SP00": pmats["STKT"] * canon,
+        "SP01": pmats["B01"] * canon,
+        "SP10": pmats["B10"] * canon,
+        "SP11": pmats["I11T"] * canon,
+        "SP12": pmats["I12T"] * canon,
+        "SP21": pmats["I21T"] * canon,
+        "SP22": pmats["I22T"] * canon,
+        "AUGT": pmats["AUGT"],
+        "TMI1": pmats["TMi1"],
+        "TMI2": pmats["TMi2"],
+        "TMI3": pmats["TMi3"],
+    }
+
+
+_TI_NAMES = (
+    "H", "MBC", "ACC", "AUGC", "TMO1C", "TMO2C", "TMO3C",
+    "SP00", "SP01", "SP10", "SP11", "SP12", "SP21", "SP22",
+    "AUGT", "TMI1", "TMI2", "TMI3",
+)
+
+
+def _turner_merge_outside(close, pmats, extL, glob, mbbp):
+    aug = pmats["AUGT"]
+    inv_glob = (1.0 / glob)[:, None, None]
+    return {
+        "CLOSE": close,
+        "MBC": pmats["MBC"],
+        "ACCB": pmats["ACC"] * extL[:, None, :] * inv_glob,
+        "ACCMB": pmats["ACC"] * mbbp[:, None, None],
+        "AUGT": aug,
+        "TMI1C": pmats["TMi1"] * aug,
+        "TMI2C": pmats["TMi2"] * aug,
+        "TMI3C": pmats["TMi3"] * aug,
+        "SP00": pmats["STKO"],
+        "SP01": pmats["B01O"],
+        "SP10": pmats["B10O"],
+        "SP11": pmats["I11O"],
+        "SP12": pmats["I12O"],
+        "SP21": pmats["I21O"],
+        "SP22": pmats["I22O"],
+        "TMO1": pmats["TMo1"],
+        "TMO2": pmats["TMo2"],
+        "TMO3": pmats["TMo3"],
+    }
+
+
+_TO_NAMES = (
+    "CLOSE", "MBC", "ACCB", "ACCMB", "AUGT", "TMI1C", "TMI2C", "TMI3C",
+    "SP00", "SP01", "SP10", "SP11", "SP12", "SP21", "SP22",
+    "TMO1", "TMO2", "TMO3",
+)
+
+
+def _turner_prob8_run_body(seqs, ns, tt, ln_sigma, N, interpret):
+    B = seqs.shape[0]
+    K = B // G
+    NG = N * G
+    pmats = PP.turner_prob_mats(seqs, ns, tt, ln_sigma, N)
+    LENBp, LENIp = PP._turner_len_prob(tt, ln_sigma)
+    KBb, K2b, KIb = PP._turner_banded_kernels(LENBp, LENIp)
+    KB8, K28, KI8 = _kbig(KBb), _kbig(K2b), _kbig(KIb)
+    scal, n_max = _group_scal(ns, B)
+
+    u = jnp.exp(-ln_sigma)
+    ones_b = jnp.ones((B,), jnp.float32)
+    coeffp = jnp.broadcast_to(jnp.exp(tt["coeff_num_branches"]), (B,))
+    logmbu = -ln_sigma
+    leni32 = LENIp[:, 3, 2]
+    leni23 = LENIp[:, 2, 3]
+    vec_i = _bcast_rows(N, u, ones_b, u, coeffp, logmbu, leni32, leni23)
+
+    mi = {k: ilv(v) for k, v in _turner_merge_inside(pmats).items()}
+
+    kernel = functools.partial(_turner_inside8_kernel, N=N)
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((K, NG, N), jnp.float32) for _ in range(3)
+    )
+    close8, ext8, one8 = pl.pallas_call(
+        kernel,
+        grid=(K,),
+        in_specs=[
+            _SMEM_SPEC,
+            _nn(7 * G, N),
+            *(_nn(NG, N) for _ in range(18)),
+            *(_nn(32 * G, 32 * G) for _ in range(3)),
+        ],
+        out_specs=(_nn(NG, N), _nn(NG, N), _nn(NG, N)),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((WB, N + LPAD), jnp.float32),        # CAW
+            pltpu.VMEM((WB, N + LPAD), jnp.float32),        # GW1
+            pltpu.VMEM((WB, N + LPAD), jnp.float32),        # GW2
+            pltpu.VMEM((WB, N + LPAD), jnp.float32),        # GW3
+            pltpu.VMEM((NG, N + 8), jnp.float32),           # FQ
+            pltpu.VMEM((NG, N + 8), jnp.float32),           # FQM
+            pltpu.VMEM((NG + G, N), jnp.float32),           # extrS
+            pltpu.VMEM((2 * G, N + 8), jnp.float32),        # mbS
+            pltpu.VMEM((NG + G, N), jnp.float32),           # oneS
+            pltpu.VMEM((NG, N), jnp.float32),               # POWS
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(
+        scal, vec_i,
+        *(mi[k] for k in _TI_NAMES),
+        KB8, K28, KI8,
+    )
+
+    close, ext, one = dilv(close8), dilv(ext8), dilv(one8)
+    live = jnp.arange(N)[None, :, None] < ns[:, None, None]
+    ext = jnp.where(live, ext, 0.0)
+    one = jnp.where(live, one, 0.0)
+
+    ONEP, QONE, extL, extR, glob = PF.contra_outside_aux(
+        ns, ext, one, N, neg=0.0, one_val=1.0,
+        n_rot=jnp.repeat(n_max.astype(jnp.int32), G),
+    )
+
+    mo = _turner_merge_outside(close, pmats, extL, glob, coeffp)
+    mo8 = {k: ilv(v) for k, v in mo.items()}
+    vec_o = _bcast_rows(N, logmbu, leni32, leni23)
+    ONEP8 = ilv(ONEP)
+    QONE8 = ilv(QONE)
+    EXTR8 = ilv(extR[:, None, :])
+
+    kernel_o = functools.partial(
+        _turner_outside8_kernel, N=N, min_span=MIN_SPAN_HAIRPIN_CLOSE
+    )
+    bppo8 = pl.pallas_call(
+        kernel_o,
+        grid=(K,),
+        in_specs=[
+            _SMEM_SPEC,
+            _nn(3 * G, N),
+            *(_nn(NG, N) for _ in range(18)),
+            _nn(NG, 2 * N),                    # ONEP
+            _nn(NG, N),                        # QONE
+            _nn(G, 2 * N),                     # EXTR
+            *(_nn(32 * G, 32 * G) for _ in range(3)),
+        ],
+        out_specs=_nn(NG, N),
+        out_shape=jax.ShapeDtypeStruct((K, NG, N), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((WB, N + LPAD), jnp.float32),        # OG
+            pltpu.VMEM((WB, N + LPAD), jnp.float32),        # GW1
+            pltpu.VMEM((WB, N + LPAD), jnp.float32),        # GW2
+            pltpu.VMEM((WB, N + LPAD), jnp.float32),        # GW3
+            pltpu.VMEM((NG, N), jnp.float32),               # XS
+            pltpu.VMEM((NG, N), jnp.float32),               # RPM
+            pltpu.VMEM((NG, N), jnp.float32),               # RPM2
+            pltpu.VMEM((NG, 2 * N), jnp.float32),           # SONEF
+            pltpu.VMEM((G, 2 * N), jnp.float32),            # REXT
+            pltpu.VMEM((NG, N), jnp.float32),               # POWS
+            pltpu.VMEM((NG, N), jnp.float32),               # POW2S
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(
+        scal, vec_o,
+        *(mo8[k] for k in _TO_NAMES),
+        ONEP8, QONE8, EXTR8,
+        KB8, K28, KI8,
+    )
+    return dilv(bppo8), glob
+
+
+@functools.partial(jax.jit, static_argnames=("N", "interpret"))
+def mccaskill_turner_pallas_prob8(seqs, ns, tt, N, interpret=False):
+    """Stacked (G=8) scaled-probability Turner McCaskill with retries."""
+
+    def run(ls):
+        return _turner_prob8_run_body(seqs, ns, tt, ls, N, interpret)
+
+    return PP._retrying(run, seqs.shape[0])

@@ -43,6 +43,21 @@ def test_stacked8_matches_perseq():
     assert err < 1e-4, err
 
 
+def test_turner_stacked8_matches_perseq():
+    TT = S.turner_table_pytree()
+    N, B = 64, 8
+    seqs, ns = _batch(B, N, 5)
+    want, ls_w = PP.mccaskill_turner_pallas_prob(
+        seqs, ns, TT, N=N, interpret=True
+    )
+    got, ls_g = P8.mccaskill_turner_pallas_prob8(
+        seqs, ns, TT, N=N, interpret=True
+    )
+    assert np.array_equal(np.asarray(ls_w), np.asarray(ls_g))
+    err = np.abs(np.asarray(got) - np.asarray(want)).max()
+    assert err < 1e-4, err
+
+
 def test_stacked8_interleave_roundtrip():
     x = jnp.arange(16 * 5 * 3, dtype=jnp.float32).reshape(16, 5, 3)
     y = P8.ilv(x)
