@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Stage profile of the stacked (G=8) scaled-probability CONTRA path.
+
+Times cumulative prefixes of ops/pallas_fold_prob8._prob8_run_body at a
+fixed ln_sigma (taken from one converged full run, so no retries fire),
+then differences them into per-stage costs:
+
+  pmats      contra_prob_mats precompute (XLA)
+  prep       merges + interleave + banded kernel assembly (XLA)
+  inside     stacked inside Pallas kernel
+  aux        re-mask + contra_outside_aux (XLA)
+  outside    stacked outside Pallas kernel (+ final dilv)
+  retry_oh   full public entry minus the fixed-ls body (while_loop wrap)
+"""
+
+import json
+import os
+import sys
+import time
+from functools import partial
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ["RNA_ALGOS_NUMERICS"] = "fast"
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+B = int(os.environ.get("PROF_BATCH", "192"))
+N = int(os.environ.get("PROF_N", "128"))
+REPS = int(os.environ.get("PROF_REPS", "10"))
+
+
+def _time(fn):
+    from rna_algos_tpu.utils.trace import force_last
+
+    out = fn()
+    force_last(out)
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        for _ in range(5):
+            out = fn()
+        force_last(out)
+        times.append((time.perf_counter() - t0) / 5)
+    return min(times)
+
+
+if __name__ == "__main__":
+    import jax
+    import jax.numpy as jnp
+
+    from rna_algos_tpu.ops import pallas_fold as PF
+    from rna_algos_tpu.ops import pallas_fold_prob as PP
+    from rna_algos_tpu.ops import pallas_fold_prob8 as P8
+    from rna_algos_tpu.ops import scores as S
+    from rna_algos_tpu.params import build_fold_score_sets
+    from rna_algos_tpu.parallel.runner import pad_seqs
+    from rna_algos_tpu.utils import read_fasta
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    recs = read_fasta(os.path.join(root, "assets/sampled_trnas.fa"))
+    seqs = [r.seq for r in recs]
+    batch = (seqs * ((B + len(seqs) - 1) // len(seqs)))[:B]
+    arr = jnp.asarray(pad_seqs(batch, N))
+    ns = jnp.asarray(np.array([len(s) for s in batch], dtype=np.int32))
+    ct = S.contra_table_pytree(build_fold_score_sets())
+
+    full = partial(P8.mccaskill_contra_pallas_prob8, arr, ns, ct, N=N)
+    _bppo, ls = full()
+    ls = jax.device_get(ls)
+    ls = jnp.asarray(ls)
+
+    G = P8.G
+
+    @partial(jax.jit, static_argnames=("upto",))
+    def prefix(ls, upto):
+        pmats = PP.contra_prob_mats(arr, ns, ct, ls, N)
+        if upto == "pmats":
+            return pmats
+        LENp = PP._contra_len_prob(ct, ls)
+        KBIG = P8._kbig(PP._banded_window_kernel(LENp))
+        mi = {k: P8.ilv(v) for k, v in P8._merge_inside(pmats, LENp).items()}
+        if upto == "prep":
+            return mi, KBIG
+        body = partial(
+            P8._prob8_run_body, arr, ns, ct, ls, N, False, False
+        )
+        return body()
+
+    out = {}
+    out["pmats"] = _time(lambda: prefix(ls, upto="pmats"))
+    out["prep_cum"] = _time(lambda: prefix(ls, upto="prep"))
+    out["body_cum"] = _time(lambda: prefix(ls, upto="full"))
+    out["entry_cum"] = _time(full)
+
+    stages = {
+        "pmats": out["pmats"],
+        "prep": out["prep_cum"] - out["pmats"],
+        "kernels+aux": out["body_cum"] - out["prep_cum"],
+        "retry_oh": out["entry_cum"] - out["body_cum"],
+    }
+    for k, v in {**out, **stages}.items():
+        print(json.dumps({
+            "phase": k, "batch_ms": round(v * 1e3, 2),
+            "per_seq_us": round(v * 1e6 / B, 1), "B": B, "N": N,
+        }))
