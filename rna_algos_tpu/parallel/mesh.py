@@ -20,9 +20,32 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def initialize_distributed():
-    """Call jax.distributed.initialize() when running under a multi-host driver."""
-    if "JAX_COORDINATOR_ADDRESS" in os.environ and jax.process_count() == 1:
-        jax.distributed.initialize()
+    """Call jax.distributed.initialize() when running under a multi-host driver.
+
+    The decision is made from environment variables ONLY — touching the jax
+    backend (e.g. `jax.process_count()`) before `jax.distributed.initialize()`
+    would initialize a single-process backend and make the subsequent
+    multi-host initialize ineffective.  The driver contract mirrors jax's own:
+    a coordinator address plus process count/id (either the JAX_* spellings or
+    an explicit RNA_ALGOS_DISTRIBUTED=1).  No-op in single-process runs.
+    """
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    explicit = os.environ.get("RNA_ALGOS_DISTRIBUTED") == "1"
+    if not coord and not explicit:
+        return False
+    nprocs = os.environ.get("JAX_NUM_PROCESSES")
+    if nprocs is not None and int(nprocs) <= 1 and not explicit:
+        return False
+    kwargs = {}
+    if coord:
+        kwargs["coordinator_address"] = coord
+    if nprocs is not None:
+        kwargs["num_processes"] = int(nprocs)
+    pid = os.environ.get("JAX_PROCESS_ID")
+    if pid is not None:
+        kwargs["process_id"] = int(pid)
+    jax.distributed.initialize(**kwargs)
+    return True
 
 
 def data_mesh(devices=None):

@@ -39,12 +39,15 @@ class BppStore:
             return z["bpp"], z["presence"]
 
     def put(self, key, bpp, presence):
+        # Write to an explicit .tmp.npz (np.savez appends .npz only to names
+        # without one, so this name is used verbatim) and atomically replace.
         path = self._path(key)
-        tmp = path + ".tmp"
-        np.savez_compressed(
-            tmp, bpp=np.asarray(bpp), presence=np.asarray(presence)
-        )
-        os.replace(tmp + ".npz" if os.path.exists(tmp + ".npz") else tmp, path)
+        tmp = path + ".tmp.npz"
+        with open(tmp, "wb") as f:
+            np.savez_compressed(
+                f, bpp=np.asarray(bpp), presence=np.asarray(presence)
+            )
+        os.replace(tmp, path)
 
 
 def cached_fold_batch(engine, seqs, store):

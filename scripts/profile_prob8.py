@@ -5,12 +5,16 @@ Times cumulative prefixes of ops/pallas_fold_prob8._prob8_run_body at a
 fixed ln_sigma (taken from one converged full run, so no retries fire),
 then differences them into per-stage costs:
 
-  pmats      contra_prob_mats precompute (XLA)
-  prep       merges + interleave + banded kernel assembly (XLA)
-  inside     stacked inside Pallas kernel
-  aux        re-mask + contra_outside_aux (XLA)
-  outside    stacked outside Pallas kernel (+ final dilv)
-  retry_oh   full public entry minus the fixed-ls body (while_loop wrap)
+  pmats        contra_prob_mats precompute (XLA)
+  prep         merges + interleave + banded kernel assembly (XLA);
+               approximate: the timed prefix covers _merge_inside + ilv +
+               the banded kernel, not the smaller _group_scal / vec_i /
+               _bcast_rows / exp() pieces _prob8_run_body also does
+               pre-kernel (those land in kernels+aux below)
+  kernels+aux  stacked inside Pallas kernel + re-mask + contra_outside_aux
+               + stacked outside Pallas kernel + final dilv (one stage:
+               there is no prefix point between the two kernels)
+  retry_oh     full public entry minus the fixed-ls body (while_loop wrap)
 """
 
 import json
@@ -21,7 +25,7 @@ from functools import partial
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-os.environ["RNA_ALGOS_NUMERICS"] = "fast"
+os.environ.setdefault("RNA_ALGOS_NUMERICS", "fast")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
@@ -50,7 +54,6 @@ if __name__ == "__main__":
     import jax
     import jax.numpy as jnp
 
-    from rna_algos_tpu.ops import pallas_fold as PF
     from rna_algos_tpu.ops import pallas_fold_prob as PP
     from rna_algos_tpu.ops import pallas_fold_prob8 as P8
     from rna_algos_tpu.ops import scores as S
@@ -66,12 +69,13 @@ if __name__ == "__main__":
     ns = jnp.asarray(np.array([len(s) for s in batch], dtype=np.int32))
     ct = S.contra_table_pytree(build_fold_score_sets())
 
+    if B % P8.G != 0:
+        sys.exit(f"PROF_BATCH={B} must be a multiple of the prob8 group size G={P8.G}")
+
     full = partial(P8.mccaskill_contra_pallas_prob8, arr, ns, ct, N=N)
     _bppo, ls = full()
     ls = jax.device_get(ls)
     ls = jnp.asarray(ls)
-
-    G = P8.G
 
     @partial(jax.jit, static_argnames=("upto",))
     def prefix(ls, upto):

@@ -36,3 +36,44 @@ def test_shard_batch_layout(cpu_mesh):
     (sharded,) = mesh_lib.shard_batch(cpu_mesh, arr)
     assert sharded.sharding.spec[0] == "data"
     np.testing.assert_array_equal(np.asarray(sharded), arr)
+
+
+def test_initialize_distributed_single_process_noop():
+    """Env-var-only decision; a plain single-process run must be a no-op.
+
+    Run in a subprocess so the check happens before ANY jax backend
+    initialization — calling jax.process_count() first is exactly the
+    ordering bug this guards against (parallel/mesh.py docstring).
+    """
+    import subprocess
+    import sys
+    import os
+
+    code = (
+        "import os, sys\n"
+        "for k in ('JAX_COORDINATOR_ADDRESS', 'JAX_NUM_PROCESSES',"
+        " 'JAX_PROCESS_ID', 'RNA_ALGOS_DISTRIBUTED'):\n"
+        "    os.environ.pop(k, None)\n"
+        "from rna_algos_tpu.parallel.mesh import initialize_distributed\n"
+        "assert initialize_distributed() is False\n"
+        "import jax\n"
+        "assert jax.process_count() == 1\n"
+        "print('ok')\n"
+    )
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.join(os.path.dirname(__file__), ".."),
+    )
+    assert out.returncode == 0, out.stderr
+    assert "ok" in out.stdout
+
+
+def test_initialize_distributed_count_one_declines(monkeypatch):
+    """Explicit JAX_NUM_PROCESSES=1 (without the explicit opt-in) is a no-op."""
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "127.0.0.1:12345")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "1")
+    monkeypatch.delenv("RNA_ALGOS_DISTRIBUTED", raising=False)
+    assert mesh_lib.initialize_distributed() is False

@@ -1,0 +1,137 @@
+"""Drop-in parity socket for goldens produced by the REAL Rust reference.
+
+This environment has no cargo toolchain, so outputs of the actual
+`heartsh/rna-algos` binaries cannot be generated here (SURVEY §7 risks).  The
+day someone runs the reference anywhere, parity becomes a file drop: place the
+binaries' outputs under ``tests/golden/reference_rust/`` (layout below) and
+these tests activate automatically; they are skipped while the files are
+absent.
+
+Expected layout (all produced on ``assets/sampled_trnas.fa``):
+
+    tests/golden/reference_rust/
+      mccaskill_turner.txt        mccaskill_algo -i sampled_trnas.fa -o ...
+      mccaskill_contra.txt        mccaskill_algo -i sampled_trnas.fa -c -o ...
+      durbin.txt                  durbin_algo -i sampled_trnas.fa -o ...
+      centroid_turner/            centroid_fold -i sampled_trnas.fa -o dir
+        centroid_threshold={g}.fa   (full 2^-7..2^10 gamma grid)
+      centroid_contra/            centroid_fold -i sampled_trnas.fa -c -o dir
+
+Comparison contract (matching `/root/reference/src/bin/mccaskill_algo.rs:94-113`,
+`bin/durbin_algo.rs:76-89`, `bin/centroid_fold.rs:165-207`):
+
+* mccaskill / durbin triples are written from hashmap iteration, i.e. in
+  arbitrary order -> parse both sides into {(i, j): p} and compare values at
+  1e-6 absolute; the key sets must be equal.
+* centroid dot-bracket files are deterministic -> compared byte-for-byte.
+"""
+
+import os
+import re
+import subprocess
+import sys
+
+import pytest
+
+HERE = os.path.dirname(__file__)
+REF_DIR = os.path.join(HERE, "golden", "reference_rust")
+FASTA = os.path.join(HERE, "..", "assets", "sampled_trnas.fa")
+
+BPP_ATOL = 1e-6
+
+
+def _parse_triples(text):
+    """Parse reference CLI output into {record_id: {(i, j): p}}.
+
+    Record ids are whatever follows '>' (an index for mccaskill, an
+    'i,j' pair-id for durbin); triples are 'i,j,p ' tokens.
+    """
+    out = {}
+    cur = None
+    for line in text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        if line.startswith(">"):
+            cur = line[1:]
+            out[cur] = {}
+            continue
+        for tok in line.split():
+            m = re.match(r"^(\d+),(\d+),([-+0-9.eENaninf]+)$", tok)
+            assert m, (cur, tok)
+            out[cur][(int(m.group(1)), int(m.group(2)))] = float(m.group(3))
+    return out
+
+
+def _run_cli(mod, argv):
+    """Run one of our CLIs in-process and return its output file text."""
+    return subprocess.run(
+        [sys.executable, "-m", mod] + argv,
+        check=True, capture_output=True, text=True,
+        cwd=os.path.join(HERE, ".."),
+    )
+
+
+def _diff_triples(ref, got):
+    assert set(ref) == set(got), (
+        "record-id sets differ",
+        sorted(set(ref) ^ set(got))[:10],
+    )
+    worst = 0.0
+    for rid in ref:
+        rpairs, gpairs = ref[rid], got[rid]
+        assert set(rpairs) == set(gpairs), (
+            rid, sorted(set(rpairs) ^ set(gpairs))[:10],
+        )
+        for key, p in rpairs.items():
+            worst = max(worst, abs(p - gpairs[key]))
+    assert worst <= BPP_ATOL, worst
+
+
+@pytest.mark.parametrize("model,flag", [("turner", []), ("contra", ["-c"])])
+def test_reference_mccaskill_bpps(tmp_path, model, flag):
+    ref_file = os.path.join(REF_DIR, f"mccaskill_{model}.txt")
+    if not os.path.exists(ref_file):
+        pytest.skip("reference-Rust golden not present (file drop socket)")
+    out = tmp_path / "out.txt"
+    _run_cli(
+        "rna_algos_tpu.cli.mccaskill",
+        ["-i", FASTA, "-o", str(out)] + flag,
+    )
+    with open(ref_file) as f:
+        ref = _parse_triples(f.read())
+    got = _parse_triples(out.read_text())
+    _diff_triples(ref, got)
+
+
+def test_reference_durbin_probs(tmp_path):
+    ref_file = os.path.join(REF_DIR, "durbin.txt")
+    if not os.path.exists(ref_file):
+        pytest.skip("reference-Rust golden not present (file drop socket)")
+    out = tmp_path / "out.txt"
+    _run_cli("rna_algos_tpu.cli.durbin", ["-i", FASTA, "-o", str(out)])
+    with open(ref_file) as f:
+        ref = _parse_triples(f.read())
+    got = _parse_triples(out.read_text())
+    _diff_triples(ref, got)
+
+
+@pytest.mark.parametrize("model,flag", [("turner", []), ("contra", ["-c"])])
+def test_reference_centroid_structures(tmp_path, model, flag):
+    ref_dir = os.path.join(REF_DIR, f"centroid_{model}")
+    if not os.path.isdir(ref_dir):
+        pytest.skip("reference-Rust golden not present (file drop socket)")
+    out_dir = tmp_path / "centroids"
+    _run_cli(
+        "rna_algos_tpu.cli.centroid_fold",
+        ["-i", FASTA, "-o", str(out_dir)] + flag,
+    )
+    ref_files = sorted(os.listdir(ref_dir))
+    got_files = sorted(os.listdir(str(out_dir)))
+    assert ref_files == got_files
+    for name in ref_files:
+        with open(os.path.join(ref_dir, name), "rb") as f:
+            ref_bytes = f.read()
+        with open(os.path.join(str(out_dir), name), "rb") as f:
+            got_bytes = f.read()
+        assert ref_bytes == got_bytes, name
