@@ -70,32 +70,42 @@ def _col(M, d):
 # Table pytrees
 # ---------------------------------------------------------------------------
 
-def turner_table_pytree():
-    """Turner 2004 tables as jnp arrays (rna-ss-params compiled_scores_turner)."""
+def turner_table_pytree(tables=None):
+    """Turner 2004 tables as jnp arrays (rna-ss-params compiled_scores_turner).
+
+    ``tables`` defaults to `params.turner.active_tables()` — the embedded
+    values, overridden by RNA_ALGOS_TURNER_PARAMS / turner.set_tables()
+    (drop-in ViennaRNA .par ingestion; see PARAMS.md).
+    """
+    tabs = T.active_tables() if tables is None else tables
     return {
-        "stack": jnp.asarray(T.STACK_SCORES),
-        "hairpin_init": jnp.asarray(T.HAIRPIN_SCORES_INIT),
-        "bulge_init": jnp.asarray(T.BULGE_SCORES_INIT),
-        "interior_init": jnp.asarray(T.INTERIOR_SCORES_INIT),
-        "int_1x1": jnp.asarray(T.INTERIOR_SCORES_1X1),
-        "int_1x2": jnp.asarray(T.INTERIOR_SCORES_1X2),
-        "int_2x2": jnp.asarray(T.INTERIOR_SCORES_2X2),
-        "tm_hairpin": jnp.asarray(T.TERMINAL_MISMATCH_SCORES_HAIRPIN),
-        "tm_interior": jnp.asarray(T.TERMINAL_MISMATCH_SCORES_INTERIOR),
-        "tm_1xmany": jnp.asarray(T.TERMINAL_MISMATCH_SCORES_1XMANY),
-        "tm_2x3": jnp.asarray(T.TERMINAL_MISMATCH_SCORES_2X3),
-        "tm_multibranch": jnp.asarray(T.TERMINAL_MISMATCH_SCORES_MULTIBRANCH),
-        "dangle5": jnp.asarray(T.DANGLING_SCORES_5PRIME),
-        "dangle3": jnp.asarray(T.DANGLING_SCORES_3PRIME),
-        "special_seqs": jnp.asarray(T.HAIRPIN_SPECIAL_SEQS),
-        "special_lens": jnp.asarray(T.HAIRPIN_SPECIAL_LENS),
-        "special_scores": jnp.asarray(T.HAIRPIN_SPECIAL_SCORES),
-        "ninio_coeff": jnp.float32(T.NINIO_COEFF),
-        "ninio_max": jnp.float32(T.NINIO_MAX),
-        "augu_penalty": jnp.float32(T.HELIX_AUGU_END_PENALTY),
-        "init_multibranch_base": jnp.float32(T.INIT_MULTIBRANCH_BASE),
-        "coeff_num_branches": jnp.float32(T.COEFF_NUM_BRANCHES),
-        "coeff_hairpin_extrap": jnp.float32(T.COEFF_HAIRPIN_LEN_EXTRAPOLATION),
+        "stack": jnp.asarray(tabs["STACK_SCORES"]),
+        "hairpin_init": jnp.asarray(tabs["HAIRPIN_SCORES_INIT"]),
+        "bulge_init": jnp.asarray(tabs["BULGE_SCORES_INIT"]),
+        "interior_init": jnp.asarray(tabs["INTERIOR_SCORES_INIT"]),
+        "int_1x1": jnp.asarray(tabs["INTERIOR_SCORES_1X1"]),
+        "int_1x2": jnp.asarray(tabs["INTERIOR_SCORES_1X2"]),
+        "int_2x2": jnp.asarray(tabs["INTERIOR_SCORES_2X2"]),
+        "tm_hairpin": jnp.asarray(tabs["TERMINAL_MISMATCH_SCORES_HAIRPIN"]),
+        "tm_interior": jnp.asarray(tabs["TERMINAL_MISMATCH_SCORES_INTERIOR"]),
+        "tm_1xmany": jnp.asarray(tabs["TERMINAL_MISMATCH_SCORES_1XMANY"]),
+        "tm_2x3": jnp.asarray(tabs["TERMINAL_MISMATCH_SCORES_2X3"]),
+        "tm_multibranch": jnp.asarray(
+            tabs["TERMINAL_MISMATCH_SCORES_MULTIBRANCH"]
+        ),
+        "dangle5": jnp.asarray(tabs["DANGLING_SCORES_5PRIME"]),
+        "dangle3": jnp.asarray(tabs["DANGLING_SCORES_3PRIME"]),
+        "special_seqs": jnp.asarray(tabs["HAIRPIN_SPECIAL_SEQS"]),
+        "special_lens": jnp.asarray(tabs["HAIRPIN_SPECIAL_LENS"]),
+        "special_scores": jnp.asarray(tabs["HAIRPIN_SPECIAL_SCORES"]),
+        "ninio_coeff": jnp.float32(tabs["NINIO_COEFF"]),
+        "ninio_max": jnp.float32(tabs["NINIO_MAX"]),
+        "augu_penalty": jnp.float32(tabs["HELIX_AUGU_END_PENALTY"]),
+        "init_multibranch_base": jnp.float32(tabs["INIT_MULTIBRANCH_BASE"]),
+        "coeff_num_branches": jnp.float32(tabs["COEFF_NUM_BRANCHES"]),
+        "coeff_hairpin_extrap": jnp.float32(
+            tabs["COEFF_HAIRPIN_LEN_EXTRAPOLATION"]
+        ),
     }
 
 

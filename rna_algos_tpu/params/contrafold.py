@@ -27,6 +27,8 @@ overwritten (mccaskill_algo.rs:124-203), and the five cumulative ("at least")
 prefix-sum arrays are produced (mccaskill_algo.rs:60-86).
 """
 
+import os
+
 import numpy as np
 
 from ..constants import (
@@ -233,9 +235,19 @@ def build_fold_score_sets(raw=None):
     (mccaskill_algo.rs:24-211): start from zeros, copy only canonical-pair
     entries of the pair-indexed tables, copy the length/feature arrays, then
     compute the cumulative prefix sums of the five "at least" arrays.
+
+    With no explicit ``raw``, a real learned-weight file named by
+    ``RNA_ALGOS_CONTRA_PARAMS`` (CONTRAfold v2.02
+    ``contrafold.params.complementary`` layout) takes precedence over the
+    embedded surrogate defaults (PARAMS.md).
     """
     if raw is None:
-        raw = default_contra_tables()
+        path = os.environ.get("RNA_ALGOS_CONTRA_PARAMS")
+        if path:
+            with open(path) as f:
+                raw = parse_contrafold_params(f.read())
+        else:
+            raw = default_contra_tables()
     out = empty_contra_tables()
 
     for key in (

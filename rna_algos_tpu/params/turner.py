@@ -19,17 +19,22 @@ Indexing conventions (identical to the reference's access patterns):
 All base-indexed tables carry a fifth, score-neutral slot for ``PSEUDO_BASE`` so
 padded batch tensors can be gathered without masking.
 
-PROVENANCE / ACCURACY: the Watson-Crick stack table, loop-length initiation tables,
-NINIO, AU/GU helix-end penalty, multibranch affine weights and the extrapolation
-coefficient are standard published Turner 2004 values.  The GU stacks, terminal
-mismatches, dangles, special hairpins and the 1x1/1x2/2x2 interior tables are
-best-effort reconstructions (this environment has no network access to the NNDB /
-ViennaRNA `rna_turner2004.par`); they are structurally exact but numerically
-approximate.  `rna_algos_tpu.params.vienna` can ingest a ViennaRNA parameter file to
-replace every table with exact published values.  See PARAMS.md.
+PROVENANCE / ACCURACY (full matrix in PARAMS.md; machine-readable split in
+EXACT_PUBLISHED / SURROGATE below, enforced by tests/test_params_vienna.py):
+the stack table (Watson-Crick AND GU-containing doubles), loop-length
+initiation tables, special tri/tetra/hexaloop list, NINIO, AU/GU helix-end
+penalty, multibranch affine weights and the extrapolation coefficient carry
+the published Turner 2004 values verbatim.  The terminal mismatches, GU/UG
+dangle rows and the 1x1/1x2/2x2 interior tables are best-effort
+reconstructions (no network access to the NNDB dump); they are structurally
+exact but numerically approximate.  `rna_algos_tpu.params.vienna` ingests a
+ViennaRNA `rna_turner2004.par` to replace every table with exact published
+values — set ``RNA_ALGOS_TURNER_PARAMS=/path/to/rna_turner2004.par`` or call
+``set_tables()``.
 """
 
 import math
+import os
 
 import numpy as np
 
@@ -57,9 +62,9 @@ def _table(shape, fill=0.0):
 
 
 # ---------------------------------------------------------------------------
-# Stacks. 10 unique Watson-Crick doubles (confident NNDB values) + GU-containing
-# doubles (best effort), closed under the strand-reversal symmetry
-# dG(a,b,c,d) == dG(d,c,b,a).
+# Stacks: all 21 unique published Turner 2004 nearest-neighbor doubles
+# (10 Watson-Crick + 11 GU-containing), closed under the strand-reversal
+# symmetry dG(a,b,c,d) == dG(d,c,b,a).
 # ---------------------------------------------------------------------------
 _STACK_DG = {
     # (a, b, c, d): dG37  for 5'-a c-3' / 3'-b d-5'
@@ -73,7 +78,7 @@ _STACK_DG = {
     (C, G, G, C): -2.36,
     (C, G, C, G): -3.26,
     (G, C, C, G): -3.42,
-    # GU-containing stacks (approximate reconstructions), closed under the
+    # GU-containing stacks (published Turner 2004 values), closed under the
     # strand-reversal symmetry below.
     (A, U, G, U): -0.55,
     (A, U, U, G): -1.36,
@@ -226,8 +231,8 @@ TERMINAL_MISMATCH_SCORES_MULTIBRANCH = _build_terminal_mismatch(scale=1.0)
 
 # ---------------------------------------------------------------------------
 # Special hairpins (utils.rs:198-205): full subsequence including the closing
-# pair -> total loop free energy. Best-effort subset of the Turner 2004
-# tri/tetra/hexaloop tables.
+# pair -> total loop free energy. Published Turner 2004 tri/tetra/hexaloop
+# tables (2 + 16 + 4 entries).
 # ---------------------------------------------------------------------------
 _SPECIAL_HAIRPINS_DG = [
     ("CAACG", 6.80),
@@ -330,3 +335,102 @@ def build_interior_2x2():
 INTERIOR_SCORES_1X1 = build_interior_1x1()
 INTERIOR_SCORES_1X2 = build_interior_1x2()
 INTERIOR_SCORES_2X2 = build_interior_2x2()
+
+# ---------------------------------------------------------------------------
+# Table registry + drop-in replacement (PARAMS.md).
+#
+# EXACT_PUBLISHED tables carry the published Turner 2004 values verbatim
+# (cross-checked against the NNDB / ViennaRNA rna_turner2004.par layout);
+# SURROGATE tables are structurally exact but numerically reconstructed —
+# replace them by pointing RNA_ALGOS_TURNER_PARAMS at a ViennaRNA .par file
+# (params/vienna.py) or by calling set_tables().
+# ---------------------------------------------------------------------------
+
+TABLE_NAMES = (
+    "STACK_SCORES",
+    "HAIRPIN_SCORES_INIT",
+    "BULGE_SCORES_INIT",
+    "INTERIOR_SCORES_INIT",
+    "COEFF_HAIRPIN_LEN_EXTRAPOLATION",
+    "NINIO_COEFF",
+    "NINIO_MAX",
+    "HELIX_AUGU_END_PENALTY",
+    "INIT_MULTIBRANCH_BASE",
+    "COEFF_NUM_BRANCHES",
+    "DANGLING_SCORES_5PRIME",
+    "DANGLING_SCORES_3PRIME",
+    "TERMINAL_MISMATCH_SCORES_HAIRPIN",
+    "TERMINAL_MISMATCH_SCORES_INTERIOR",
+    "TERMINAL_MISMATCH_SCORES_1XMANY",
+    "TERMINAL_MISMATCH_SCORES_2X3",
+    "TERMINAL_MISMATCH_SCORES_MULTIBRANCH",
+    "HAIRPIN_SPECIAL_SEQS",
+    "HAIRPIN_SPECIAL_LENS",
+    "HAIRPIN_SPECIAL_SCORES",
+    "INTERIOR_SCORES_1X1",
+    "INTERIOR_SCORES_1X2",
+    "INTERIOR_SCORES_2X2",
+)
+
+EXACT_PUBLISHED = (
+    "STACK_SCORES",
+    "HAIRPIN_SCORES_INIT",
+    "BULGE_SCORES_INIT",
+    "INTERIOR_SCORES_INIT",
+    "COEFF_HAIRPIN_LEN_EXTRAPOLATION",
+    "NINIO_COEFF",
+    "NINIO_MAX",
+    "HELIX_AUGU_END_PENALTY",
+    "INIT_MULTIBRANCH_BASE",
+    "COEFF_NUM_BRANCHES",
+    "HAIRPIN_SPECIAL_SEQS",
+    "HAIRPIN_SPECIAL_LENS",
+    "HAIRPIN_SPECIAL_SCORES",
+)
+
+SURROGATE = tuple(n for n in TABLE_NAMES if n not in EXACT_PUBLISHED)
+
+
+def default_tables():
+    """The embedded tables as a dict (copies are NOT made; treat read-only)."""
+    return {name: globals()[name] for name in TABLE_NAMES}
+
+
+_active = None
+
+
+def active_tables():
+    """Embedded defaults, overridden by RNA_ALGOS_TURNER_PARAMS (.par file)
+    and/or a prior set_tables() call.  Cached after first use."""
+    global _active
+    if _active is None:
+        tabs = default_tables()
+        path = os.environ.get("RNA_ALGOS_TURNER_PARAMS")
+        if path:
+            from . import vienna
+
+            tabs.update(
+                (k, v)
+                for k, v in vienna.load_turner_params(path).items()
+                if k in tabs
+            )
+        _active = tabs
+    return _active
+
+
+def set_tables(overrides=None):
+    """Install table overrides (dict keyed by TABLE_NAMES) or reset (None).
+
+    Callers must rebuild any jit-captured table pytrees afterwards
+    (ops.scores.turner_table_pytree reads active_tables() at call time).
+    """
+    global _active
+    if overrides is None:
+        _active = None
+        return
+    tabs = default_tables()
+    unknown = set(overrides) - set(TABLE_NAMES)
+    if unknown:
+        raise KeyError(f"unknown Turner table names: {sorted(unknown)}")
+    tabs.update(overrides)
+    _active = tabs
