@@ -10,14 +10,12 @@ is an explicit single-host Rust estimate (multi-threaded, ~5-10 ms/seq at
 ~80 nt) used for ``vs_baseline`` until a cargo toolchain can measure the real
 reference; the raw value is the durable metric.
 
-Numerics: the bench measures the PRODUCTION serving configuration — the
-scaled probability-space kernels (``RNA_ALGOS_NUMERICS=fast``,
-ops/pallas_fold_prob.py), whose BPPs sit ~1e-4 from the reference-parity
-cubics (hardware exp is *more* accurate than the reference's piecewise-cubic
-approximations; "exact" trades speed for bit-faithfulness to them).  The
-library default stays ``exact`` (~1.7k seqs/s at the same shapes — see
-BASELINE.md) and the golden/parity test suite pins both modes.  Set
-``BENCH_NUMERICS=exact`` to bench the parity mode instead.
+Numerics: the bench measures the library DEFAULT mode (``exact``), which on
+TPU runs the scaled probability-space kernels (exact f32 sums; BPPs within
+the 5e-4 golden budget of the reference cubics — see numerics/logsumexp.py
+mode docs).  ``BENCH_NUMERICS=parity`` benches the reference-cubic log-space
+kernels; ``=fast`` the hardware-transcendental tier (identical kernels to
+exact on this path).
 
 Timing: ``jax.block_until_ready`` does NOT wait on the tunneled remote
 device (utils/trace.force docstring) — every sync here fetches a scalar
@@ -58,9 +56,9 @@ import numpy as np
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-# Production serving numerics (see module docstring); BENCH_NUMERICS=exact
-# benches the reference-parity cubic mode.
-os.environ["RNA_ALGOS_NUMERICS"] = os.environ.get("BENCH_NUMERICS", "fast")
+# Library-default numerics (see module docstring); BENCH_NUMERICS=parity
+# benches the reference-cubic mode, =fast the hardware tier.
+os.environ["RNA_ALGOS_NUMERICS"] = os.environ.get("BENCH_NUMERICS", "exact")
 
 REFERENCE_EST_SEQS_PER_S = 800.0  # est. Rust reference, 1 host / all cores
 BATCH = int(os.environ.get("BENCH_BATCH", "192"))
@@ -75,7 +73,7 @@ V5E_HBM_BW = 819e9
 
 def sol_flops(lengths, mode):
     """Speed-of-light FLOPs for a batch (model in the module docstring)."""
-    per_term = 2.0 if mode == "fast" else 45.0
+    per_term = 45.0 if mode == "parity" else 2.0
     total = 0.0
     for n in lengths:
         d = np.arange(1, n + 1, dtype=np.float64)
@@ -142,7 +140,7 @@ def measure(batch, N, mode):
 def roofline_line(config, batch, N, mode, dt):
     lengths = [len(s) for s in batch]
     flops = sol_flops(lengths, mode)
-    peak = V5E_MXU_F32_PEAK if mode == "fast" else V5E_VPU_F32_PEAK
+    peak = V5E_VPU_F32_PEAK if mode == "parity" else V5E_MXU_F32_PEAK
     bytes_ = hbm_bytes(lengths, N)
     return {
         "metric": "roofline",
@@ -178,7 +176,7 @@ def main():
     if N == 96 and pallas_available(True, 128):
         N = 128  # fused-kernel buckets are power-of-two
 
-    headline_mode = os.environ.get("BENCH_NUMERICS", "fast")
+    headline_mode = os.environ.get("BENCH_NUMERICS", "exact")
     dt = measure(batch, N, headline_mode)
     seqs_per_s = BATCH / dt
     print(
@@ -195,16 +193,17 @@ def main():
     print(json.dumps(roofline_line("trna", batch, N, headline_mode, dt)), flush=True)
 
     if os.environ.get("BENCH_ROOFLINE") == "full":
-        other = "exact" if headline_mode == "fast" else "fast"
-        dt2 = measure(batch, N, other)
-        print(json.dumps(roofline_line("trna", batch, N, other, dt2)), flush=True)
+        others = [m for m in ("exact", "parity") if m != headline_mode]
+        for mode in others:
+            dt2 = measure(batch, N, mode)
+            print(json.dumps(roofline_line("trna", batch, N, mode, dt2)), flush=True)
         # Rfam-scale bucket: deterministic random 150-200 nt sequences.
         rng = np.random.RandomState(0)
         rbatch = [
             rng.randint(0, 4, size=rng.randint(150, 201)).astype(np.int32)
             for _ in range(96)
         ]
-        for mode in (headline_mode, other):
+        for mode in [headline_mode] + others:
             dtr = measure(rbatch, 256, mode)
             print(
                 json.dumps(roofline_line("rfam_scale", rbatch, 256, mode, dtr)),

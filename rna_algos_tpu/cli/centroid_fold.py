@@ -37,8 +37,8 @@ def build_parser():
         "function for already-folded sequences)",
     )
     p.add_argument(
-        "--numerics", choices=("exact", "fast"), default=None,
-        help="exact reference cubics (default) or hardware transcendentals",
+        "--numerics", choices=("exact", "parity", "fast"), default=None,
+        help="exact arithmetic (default), reference-cubic parity, or hardware-fast",
     )
     return p
 

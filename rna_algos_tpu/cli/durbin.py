@@ -31,8 +31,8 @@ def build_parser():
     p.add_argument("-o", required=True, help="output file path")
     p.add_argument("-t", type=int, default=None, help="worker hint (compat)")
     p.add_argument(
-        "--numerics", choices=("exact", "fast"), default=None,
-        help="exact reference cubics (default) or hardware transcendentals",
+        "--numerics", choices=("exact", "parity", "fast"), default=None,
+        help="exact arithmetic (default), reference-cubic parity, or hardware-fast",
     )
     return p
 

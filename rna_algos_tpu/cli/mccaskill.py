@@ -32,8 +32,8 @@ def build_parser():
     p.add_argument("-t", type=int, default=None, help="worker hint (compat)")
     p.add_argument("-c", action="store_true", help="use the CONTRAfold model")
     p.add_argument(
-        "--numerics", choices=("exact", "fast"), default=None,
-        help="exact reference cubics (default) or hardware transcendentals",
+        "--numerics", choices=("exact", "parity", "fast"), default=None,
+        help="exact arithmetic (default), reference-cubic parity, or hardware-fast",
     )
     return p
 

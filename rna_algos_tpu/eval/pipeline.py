@@ -18,67 +18,101 @@ from ..utils.output import _fmt
 from . import stats
 
 
-def run_estimation(rna_dir, out_root, models=("turner", "contra")):
+PROGRAMS = ("centroid_estimator", "threshold_estimator")
+
+
+def run_estimation(rna_dir, out_root, models=("turner", "contra"),
+                   programs=PROGRAMS):
     """Fold every family once per model, write gamma-grid structure files.
 
-    Layout mirrors the reference eval tree:
-    ``{out_root}/centroid_estimator_{model}/{family}/centroid_threshold={g}.fa``.
+    Layout mirrors the reference eval tree, one directory per (program,
+    model) — the reference's second program column is the external
+    CentroidFold tool (run_ss_estimation_programs.py:89-99); here it is the
+    independent threshold estimator (eval/baseline.py):
+    ``{out_root}/{program}_{model}/{family}/centroid_threshold={g}.fa``.
+    BPPs are computed ONCE per (family, model) and shared by all programs,
+    exactly like the reference reuses BPPs across its gamma grid.
     """
     from ..cli.centroid_fold import write_gamma_file
+    from .baseline import write_gamma_file_threshold
     from ..parallel.runner import FoldEngine
 
+    writers = {
+        "centroid_estimator": write_gamma_file,
+        "threshold_estimator": write_gamma_file_threshold,
+    }
     timings = {}
     for model in models:
-        t0 = time.time()
         engine = FoldEngine(uses_contra_model=(model == "contra"))
-        model_dir = os.path.join(out_root, f"centroid_estimator_{model}")
+        fold_results = {}
+        t0 = time.time()
         for fam_file in sorted(os.listdir(rna_dir)):
             if not fam_file.endswith(".fa"):
                 continue
             fam = os.path.splitext(fam_file)[0]
             records = read_fasta(os.path.join(rna_dir, fam_file))
             folded = engine.fold_batch([r.seq for r in records])
-            results = [
+            fold_results[fam] = [
                 (bpp, presence, len(records[k].seq))
                 for k, (bpp, presence) in enumerate(folded)
             ]
-            fam_dir = os.path.join(model_dir, fam)
-            os.makedirs(fam_dir, exist_ok=True)
-            for gamma in DEFAULT_GAMMAS:
-                path = os.path.join(fam_dir, f"centroid_threshold={_fmt(gamma)}.fa")
-                write_gamma_file(path, results, gamma)
-        timings[model] = time.time() - t0
+        fold_time = time.time() - t0
+        for program in programs:
+            t0 = time.time()
+            for fam, results in fold_results.items():
+                fam_dir = os.path.join(out_root, f"{program}_{model}", fam)
+                os.makedirs(fam_dir, exist_ok=True)
+                for gamma in DEFAULT_GAMMAS:
+                    path = os.path.join(
+                        fam_dir, f"centroid_threshold={_fmt(gamma)}.fa"
+                    )
+                    writers[program](path, results, gamma)
+            timings[f"{program}_{model}"] = fold_time + (time.time() - t0)
     return timings
 
 
-def compute_stats(out_root, rna_dir, ref_ss_dir, models=("turner", "contra")):
-    """Aggregate accuracy curves (get_stats_of_ss_estimation_programs.py:46-111)."""
+def compute_stats(out_root, rna_dir, ref_ss_dir, models=("turner", "contra"),
+                  programs=PROGRAMS):
+    """Aggregate accuracy curves (get_stats_of_ss_estimation_programs.py:46-111).
+
+    One curve per (program, model) column, keyed "{program}_{model}" (the
+    bare model name keys of round 1 map to the centroid_estimator columns
+    and are kept as aliases for the plot/test surface)."""
     curves = {}
     for model in models:
-        model_dir = os.path.join(out_root, f"centroid_estimator_{model}")
-        per_gamma = []
-        for gamma in DEFAULT_GAMMAS:
-            counts = []
-            for fam_file in sorted(os.listdir(rna_dir)):
-                if not fam_file.endswith(".fa"):
-                    continue
-                fam = os.path.splitext(fam_file)[0]
-                est_path = os.path.join(
-                    model_dir, fam, f"centroid_threshold={_fmt(gamma)}.fa"
+        for program in programs:
+            model_dir = os.path.join(out_root, f"{program}_{model}")
+            if not os.path.isdir(model_dir):
+                continue
+            per_gamma = []
+            for gamma in DEFAULT_GAMMAS:
+                counts = []
+                for fam_file in sorted(os.listdir(rna_dir)):
+                    if not fam_file.endswith(".fa"):
+                        continue
+                    fam = os.path.splitext(fam_file)[0]
+                    est_path = os.path.join(
+                        model_dir, fam, f"centroid_threshold={_fmt(gamma)}.fa"
+                    )
+                    seq_lens = [
+                        len(r.seq)
+                        for r in read_fasta(os.path.join(rna_dir, fam_file))
+                    ]
+                    est = stats.read_sss(est_path)
+                    ref = stats.read_sss(os.path.join(ref_ss_dir, fam_file))
+                    counts.append(stats.pos_neg_counts(est, ref, seq_lens))
+                tp, tn, fp, fn = stats.final_sum(counts)
+                per_gamma.append(
+                    {"gamma": gamma, **stats.summarize(tp, tn, fp, fn)}
                 )
-                seq_lens = [
-                    len(r.seq) for r in read_fasta(os.path.join(rna_dir, fam_file))
-                ]
-                est = stats.read_sss(est_path)
-                ref = stats.read_sss(os.path.join(ref_ss_dir, fam_file))
-                counts.append(stats.pos_neg_counts(est, ref, seq_lens))
-            tp, tn, fp, fn = stats.final_sum(counts)
-            per_gamma.append({"gamma": gamma, **stats.summarize(tp, tn, fp, fn)})
-        curves[model] = per_gamma
+            curves[f"{program}_{model}"] = per_gamma
+            if program == "centroid_estimator":
+                curves[model] = per_gamma  # round-1 alias
     return curves
 
 
-def run_all(sth_path, work_dir, models=("turner", "contra")):
+def run_all(sth_path, work_dir, models=("turner", "contra"),
+            programs=PROGRAMS):
     """Full pipeline: compile families -> estimate -> stats (run_all.py:7-10)."""
     from .rfam import compile_rna_fams
 
@@ -86,16 +120,18 @@ def run_all(sth_path, work_dir, models=("turner", "contra")):
     ss_dir = os.path.join(work_dir, "ref_sss")
     out_root = os.path.join(work_dir, "estimates")
     n_fams = compile_rna_fams(sth_path, seq_dir, ss_dir)
-    timings = run_estimation(seq_dir, out_root, models)
-    curves = compute_stats(out_root, seq_dir, ss_dir, models)
+    timings = run_estimation(seq_dir, out_root, models, programs)
+    curves = compute_stats(out_root, seq_dir, ss_dir, models, programs)
     report = {"num_families": n_fams, "timings_s": timings, "curves": curves}
     with open(os.path.join(work_dir, "eval_report.json"), "w") as f:
         json.dump(report, f, indent=2)
     try:
         from .plots import plot_curves
 
+        column_keys = [f"{p}_{m}" for p in programs for m in models]
         report["figure"] = plot_curves(
-            curves, os.path.join(work_dir, "fig_1.png")
+            {k: curves[k] for k in column_keys if k in curves},
+            os.path.join(work_dir, "fig_1.png"),
         )
     except ImportError:
         pass  # matplotlib absent: the JSON report is the artifact

@@ -210,7 +210,7 @@ def durbin_match_probs_batch_auto(seqs1, ns1, seqs2, ns2, sc, N1, N2,
         use_pallas = PA.pallas_available(N1, N2)
     if use_pallas:
         if (
-            get_mode() == "fast"
+            get_mode() in ("fast", "exact")
             and os.environ.get("RNA_ALGOS_FAST_IMPL", "prob") == "prob"
         ):
             # scaled probability-space kernels (ops/pallas_align_prob.py);

@@ -391,17 +391,21 @@ def mccaskill_bpp_batch_pallas(seqs, ns, tbl, N, contra=True,
     Same outputs as mccaskill_bpp_batch; requires a TPU backend and
     pow-2 N <= 256 (whole-DP-state-in-VMEM budget, ops/pallas_fold.py).
 
-    In fast numerics mode the CONTRA model runs the scaled
-    probability-space kernels — sublane-stacked 8-seqs-per-grid-step at
-    N <= 128 (ops/pallas_fold_prob8.py), per-sequence otherwise
-    (ops/pallas_fold_prob.py) — with automatic per-sequence rescale
-    retries.  ``RNA_ALGOS_FAST_IMPL=prob1`` pins the per-sequence
-    probability kernels; ``=log`` pins the log-space fast path.
+    In "exact" (default) and "fast" numerics modes both models run the
+    scaled probability-space kernels — sublane-stacked
+    8-seqs-per-grid-step at N <= 128 (ops/pallas_fold_prob8.py),
+    per-sequence otherwise (ops/pallas_fold_prob.py) — with automatic
+    per-sequence rescale retries.  Their sums are exact f32 arithmetic
+    (no LSE approximation at all); goldens pin them within the 5e-4
+    budget of the parity tier.  "parity" mode pins the reference's
+    piecewise-cubic log-space kernels (ops/pallas_fold.py) instead.
+    ``RNA_ALGOS_FAST_IMPL=prob1`` pins the per-sequence probability
+    kernels; ``=log`` pins the log-space kernels for any mode.
     """
     import os
 
     impl = os.environ.get("RNA_ALGOS_FAST_IMPL", "prob")
-    if get_mode() == "fast" and impl in ("prob", "prob1"):
+    if get_mode() in ("fast", "exact") and impl in ("prob", "prob1"):
         from ..ops import pallas_fold_prob as PP
 
         # The device-side rescale loop covers ln_sigma +- 5.4 (per-base

@@ -34,18 +34,29 @@ from ..constants import LOGSUMEXP_THRESHOLD_UPPER, NEG_INF
 
 # --- numerics mode -----------------------------------------------------------
 #
-# "exact" (default): the reference's piecewise-cubic approximations — required
-# for 1e-6-level BPP parity and byte-identical centroid structures.
-# "fast": hardware transcendentals (`jnp.logaddexp` / `jnp.exp`) — more
-# accurate than the cubics and cheaper on the VPU; for users who want
-# throughput over bit-level reference parity.
+# Three tiers (PARAMS.md / docs/STATUS.md):
+#
+# "exact" (default): reference-accurate results at production speed.  At the
+#   numerics level this evaluates the reference's piecewise cubics (identical
+#   to "parity"); at the *kernel dispatch* level (models/mccaskill.py,
+#   models/durbin.py) the TPU path runs the scaled probability-space kernels,
+#   whose sums are exact f32 arithmetic — mathematically tighter than the
+#   cubic LSE approximations they replace — and whose BPPs sit within the
+#   golden tolerance (5e-4) of the parity tier.  The XLA fallback (CPU,
+#   N > kernel budget) stays in cubic log space.
+# "parity": pin the reference's piecewise-cubic log-space evaluation
+#   everywhere, including the fused TPU kernels — the tier for bit-level
+#   investigations against the Rust reference (same cubics, balanced-tree
+#   reduction order; see module docstring).
+# "fast": hardware transcendentals (`jnp.logaddexp` / `jnp.exp`) on every
+#   path + the probability-space kernels — maximum throughput.
 #
 # The mode is read at *trace* time.  Every public jitted entry point threads
 # the current mode into its static cache key (see models/mccaskill.py,
 # models/durbin.py), so switching modes re-traces instead of silently reusing
 # a stale compilation.
 
-_VALID_MODES = ("exact", "fast")
+_VALID_MODES = ("exact", "parity", "fast")
 _MODE = os.environ.get("RNA_ALGOS_NUMERICS", "exact")
 if _MODE not in _VALID_MODES:
     raise ValueError(
@@ -54,7 +65,7 @@ if _MODE not in _VALID_MODES:
 
 
 def get_mode():
-    """Current numerics mode ("exact" or "fast")."""
+    """Current numerics mode ("exact", "parity" or "fast")."""
     return _MODE
 
 

@@ -42,6 +42,20 @@ def test_mode_validation():
     assert numerics.get_mode() == "exact"
 
 
+def test_parity_tier_matches_exact_numerics():
+    """At the numerics level "parity" IS the cubic evaluation ("exact" only
+    diverges at kernel dispatch, models/mccaskill.py)."""
+    xs = jnp.asarray(np.linspace(-12.0, 8.0, 41), dtype=jnp.float32)
+    with numerics.force_mode("exact"):
+        e_pair = np.asarray(numerics.lse_pair(xs, 0.5 * xs))
+        e_exp = np.asarray(numerics.expf(xs))
+    with numerics.force_mode("parity"):
+        p_pair = np.asarray(numerics.lse_pair(xs, 0.5 * xs))
+        p_exp = np.asarray(numerics.expf(xs))
+    np.testing.assert_array_equal(e_pair, p_pair)
+    np.testing.assert_array_equal(e_exp, p_exp)
+
+
 def test_fast_lse_pair_semantics(fast_mode):
     # same identity/skip semantics as exact mode (logsumexp, utils.rs:579-596)
     assert float(numerics.lse_pair(NEG_INF, NEG_INF)) == NEG_INF

@@ -33,10 +33,12 @@ pytestmark = [
 @pytest.mark.parametrize(
     "model,contra,mode",
     [
-        ("turner", False, "exact"),
-        ("contra", True, "exact"),
-        ("contra", True, "fast"),   # scaled probability-space kernels
-        ("turner", False, "fast"),  # scaled probability-space kernels
+        ("turner", False, "parity"),  # reference-cubic log-space kernels
+        ("contra", True, "parity"),   # reference-cubic log-space kernels
+        ("turner", False, "exact"),   # default: scaled probability-space
+        ("contra", True, "exact"),    # default: scaled probability-space
+        ("contra", True, "fast"),     # scaled probability-space kernels
+        ("turner", False, "fast"),    # scaled probability-space kernels
     ],
 )
 def test_pallas_hw_golden_bpps(model, contra, mode):
