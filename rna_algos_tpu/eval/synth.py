@@ -84,7 +84,9 @@ def write_stockholm(path, families):
     with open(path, "w") as f:
         for rows, ss in families:
             f.write("# STOCKHOLM 1.0\n")
-            width = max(len(name) for name, _ in rows) + 2
+            width = max(
+                max(len(name) for name, _ in rows), len("#=GC SS_cons")
+            ) + 2
             for name, seq in rows:
                 f.write(f"{name:<{width}}{seq}\n")
             f.write(f"{'#=GC SS_cons':<{width}}{ss}\n//\n")
