@@ -23,7 +23,7 @@ from rna_algos_tpu.constants import (
     MAX_INTERIOR_EXPLICIT,
 )
 from rna_algos_tpu.params import turner as T
-from .numerics_oracle import logsumexp, expf, F
+from .numerics_oracle import logsumexp, expf, F, DT
 
 NEG_INF = F(-np.inf)
 _CANON = set(CANONICAL_PAIRS)
@@ -63,10 +63,10 @@ def hairpin_score_turner(seq, i, j):
             init = F(
                 T.HAIRPIN_SCORES_INIT[MIN_HAIRPIN_LEN_EXTRAPOLATION - 1]
                 + T.COEFF_HAIRPIN_LEN_EXTRAPOLATION
-                * np.float32(
+                * F(
                     np.log(
-                        np.float32(hlen)
-                        / np.float32(MIN_HAIRPIN_LEN_EXTRAPOLATION - 1)
+                        F(hlen)
+                        / F(MIN_HAIRPIN_LEN_EXTRAPOLATION - 1)
                     )
                 )
             )
@@ -244,11 +244,11 @@ def twoloop_score_contra(seq, ci, cj, ai, aj, fss):
 
 def _new_sums(n):
     return {
-        "ext": np.zeros((n, n), dtype=np.float32),
-        "rm_ext": np.full((n, n), NEG_INF, dtype=np.float32),
-        "rm_mb": np.full((n, n), NEG_INF, dtype=np.float32),
-        "mb": np.full((n, n), NEG_INF, dtype=np.float32),
-        "one": np.full((n, n), NEG_INF, dtype=np.float32),
+        "ext": np.zeros((n, n), dtype=DT()),
+        "rm_ext": np.full((n, n), NEG_INF, dtype=DT()),
+        "rm_mb": np.full((n, n), NEG_INF, dtype=DT()),
+        "mb": np.full((n, n), NEG_INF, dtype=DT()),
+        "one": np.full((n, n), NEG_INF, dtype=DT()),
         "close": {},
         "acc": {},
     }
@@ -394,8 +394,8 @@ def _outside(seq, sums, scores, model, fss=None, allows_short_hairpins=False):
     max_2loop = MAX_LOOP_LEN if contra else MAX_2LOOP_LEN
     global_sum = sums["ext"][0][n - 1]
     bpp = {}
-    pm = np.full((n, n), NEG_INF, dtype=np.float32)
-    pm2 = np.full((n, n), NEG_INF, dtype=np.float32)
+    pm = np.full((n, n), NEG_INF, dtype=DT())
+    pm2 = np.full((n, n), NEG_INF, dtype=DT())
     if contra:
         mb_unpair = F(fss["multibranch_score_unpair"])
         mb_bp = F(fss["multibranch_score_basepair"])

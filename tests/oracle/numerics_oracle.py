@@ -4,16 +4,54 @@ Independent straightforward implementation of the CONTRAfold piecewise-cubic
 approximations and the streaming logsumexp with the exact semantics of
 `/root/reference/src/utils.rs:579-655`, used to validate the vectorized TPU
 numerics and to generate golden DP values. All arithmetic in np.float32.
+
+A **float64 true-math mode** (``f64_mode()``) swaps the cubics for
+`np.logaddexp`/`np.exp` and widens every accumulator to float64 — the
+ground-truth anchor tier (VERDICT round 1, item 8): with it, the oracle
+recurrences are validated against brute-force enumeration free of the cubic
+approximation error, so the anchor tolerance drops from 1e-3 to 1e-6.
+Scores remain the f32 table values in both modes (shared with brute force).
 """
+
+import contextlib
 
 import numpy as np
 
-F = np.float32
-THRESH = F(11.862479)
+_F64 = False
+
+
+def set_f64(on):
+    global _F64
+    _F64 = bool(on)
+
+
+@contextlib.contextmanager
+def f64_mode():
+    """True-math float64 oracle tier (see module docstring)."""
+    global _F64
+    prev = _F64
+    _F64 = True
+    try:
+        yield
+    finally:
+        _F64 = prev
+
+
+def F(x):
+    """Working-precision conversion (f32 reference semantics; f64 in f64_mode)."""
+    return np.float64(x) if _F64 else np.float32(x)
+
+
+def DT():
+    """Working dtype for oracle state arrays."""
+    return np.float64 if _F64 else np.float32
+
+
+THRESH = np.float32(11.862479)
 
 
 def ln_exp_1p(x):
-    x = F(x)
+    x = np.float32(x)
     if x < F(3.37925):
         if x < F(1.6320158):
             if x < F(0.66153675):
@@ -32,7 +70,9 @@ def ln_exp_1p(x):
 
 
 def expf(x):
-    x = F(x)
+    if _F64:
+        return np.exp(np.float64(x))
+    x = np.float32(x)
     if x < F(-2.4915035):
         if x < F(-5.8622823):
             if x < F(-9.91152):
@@ -57,6 +97,8 @@ def logsumexp(s, x):
         return s
     if not np.isfinite(s):
         return x
+    if _F64:
+        return np.logaddexp(s, x)
     y = min(s, x)
     z = F(max(s, x) - y)
     if z >= THRESH:

@@ -1,4 +1,4 @@
-"""Centroid MEA estimator: device fill vs scalar fill, traceback semantics."""
+"""Centroid MEA estimator: device fill vs scalar oracle, traceback semantics."""
 
 import numpy as np
 import jax.numpy as jnp
@@ -9,33 +9,7 @@ from rna_algos_tpu.models.centroid import (
     mea_fill,
     mea_fill_gammas,
 )
-
-
-def _scalar_fill(bpp, n, gamma):
-    """Direct scalar re-derivation of centroid_fold.rs:35-64 (f32)."""
-    M = np.zeros((n, n), dtype=np.float32)
-    g = np.float32(gamma)
-    for span in range(1, n + 1):
-        for i in range(0, n - span + 1):
-            j = i + span - 1
-            if i == j:
-                continue
-            best = M[i + 1][j] if i + 1 < n else np.float32(0.0)
-            if M[i][j - 1] > best:
-                best = M[i][j - 1]
-            if bpp[i][j] > 0.0:
-                v = np.float32(
-                    (np.float32(M[i + 1][j - 1] if i + 1 <= j - 1 else 0.0) + g * bpp[i][j])
-                    - np.float32(1.0)
-                )
-                if v > best:
-                    best = v
-            for k in range(i + 1, j):
-                v = np.float32(M[i][k] + M[k + 1][j])
-                if v > best:
-                    best = v
-            M[i][j] = best
-    return M
+from tests.oracle.centroid_oracle import mea_fill_oracle as _scalar_fill
 
 
 def _random_bpp(rng, n, N):
@@ -79,6 +53,45 @@ def test_traceback_valid_structure():
                     assert j2 < j1 or i2 > j1
         M = _scalar_fill(bpp, n, gamma)
         assert ea == float(M[0, n - 1])
+
+
+def test_centroid_identity_trna_full_grid(trna_records):
+    """Centroid-structure identity on the tRNA fixture across the FULL gamma
+    grid (VERDICT round 1, item 8): the device fill must reproduce the
+    scalar-oracle fill's float32 values cell-for-cell, and the traceback
+    structures derived from either fill must match EXACTLY — the
+    float-equality semantics of centroid_fold.rs:66-102."""
+    from rna_algos_tpu.models.centroid import traceback
+    from rna_algos_tpu.models.mccaskill import mccaskill_bpp_batch
+    from rna_algos_tpu.ops import scores as S
+    from rna_algos_tpu.params import build_fold_score_sets
+    from rna_algos_tpu.constants import PSEUDO_BASE
+
+    recs = trna_records
+    N = 96
+    seqs = np.full((len(recs), N), PSEUDO_BASE, dtype=np.int32)
+    ns = np.zeros(len(recs), dtype=np.int32)
+    for k, r in enumerate(recs):
+        seqs[k, : len(r.seq)] = r.seq
+        ns[k] = len(r.seq)
+    bpps, _ = mccaskill_bpp_batch(
+        jnp.asarray(seqs), jnp.asarray(ns),
+        S.contra_table_pytree(build_fold_score_sets()), N=N, contra=True,
+    )
+    bpps = np.asarray(bpps)
+    for k in range(len(recs)):
+        n = int(ns[k])
+        bpp = bpps[k]
+        for gamma in DEFAULT_GAMMAS:
+            M_dev = np.asarray(mea_fill(jnp.asarray(bpp), gamma, N=N))
+            M_orc = _scalar_fill(bpp, n, gamma)
+            np.testing.assert_array_equal(M_dev[:n, :n], M_orc, err_msg=f"{k} {gamma}")
+            pairs_dev, ea_dev = traceback(M_dev, bpp, gamma, n)
+            pairs_orc, ea_orc = traceback(
+                np.ascontiguousarray(M_orc), bpp[:n, :n], gamma, n
+            )
+            assert sorted(pairs_dev) == sorted(pairs_orc), (k, gamma)
+            assert ea_dev == ea_orc
 
 
 def test_gamma_grid_shapes_and_monotonicity():

@@ -49,6 +49,42 @@ def test_contra_oracle_matches_brute_force(seq_str, short_hairpins):
         assert abs(bpp.get(k, 0.0) - exact_bpp.get(k, 0.0)) < 1e-3, (k, bpp.get(k), exact_bpp.get(k))
 
 
+@pytest.mark.parametrize("seq_str", SEQS)
+@pytest.mark.parametrize("model", ["turner", "contra"])
+def test_f64_oracle_anchor_tight(seq_str, model):
+    """Ground-truth anchor at 1e-6 (VERDICT round 1, item 8): in float64
+    true-math mode the oracle recurrences must match brute-force enumeration
+    free of the cubic/f32-accumulation error (the residual ~1e-7 is f32
+    score-composition order).  The f32 cubic tests above then bound the
+    numerics tier on top of these exact recurrences."""
+    from tests.oracle import numerics_oracle as NO
+
+    seq = bytes2seq(seq_str)
+    kw = {"uses_contra_model": model == "contra"}
+    if model == "contra":
+        kw["fss"] = FSS
+    with NO.f64_mode():
+        bpp, _, sums = fold_oracle.mccaskill_oracle(seq, **kw)
+        logz = float(sums["ext"][0][len(seq) - 1])
+    exact_bpp, exact_logz = brute_force.brute_force_bpp(
+        seq, model=model, fss=FSS if model == "contra" else None
+    )
+    assert abs(logz - exact_logz) < 1e-6, (logz, exact_logz)
+    for k in set(bpp) | set(exact_bpp):
+        assert abs(bpp.get(k, 0.0) - exact_bpp.get(k, 0.0)) < 1e-6, k
+
+
+def test_f64_mode_restores_f32():
+    from tests.oracle import numerics_oracle as NO
+
+    with NO.f64_mode():
+        assert NO.F(0.1).dtype == np.float64
+        assert NO.logsumexp(0.0, 0.0) == np.logaddexp(0.0, 0.0)
+    assert NO.F(0.1).dtype == np.float32
+    # cubic path back in force (the approximation differs from true math)
+    assert NO.expf(np.float32(-1.0)) != np.exp(np.float64(-1.0))
+
+
 def test_oracle_probability_bounds():
     seq = bytes2seq("GGCGCAACGUUCGCGCC")
     for contra in (False, True):
