@@ -45,6 +45,9 @@ class FoldEngine:
 
     def __init__(self, uses_contra_model=False, allows_short_hairpins=False,
                  fss=None, mesh=None):
+        from ..utils.debug import maybe_enable_from_env
+
+        maybe_enable_from_env()
         self.contra = bool(uses_contra_model)
         self.allows_short_hairpins = bool(allows_short_hairpins)
         if self.contra:

@@ -73,3 +73,36 @@ def test_force_syncs_pytrees():
 
     assert force_last(tree) == 1
     assert force_last([None, 7]) == 0
+
+
+def test_debug_nan_checks_env(monkeypatch):
+    """RNA_ALGOS_DEBUG=nans activates jax_debug_nans (SURVEY §5 debug config)."""
+    import jax
+
+    from rna_algos_tpu.utils import debug
+
+    monkeypatch.setenv("RNA_ALGOS_DEBUG", "nans")
+    try:
+        active = debug.maybe_enable_from_env()
+        assert "nans" in active
+        assert jax.config.jax_debug_nans
+    finally:
+        debug.disable_nan_checks()
+    assert not jax.config.jax_debug_nans
+
+
+def test_check_finite_states_contract():
+    import numpy as np
+    import pytest
+
+    from rna_algos_tpu.utils.debug import check_finite_states
+
+    ok = {"a": np.array([1.0, -np.inf], dtype=np.float32),
+          "ids": np.array([1, 2], dtype=np.int32)}
+    check_finite_states(ok)  # finite or -inf: fine
+    bad = {"a": np.array([[0.0, np.nan]], dtype=np.float32)}
+    with pytest.raises(AssertionError, match="lse_pair operand contract"):
+        check_finite_states(bad)
+    bad2 = {"a": np.array([np.inf], dtype=np.float32)}
+    with pytest.raises(AssertionError):
+        check_finite_states(bad2)
