@@ -1215,7 +1215,7 @@ def turner_precompute_di(seqs, ns, tt, N):
         tm_o = lambda f: sk(SEP(tt[f], (x0, x1), (x0, m1), perm=(0, 2, 1, 3)))
         tm_i = lambda f: sk(SEP(tt[f], (x0, m1), (x0, x1), perm=(1, 3, 0, 2)))
 
-        return {
+        out = {
             "H": H_id.T,
             "MBC": sk(MBCpq),
             "ACC": sk(ACCpq),
@@ -1227,73 +1227,60 @@ def turner_precompute_di(seqs, ns, tt, N):
             "TMi1": tm_i("tm_interior"),
             "TMi2": tm_i("tm_1xmany"),
             "TMi3": tm_i("tm_2x3"),
-            # inside small-loop cases (utils.rs:207-321), corrected for the
-            # inner-pair aug the merged CAW window buffer carries
-            "STKT": sk(SEP(stk, (x0, x1), (x0, m1), perm=(0, 2, 1, 3)))
-            - aug_at(-2, 1),
-            "B01": sk(b1 + SEP(stk, (x0, x1), (x0, m2), perm=(0, 2, 1, 3)))
-            - aug_at(-3, 1),
-            "B10": sk(b1 + SEP(stk, (x0, x2), (x0, m1), perm=(0, 2, 1, 3)))
-            - aug_at(-3, 2),
-            "I11T": sk(
-                SEP(i1, (x0, x1, x2), (x0, m1, m2), perm=(0, 2, 4, 1, 3, 5))
-            )
-            - aug_at(-4, 2),
-            "I12T": sk(
-                SEP(
-                    i2, (x0, x1, x2), (x0, m1, m2, m3),
-                    perm=(0, 2, 5, 1, 3, 4, 6),
-                )
-            )
-            - aug_at(-5, 2),
-            "I21T": sk(
-                SEP(
-                    i2, (x3, x2, x1, x0), (m2, m1, x0),
-                    perm=(1, 3, 4, 6, 0, 2, 5),
-                )
-            )
-            - aug_at(-5, 3),
-            "I22T": sk(
-                SEP(
-                    i4, (x0, x1, x2, x3), (x0, m1, m2, m3),
-                    perm=(0, 2, 4, 6, 1, 3, 5, 7),
-                )
-            )
-            - aug_at(-6, 3),
-            # outside small-loop cases (outer (i-1-a, j+1+b), inner (i, j)),
-            # corrected for the outer-pair aug the merged OG buffer carries
-            "STKO": sk(SEP(stk, (m1, x0), (x1, x0), perm=(0, 2, 1, 3)))
-            - aug_at(2, -1),
-            "B01O": sk(b1 + SEP(stk, (m1, x0), (x2, x0), perm=(0, 2, 1, 3)))
-            - aug_at(3, -1),
-            "B10O": sk(b1 + SEP(stk, (m2, x0), (x1, x0), perm=(0, 2, 1, 3)))
-            - aug_at(3, -2),
-            "I11O": sk(
-                SEP(i1, (m2, m1, x0), (x2, x1, x0), perm=(0, 2, 4, 1, 3, 5))
-            )
-            - aug_at(4, -2),
-            "I12O": sk(
-                SEP(
-                    i2, (m2, m1, x0), (x3, x2, x1, x0),
-                    perm=(0, 2, 5, 1, 3, 4, 6),
-                )
-            )
-            - aug_at(5, -2),
-            "I21O": sk(
-                SEP(
-                    i2, (x0, m1, m2, m3), (x0, x1, x2),
-                    perm=(1, 3, 4, 6, 0, 2, 5),
-                )
-            )
-            - aug_at(5, -3),
-            "I22O": sk(
-                SEP(
-                    i4, (m3, m2, m1, x0), (x3, x2, x1, x0),
-                    perm=(0, 2, 4, 6, 1, 3, 5, 7),
-                )
-            )
-            - aug_at(6, -3),
         }
+
+        # Small-loop replacement tables (utils.rs:207-321).  Each raw [d, i]
+        # grid is computed ONCE: the inside variant subtracts the inner-pair
+        # aug (the merged CAW window buffer carries it); the outside variant
+        # — whose raw score for inner pair (i, j) / outer (i-1-a, j+1+b) is
+        # the SAME table entry the inside grid selects at
+        # [d + (a+b+2), i - (a+1)] — is a pure shift_di translation minus
+        # the outer-pair aug.  One fused roll+mask each replaces 7
+        # sep_lookup contractions + 7 log-depth skews; bitwise equal at
+        # every cell whose outer pair is on-grid, and off-grid cells only
+        # ever multiply zero/-inf outside weights in the kernels.
+        raws = {
+            # name: (raw grid, a+b+2 span offset, a+1 left offset)
+            "STK": (
+                sk(SEP(stk, (x0, x1), (x0, m1), perm=(0, 2, 1, 3))), 2, 1
+            ),
+            "B01": (
+                sk(b1 + SEP(stk, (x0, x1), (x0, m2), perm=(0, 2, 1, 3))),
+                3, 1,
+            ),
+            "B10": (
+                sk(b1 + SEP(stk, (x0, x2), (x0, m1), perm=(0, 2, 1, 3))),
+                3, 2,
+            ),
+            "I11": (
+                sk(SEP(i1, (x0, x1, x2), (x0, m1, m2),
+                       perm=(0, 2, 4, 1, 3, 5))),
+                4, 2,
+            ),
+            "I12": (
+                sk(SEP(i2, (x0, x1, x2), (x0, m1, m2, m3),
+                       perm=(0, 2, 5, 1, 3, 4, 6))),
+                5, 2,
+            ),
+            "I21": (
+                sk(SEP(i2, (x3, x2, x1, x0), (m2, m1, x0),
+                       perm=(1, 3, 4, 6, 0, 2, 5))),
+                5, 3,
+            ),
+            "I22": (
+                sk(SEP(i4, (x0, x1, x2, x3), (x0, m1, m2, m3),
+                       perm=(0, 2, 4, 6, 1, 3, 5, 7))),
+                6, 3,
+            ),
+        }
+        _in_name = {"STK": "STKT", "I11": "I11T", "I12": "I12T",
+                    "I21": "I21T", "I22": "I22T"}
+        for key, (raw, p, l) in raws.items():
+            out[_in_name.get(key, key)] = raw - aug_at(-p, l)
+            out[key + "O"] = (
+                diag.shift_di(raw, p, -l, 0.0) - aug_at(p, -l)
+            )
+        return out
 
     return jax.vmap(one)(seqs, ns)
 
