@@ -519,19 +519,32 @@ _PALLAS_TURNER_ON = True
 
 def pallas_available(contra, N):
     """Whether the fused kernel path applies (TPU backend, VMEM budget)."""
+    import os
+
     import jax as _jax
 
     try:
         backend = _jax.default_backend()
     except Exception:
         return False
+    if backend in ("cpu",):
+        return False
+    if N > 256:
+        # span-chunked prob kernels (ops/pallas_fold_prob.py): DP state
+        # resident, score tables streamed per row-chunk.  Prob-space only
+        # (exact/fast tiers); the parity tier's log kernels stay all-VMEM.
+        impl = os.environ.get("RNA_ALGOS_FAST_IMPL", "prob")
+        return (
+            bool(contra)
+            and N == 512
+            and get_mode() in ("fast", "exact")
+            and impl.startswith("prob")
+        )
     # Mosaic wants tile-friendly lane dims: 64/128/256 validated on v5e
     # ("unsupported unaligned shape" at 96)
     return (
         (bool(contra) or _PALLAS_TURNER_ON)
-        and N <= 256
         and (N & (N - 1)) == 0
-        and backend not in ("cpu",)
     )
 
 

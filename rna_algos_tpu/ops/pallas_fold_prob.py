@@ -64,7 +64,15 @@ from .pallas_fold import (
 
 LN_SIGMA0 = 0.9          # initial per-base scale (typical folded RNA)
 RETRY_STEP = 0.9         # ln_sigma bisection step on over/underflow
-MAX_RETRIES = 6
+MAX_RETRIES = 10
+# Scaled-Z guard band: exact 0.0/inf detection is not enough — a partition
+# function near the f32 denormal cliff (~1e-38) silently flushes the small
+# bppo intermediates to zero (measured ~6e-2 BPP error at glob ~ 2e-37 on
+# n=465), so anything outside [GLOB_LO, GLOB_HI] triggers a rescale retry.
+# The band is deliberately wide (no retries for the common n <= 256 range,
+# where glob ~ e^{n * (logZ/n - ln_sigma)} lands within ~1e-18..1e9).
+GLOB_LO = 1e-24
+GLOB_HI = 1e24
 
 
 # ---------------------------------------------------------------------------
@@ -553,6 +561,402 @@ def _inside_call_prob(pmats, LENp, scal, B, N, interpret):
     )
 
 
+# ---------------------------------------------------------------------------
+# Span-chunked kernels: long sequences past the all-VMEM budget (N >= 512)
+#
+# The all-resident kernels cap at N = 256 because inputs + outputs + the
+# O(N^2) DP-state scratches must fit VMEM together.  But every streamed
+# score table row d is consumed exactly once (at span d), and every output
+# row is produced exactly once — so for large N the batch grid gains a
+# second CHUNK dimension: grid = (B, N // R), the input/output BlockSpecs
+# hand the kernel (R, N) row-chunks (Mosaic pipelines the HBM<->VMEM moves
+# across grid steps), and only the DP state (FQ/FQM/ext/one and the
+# rotating window scratches) stays VMEM-resident across the whole span
+# loop, persisting across grid steps exactly like a matmul accumulator.
+# Outputs stream per span as single-row stores into the chunk block.
+#
+# The live-height ladder here uses CHUNK-ALIGNED marks (pow-2 up to R,
+# then every chunk boundary): in probability space trailing zero rows are
+# exact identities of a plain sum, so any ladder is bit-exact (the pow-2
+# argument of ops/pallas_fold._live_heights is only needed for log-space
+# lse trees).  The outside kernel's SONEF scratch takes delivery of its
+# pre-rotated ONEP rows [cR, (c+1)R) at chunk-c start — always before
+# those rows go live at k == cR (k = step - (N - n) <= cR there) — and a
+# ladder segment never straddles a chunk boundary, so the bulk catch-up
+# rotate only ever touches rows already delivered.
+# ---------------------------------------------------------------------------
+
+def _live_marks_chunked(N, R):
+    """Chunk-aligned live-height ladder: 32, 64, .., R, 2R, .., N."""
+    hs, h = [], 32
+    while h < R:
+        hs.append(h)
+        h *= 2
+    hs.extend(range(R, N + 1, R))
+    return hs
+
+
+def _contra_inside_prob_kernel_chunked(
+    SCAL,                                   # (1, 1, 8) SMEM scalars
+    H, MBC, ACC, JS, STK, I11, B0R, B0L, CANON, JB,   # (1, R, N) [d, i]
+    LEN,                                    # (1, W2, W) [b, a]
+    KB,                                     # (1, 32, 32) banded MXU kernel
+    close_out, ext_out, one_out,            # (1, R, N) chunk blocks
+    CJW, FQ, FQM, extS, extrS, mbS, oneS, CARRY,
+    *, N, R,
+):
+    c = pl.program_id(1)
+    base = c * R
+    eu1 = SCAL[0, 0, 0]
+    ebp = SCAL[0, 0, 1]
+    mbu1 = SCAL[0, 0, 2]
+    mbbp = SCAL[0, 0, 3]
+    n_i = SCAL[0, 0, 7].astype(jnp.int32)
+
+    @pl.when(c == 0)
+    def _init():
+        CJW[:] = jnp.zeros_like(CJW[:])
+        FQ[:] = jnp.zeros_like(FQ[:])
+        FQM[:] = jnp.zeros_like(FQM[:])
+        extS[:] = jnp.zeros_like(extS[:])
+        extrS[:] = jnp.ones_like(extrS[:])   # ext(i, i-1) = empty = 1
+        mbS[:] = jnp.zeros_like(mbS[:])
+        oneS[:] = jnp.zeros_like(oneS[:])
+
+    # dead spans must still produce deterministic (zero) output rows
+    close_out[0] = jnp.zeros_like(close_out[0])
+    ext_out[0] = jnp.zeros_like(ext_out[0])
+    one_out[0] = jnp.zeros_like(one_out[0])
+
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
+    powm = jnp.exp(t_idx.astype(jnp.float32) * jnp.log(mbu1))
+    first = c == 0
+    rm0 = jnp.where(first, 0.0, CARRY[pl.ds(0, 1), :])
+    rmmb0 = jnp.where(first, 0.0, CARRY[pl.ds(1, 1), :])
+    epow0 = jnp.where(first, 1.0, CARRY[pl.ds(2, 1), :])
+
+    def span_step(d, carry):
+        rm_prev, rmmb_prev, epow_prev = carry
+        r = d - base
+
+        js_row = _row3(JS, r)
+        OUT = _band_mm(KB, CJW)
+        two = js_row * _skew_extract_sum(OUT, N, 1)
+        two = two + _row3(STK, r) * CJW[pl.ds(1, 1), pl.ds(1, N)]
+        two = two + (
+            js_row * LEN[0, pl.ds(1, 1), pl.ds(0, 1)] * _row3(B0R, r)
+            * CJW[pl.ds(2, 1), pl.ds(1, N)]
+        )
+        two = two + (
+            js_row * LEN[0, pl.ds(0, 1), pl.ds(1, 1)] * _row3(B0L, r)
+            * CJW[pl.ds(2, 1), pl.ds(2, N)]
+        )
+        two = two + (
+            js_row * LEN[0, pl.ds(1, 1), pl.ds(1, 1)] * _row3(I11, r)
+            * CJW[pl.ds(3, 1), pl.ds(2, N)]
+        )
+        mb_in = mbS[pl.ds(1, 1), pl.ds(1, N)]
+        mb_term = jnp.where(d >= 2, mb_in * _row3(MBC, r), 0.0)
+        close_new = (_row3(H, r) + two + mb_term) * _row3(CANON, r)
+        close_new = jnp.where(
+            d + 1 >= MIN_SPAN_HAIRPIN_CLOSE, close_new, 0.0
+        )
+        close_out[0, pl.ds(r, 1), :] = close_new
+        acc_new = close_new * _row3(ACC, r)
+
+        rm_new = rm_prev * eu1 + acc_new * ebp
+        rmmb_new = rmmb_prev * mbu1 + acc_new * mbbp
+        epow = epow_prev * eu1
+
+        def tail(ht):
+            tb = t_idx[:ht]
+            for buf, row in ((FQ, rm_new), (FQM, rmmb_new)):
+                shifted = buf[pl.ds(0, ht - 1), pl.ds(1, N + 7)]
+                buf[pl.ds(1, ht - 1), pl.ds(0, N + 7)] = shifted
+                buf[pl.ds(0, 1), pl.ds(0, N)] = row
+
+            qblk = FQ[pl.ds(0, ht), pl.ds(0, N)]
+            eblk = extrS[pl.ds(0, ht), :]
+            terms = jnp.where(tb <= d - 1, qblk * eblk, 0.0)
+            ext_new = epow + jnp.sum(terms, axis=0, keepdims=True)
+            extS[pl.ds(d, 1), :] = ext_new
+            extrS[pl.ds(d + 1, 1), :] = ext_new
+            ext_out[0, pl.ds(r, 1), :] = ext_new
+
+            qmblk = FQM[pl.ds(0, ht), pl.ds(0, N)]
+            x = jnp.where((tb >= 1) & (tb <= d - 1), qmblk, 0.0)
+            s1 = rmmb_new + jnp.sum(x * powm[:ht], axis=0, keepdims=True)
+            oblk = oneS[pl.ds(0, ht), :]
+            s2 = jnp.sum(oblk * x, axis=0, keepdims=True)
+            mbS[pl.ds(1, 1), :] = mbS[pl.ds(0, 1), :]
+            mbS[pl.ds(0, 1), pl.ds(0, N)] = s2
+            one_new = s1 + s2
+            oneS[pl.ds(d + 1, 1), :] = one_new
+            one_out[0, pl.ds(r, 1), :] = one_new
+
+        prev = 0
+        for ht in _live_marks_chunked(N, R):
+            cond = d < ht if prev == 0 else (d >= prev) & (d < ht)
+            pl.when(cond)(functools.partial(tail, ht))
+            prev = ht
+
+        _shift_insert(CJW, close_new * _row3(JB, r))
+        return (rm_new, rmmb_new, epow)
+
+    rm_f, rmmb_f, epow_f = lax.fori_loop(
+        base, jnp.minimum(n_i, base + R), span_step, (rm0, rmmb0, epow0)
+    )
+    CARRY[pl.ds(0, 1), :] = rm_f
+    CARRY[pl.ds(1, 1), :] = rmmb_f
+    CARRY[pl.ds(2, 1), :] = epow_f
+
+
+def _contra_outside_prob_kernel_chunked(
+    SCAL,
+    CLOSE, MBC, ACC, STKO, I11O, B0RO, JRB, JSN,   # (1, R, N) desc chunks
+    ONEP,                                    # (1, R, 2N) asc chunk
+    QONE,                                    # (1, N, N) resident
+    B0LO, EXTL,                              # (1, 1, N)
+    EXTR,                                    # (1, 1, 2N)
+    LEN,                                     # (1, W2, W)
+    KB,                                      # (1, 32, 32)
+    bppo_out,                                # (1, R, N) desc chunk
+    OG, XS, RPM, RPM2, SONEF, REXT,
+    *, N, R, min_span,
+):
+    c = pl.program_id(1)
+    C = N // R
+    dbase = (C - 1 - c) * R          # spans in this chunk: [dbase, dbase+R)
+    ebp = SCAL[0, 0, 1]
+    mbu1 = SCAL[0, 0, 2]
+    mbbp = SCAL[0, 0, 3]
+    glob = SCAL[0, 0, 4]
+    n_i = SCAL[0, 0, 7].astype(jnp.int32)
+
+    @pl.when(c == 0)
+    def _init():
+        OG[:] = jnp.zeros_like(OG[:])
+        XS[:] = jnp.zeros_like(XS[:])
+        RPM[:] = jnp.zeros_like(RPM[:])
+        RPM2[:] = jnp.zeros_like(RPM2[:])
+        REXT[pl.ds(0, 1), :] = EXTR[0, pl.ds(0, 1), :]
+
+    # deliver the pre-rotated ONEP rows of this chunk (they cannot be live
+    # yet: k = step - (N - n) <= cR at chunk start)
+    SONEF[pl.ds(c * R, R), :] = ONEP[0, pl.ds(0, R), :]
+    bppo_out[0] = jnp.zeros_like(bppo_out[0])
+
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
+    t_f = t_idx.astype(jnp.float32)
+    powm = jnp.exp(t_f * jnp.log(mbu1))
+    powm2 = jnp.exp((t_f - 1.0) * jnp.log(mbu1))
+    inv_glob = 1.0 / glob
+    C2 = SONEF.shape[1]
+
+    def span_step(step, carry):
+        d = N - 1 - step
+        r = d - dbase
+        k = step - (N - n_i)
+        span_ok = (d + 1) >= min_span
+
+        close_row = _row3(CLOSE, r)
+        pos = close_row > 0.0
+        inv_close = jnp.where(pos, 1.0 / jnp.where(pos, close_row, 1.0), 0.0)
+        acc_row = close_row * _row3(ACC, r)
+        lt = EXTL[0, pl.ds(0, 1), :]
+        rt = REXT[pl.ds(0, 1), pl.ds(0, N)]
+        base = lt * acc_row * rt * inv_glob * ebp
+
+        jrb_row = _row3(JRB, r)
+        OUT = _band_mm(KB, OG)
+        two = jrb_row * _skew_extract_sum(OUT, N, 31, descending=True)
+        two = two + _row3(STKO, r) * OG[pl.ds(1, 1), pl.ds(31, N)]
+        two = two + (
+            jrb_row * LEN[0, pl.ds(1, 1), pl.ds(0, 1)] * _row3(B0RO, r)
+            * OG[pl.ds(2, 1), pl.ds(31, N)]
+        )
+        two = two + (
+            jrb_row * LEN[0, pl.ds(0, 1), pl.ds(1, 1)]
+            * B0LO[0, pl.ds(0, 1), :] * OG[pl.ds(2, 1), pl.ds(30, N)]
+        )
+        two = two + (
+            jrb_row * LEN[0, pl.ds(1, 1), pl.ds(1, 1)] * _row3(I11O, r)
+            * OG[pl.ds(3, 1), pl.ds(30, N)]
+        )
+        two = two * close_row
+        acc_mb = acc_row * mbbp
+        jsn_row = _row3(JSN, r)
+        mbc_row = _row3(MBC, r)
+
+        def tail(ht):
+            tb = t_idx[:ht]
+            Xr = XS[pl.ds(0, ht), :]
+            s_one = SONEF[pl.ds(0, ht), pl.ds(0, N)]
+            pm_new = jnp.where(
+                span_ok, jnp.sum(Xr * s_one, axis=0, keepdims=True), 0.0
+            )
+            pm2_new = jnp.where(
+                span_ok,
+                jnp.sum(Xr * powm[:ht], axis=0, keepdims=True),
+                0.0,
+            )
+            for buf, row in ((RPM, pm_new), (RPM2, pm2_new)):
+                shifted = buf[pl.ds(0, ht - 1), pl.ds(0, N - 1)]
+                buf[pl.ds(1, ht - 1), pl.ds(1, N - 1)] = shifted
+                buf[pl.ds(1, ht - 1), pl.ds(0, 1)] = jnp.zeros((ht - 1, 1))
+                buf[pl.ds(0, 1), pl.ds(0, N)] = row
+
+            r_pm = RPM[pl.ds(0, ht), pl.ds(0, N)]
+            r_pm2 = RPM2[pl.ds(0, ht), pl.ds(0, N)]
+            qone_blk = QONE[0, pl.ds(0, ht), pl.ds(0, N)]
+            m1 = tb >= 1
+            terms_a = jnp.where(m1, r_pm2 * qone_blk, 0.0)
+            terms_bc = jnp.where(
+                m1, r_pm * (qone_blk + powm2[:ht]), 0.0
+            )
+            mb_ctx = acc_mb * (
+                jnp.sum(terms_a, axis=0, keepdims=True)
+                + jnp.sum(terms_bc, axis=0, keepdims=True)
+            )
+
+            bppo_new = base + two + mb_ctx
+            bppo_new = jnp.where(pos & span_ok, bppo_new, 0.0)
+            bppo_out[0, pl.ds(r, 1), :] = bppo_new
+
+            g2 = bppo_new * jsn_row * inv_close
+            _shift_insert(OG, g2, lane_off=32)
+            g_row = bppo_new * mbc_row * inv_close
+            shifted = XS[pl.ds(0, ht - 1), :]
+            XS[pl.ds(1, ht - 1), :] = shifted
+            XS[pl.ds(0, 1), :] = g_row
+            _rotate_right(SONEF, ht)
+            _rotate_right(REXT, 1)
+
+        prev = 0
+        for ht in _live_marks_chunked(N, R):
+            if prev:
+                def bulk(lo=prev, hi=ht):
+                    rows = hi - lo
+                    wrap = SONEF[pl.ds(lo, rows), pl.ds(C2 - lo, lo)]
+                    body = SONEF[pl.ds(lo, rows), pl.ds(0, C2 - lo)]
+                    SONEF[pl.ds(lo, rows), pl.ds(lo, C2 - lo)] = body
+                    SONEF[pl.ds(lo, rows), pl.ds(0, lo)] = wrap
+
+                pl.when(k == prev)(bulk)
+            cond = k < ht if prev == 0 else (k >= prev) & (k < ht)
+            pl.when(cond)(functools.partial(tail, ht))
+            prev = ht
+        return carry
+
+    lo = jnp.maximum(c * R, N - n_i)
+    lax.fori_loop(lo, (c + 1) * R, span_step, 0)
+
+
+def _smem_spec2():
+    return pl.BlockSpec(
+        (1, 1, 8), lambda b, c: (b, 0, 0), memory_space=pltpu.SMEM
+    )
+
+
+def _chunk_spec(R, N, desc=False, C=None):
+    if desc:
+        return pl.BlockSpec(
+            (1, R, N), lambda b, c: (b, C - 1 - c, 0),
+            memory_space=pltpu.VMEM,
+        )
+    return pl.BlockSpec(
+        (1, R, N), lambda b, c: (b, c, 0), memory_space=pltpu.VMEM
+    )
+
+
+def _const_spec2(*shape):
+    return pl.BlockSpec(
+        (1,) + shape, lambda b, c: (b,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM,
+    )
+
+
+def _inside_call_prob_chunked(pmats, LENp, scal, B, N, R, interpret):
+    C = N // R
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((B, N, N), jnp.float32) for _ in range(3)
+    )
+    kernel = functools.partial(
+        _contra_inside_prob_kernel_chunked, N=N, R=R
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B, C),
+        in_specs=[
+            _smem_spec2(),
+            *(_chunk_spec(R, N) for _ in range(10)),
+            _const_spec2(W2, W),
+            _const_spec2(32, 32),
+        ],
+        out_specs=tuple(_chunk_spec(R, N) for _ in range(3)),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # CJW
+            pltpu.VMEM((N, N + 8), jnp.float32),          # FQ
+            pltpu.VMEM((N, N + 8), jnp.float32),          # FQM
+            pltpu.VMEM((N, N), jnp.float32),              # extS
+            pltpu.VMEM((N + 1, N), jnp.float32),          # extrS
+            pltpu.VMEM((2, N + 8), jnp.float32),          # mbS
+            pltpu.VMEM((N + 1, N), jnp.float32),          # oneS
+            pltpu.VMEM((8, N), jnp.float32),              # CARRY
+        ],
+        interpret=interpret,
+    )(
+        scal,
+        pmats["H"], pmats["MBC"], pmats["ACC"], pmats["JS"], pmats["STK"],
+        pmats["I11"], pmats["B0R"], pmats["B0L"], pmats["CANON"],
+        pmats["JB"], LENp, _banded_window_kernel(LENp),
+    )
+
+
+def _outside_call_prob_chunked(
+    pmats, close, ONEP, QONE, extL, extR, LENp, scal_o, B, N, R,
+    min_span, interpret,
+):
+    C = N // R
+    kernel = functools.partial(
+        _contra_outside_prob_kernel_chunked, N=N, R=R, min_span=min_span
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(B, C),
+        in_specs=[
+            _smem_spec2(),
+            *(_chunk_spec(R, N, desc=True, C=C) for _ in range(8)),
+            _chunk_spec(R, 2 * N),               # ONEP (ascending chunks)
+            _const_spec2(N, N),                  # QONE
+            _const_spec2(1, N),                  # B0LO
+            _const_spec2(1, N),                  # EXTL
+            _const_spec2(1, 2 * N),              # EXTR
+            _const_spec2(W2, W),                 # LEN
+            _const_spec2(32, 32),                # KB
+        ],
+        out_specs=_chunk_spec(R, N, desc=True, C=C),
+        out_shape=jax.ShapeDtypeStruct((B, N, N), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # OG
+            pltpu.VMEM((N, N), jnp.float32),              # XS
+            pltpu.VMEM((N, N), jnp.float32),              # RPM
+            pltpu.VMEM((N, N), jnp.float32),              # RPM2
+            pltpu.VMEM((N, 2 * N), jnp.float32),          # SONEF
+            pltpu.VMEM((1, 2 * N), jnp.float32),          # REXT
+        ],
+        interpret=interpret,
+    )(
+        scal_o,
+        close, pmats["MBC"], pmats["ACC"], pmats["STKO"], pmats["I11O"],
+        pmats["B0RO"], pmats["JB"], pmats["JS"],
+        ONEP, QONE,
+        pmats["B0LO"][:, None, :], extL[:, None, :],
+        extR[:, None, :], LENp, _banded_window_kernel(LENp),
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("N", "allows_short_hairpins", "interpret")
 )
@@ -573,6 +977,22 @@ def _prob_run_body(
     pmats = contra_prob_mats(seqs, ns, ct, ln_sigma, N)
     LENp = _contra_len_prob(ct, ln_sigma)
     scal = _scal_rows(ct, ln_sigma, ns)
+    if N > 256:
+        # span-chunked kernels: DP state resident, tables streamed per chunk
+        R = 128
+        close, ext, one = _inside_call_prob_chunked(
+            pmats, LENp, scal, B, N, R, interpret
+        )
+        ONEP, QONE, extL, extR, glob = PF.contra_outside_aux(
+            ns, ext, one, N, neg=0.0, one_val=1.0
+        )
+        scal_o = _scal_rows(ct, ln_sigma, ns, glob=glob)
+        min_span = 2 if allows_short_hairpins else MIN_SPAN_HAIRPIN_CLOSE
+        bppo = _outside_call_prob_chunked(
+            pmats, close, ONEP, QONE, extL, extR, LENp, scal_o, B, N, R,
+            min_span, interpret,
+        )
+        return bppo, glob
     close, ext, one = _inside_call_prob(pmats, LENp, scal, B, N, interpret)
     ONEP, QONE, extL, extR, glob = PF.contra_outside_aux(
         ns, ext, one, N, neg=0.0, one_val=1.0
@@ -619,19 +1039,23 @@ def _prob_run_body(
     return bppo, glob
 
 
-def _retrying(run, B, ls0=None):
+def _retrying(run, B, ls0=None, ns=None):
     """Device-side rescale-retry loop around a (ln_sigma,) -> (bppo, Z) run.
 
-    Lanes whose scaled partition function over/underflowed re-run inside a
-    ``lax.while_loop`` with ``ln_sigma`` bisection-stepped (the
-    representable band is ~87/n wide, so a few adaptive steps cover every
-    physical per-base log-Z) — no host syncs, so back-to-back batches
-    pipeline."""
+    Lanes whose scaled partition function left the guard band re-run inside
+    a ``lax.while_loop``.  When the bad lane's scaled Z is still finite and
+    positive, ``ln(glob)/n`` IS the distance to the centered scale (glob =
+    e^{n(z - ln_sigma)}), so the retry jumps straight to glob ~ 1 in one
+    step; only true 0/inf lanes fall back to the bisection walk (the
+    representable band is ~87/n wide).  No host syncs, so back-to-back
+    batches pipeline."""
 
     def flags(bppo, glob):
         s = jnp.sum(bppo, axis=(1, 2))
-        bad_hi = ~jnp.isfinite(glob) | ~jnp.isfinite(s)
-        bad_lo = (glob == 0.0) & ~bad_hi
+        bad_hi = (
+            ~jnp.isfinite(glob) | ~jnp.isfinite(s) | (glob > GLOB_HI)
+        )
+        bad_lo = (glob < GLOB_LO) & ~bad_hi
         return bad_hi, bad_lo
 
     if ls0 is None:
@@ -641,27 +1065,35 @@ def _retrying(run, B, ls0=None):
     bppo0, glob0 = run(ls0)
     bh0, bl0 = flags(bppo0, glob0)
     state = (
-        bppo0, ls0,
+        bppo0, glob0, ls0,
         jnp.full((B,), RETRY_STEP, jnp.float32),
         jnp.zeros((B,), jnp.float32),
         bh0, bl0, jnp.int32(0),
     )
 
     def cond(st):
-        _bppo, _ls, _step, _last, bh, bl, k = st
+        _bppo, _glob, _ls, _step, _last, bh, bl, k = st
         return jnp.any(bh | bl) & (k < MAX_RETRIES)
 
     def body(st):
-        _bppo, ls, step, last_dir, bh, bl, k = st
+        _bppo, glob, ls, step, last_dir, bh, bl, k = st
+        bad = bh | bl
         direction = bh.astype(jnp.float32) - bl.astype(jnp.float32)
         step = jnp.where(direction * last_dir < 0, step * 0.5, step)
-        ls = ls + step * direction
+        delta = step * direction
+        if ns is not None:
+            can_jump = bad & jnp.isfinite(glob) & (glob > 0.0)
+            jump = jnp.log(jnp.where(can_jump, glob, 1.0)) / jnp.maximum(
+                ns.astype(jnp.float32), 1.0
+            )
+            delta = jnp.where(can_jump, jump, delta)
+        ls = ls + delta
         bppo, glob = run(ls)
         bh, bl = flags(bppo, glob)
-        return (bppo, ls, step, direction, bh, bl, k + 1)
+        return (bppo, glob, ls, step, direction, bh, bl, k + 1)
 
     state = lax.while_loop(cond, body, state)
-    return state[0], state[1]
+    return state[0], state[2]
 
 
 @functools.partial(
@@ -679,7 +1111,7 @@ def mccaskill_contra_pallas_prob(
             seqs, ns, ct, ls, N, allows_short_hairpins, interpret
         )
 
-    return _retrying(run, seqs.shape[0])
+    return _retrying(run, seqs.shape[0], ns=ns)
 
 
 # ---------------------------------------------------------------------------
@@ -1105,4 +1537,4 @@ def mccaskill_turner_pallas_prob(seqs, ns, tt, N, interpret=False):
     def run(ls):
         return _turner_prob_run_body(seqs, ns, tt, ls, N, interpret)
 
-    return _retrying(run, seqs.shape[0])
+    return _retrying(run, seqs.shape[0], ns=ns)

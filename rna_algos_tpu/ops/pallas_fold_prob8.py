@@ -567,7 +567,7 @@ def mccaskill_contra_pallas_prob8(
             seqs, ns, ct, ls, N, allows_short_hairpins, interpret
         )
 
-    return PP._retrying(run, seqs.shape[0])
+    return PP._retrying(run, seqs.shape[0], ns=ns)
 
 
 # ---------------------------------------------------------------------------
@@ -1001,4 +1001,4 @@ def mccaskill_turner_pallas_prob8(seqs, ns, tt, N, interpret=False):
     def run(ls):
         return _turner_prob8_run_body(seqs, ns, tt, ls, N, interpret)
 
-    return PP._retrying(run, seqs.shape[0])
+    return PP._retrying(run, seqs.shape[0], ns=ns)

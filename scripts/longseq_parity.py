@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""N=512 chunked-kernel validation: Mosaic compile + parity vs the XLA scan.
+
+The span-chunked prob kernels (ops/pallas_fold_prob.py) extend the fused
+path past the all-VMEM N<=256 budget.  This script compiles them at N=512
+on the real TPU, checks BPP parity against the XLA wavefront scan
+(reference cubics; 5e-4 budget, same as the golden tier spread), and
+times both.
+
+Env: PARITY_BATCH (default 16), PARITY_SKIP_XLA=1 to skip the slow scan.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+B = int(os.environ.get("PARITY_BATCH", "16"))
+N = 512
+
+
+def main():
+    import jax.numpy as jnp
+
+    from rna_algos_tpu.models.mccaskill import (
+        mccaskill_bpp_batch,
+        _prob_finish,
+    )
+    from rna_algos_tpu.ops import pallas_fold_prob as PP
+    from rna_algos_tpu.ops import scores as S
+    from rna_algos_tpu.params import build_fold_score_sets
+    from rna_algos_tpu.utils.trace import force, force_last
+
+    rng = np.random.RandomState(3)
+    lens = rng.randint(int(N * 0.75), N + 1, size=B).astype(np.int32)
+    seqs = np.full((B, N), 4, np.int32)
+    for b, l in enumerate(lens):
+        seqs[b, :l] = rng.randint(0, 4, size=int(l))
+    arr = jnp.asarray(seqs)
+    ns = jnp.asarray(lens)
+    ct = S.contra_table_pytree(build_fold_score_sets())
+
+    t0 = time.perf_counter()
+    bppo, ls = PP.mccaskill_contra_pallas_prob(arr, ns, ct, N=N)
+    bpp_p, _pres = _prob_finish(bppo, ns, N=N)
+    bpp_p = np.asarray(bpp_p)
+    t_compile = time.perf_counter() - t0
+    print(json.dumps({"phase": "chunked_compile+run_s",
+                      "value": round(t_compile, 1)}), flush=True)
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = [PP.mccaskill_contra_pallas_prob(arr, ns, ct, N=N)
+                for _ in range(3)]
+        force_last(outs[-1][0])
+        times.append((time.perf_counter() - t0) / 3)
+    dt = min(times)
+    print(json.dumps({
+        "metric": "longseq_fused_chunked", "N": N, "batch": B,
+        "seqs_per_s": round(B / dt, 2),
+        "ms_per_seq": round(dt / B * 1e3, 2),
+    }), flush=True)
+
+    assert np.isfinite(bpp_p).all(), "non-finite BPPs"
+    lo, hi = bpp_p.min(), bpp_p.max()
+    print(json.dumps({"phase": "bounds", "min": float(lo),
+                      "max": float(hi)}), flush=True)
+    assert lo >= -1e-3 and hi <= 1 + 1e-3, "BPP bounds violated"
+
+    if os.environ.get("PARITY_SKIP_XLA") != "1":
+        t0 = time.perf_counter()
+        bpp_x, _ = mccaskill_bpp_batch(arr, ns, ct, N=N, contra=True)
+        force(bpp_x)
+        bpp_x = np.asarray(bpp_x)
+        t_x = time.perf_counter() - t0
+        d = np.max(np.abs(bpp_p - bpp_x))
+        print(json.dumps({
+            "phase": "xla_parity", "max_abs_diff": float(d),
+            "xla_s": round(t_x, 1), "ok": bool(d <= 5e-4),
+        }), flush=True)
+        assert d <= 5e-4, f"parity vs XLA scan failed: {d}"
+    print("PASS")
+
+
+if __name__ == "__main__":
+    main()
