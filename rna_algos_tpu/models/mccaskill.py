@@ -535,8 +535,7 @@ def pallas_available(contra, N):
         # (exact/fast tiers); the parity tier's log kernels stay all-VMEM.
         impl = os.environ.get("RNA_ALGOS_FAST_IMPL", "prob")
         return (
-            bool(contra)
-            and N == 512
+            N == 512
             and get_mode() in ("fast", "exact")
             and impl.startswith("prob")
         )

