@@ -494,13 +494,15 @@ def contra_precompute_di(seqs, ns, ct, N):
     the outside pass reuses MBC/ACC/JS/JB and only adds the mirrored
     stack/0x1/1x1 grids).
 
-    Every pair lookup is a position-separable one-hot MXU contraction
-    (ops.lut.sep_lookup) skewed gather-free into diagonal layout
-    (ops.diag.skew_pq) — no (N, N) scalar-unit gathers.  Cells past the
-    matrix edge (i + d >= N) take the skew fill (0.0, finite) instead of the
-    PSEUDO-row table value; every such cell is killed by the CANON /
-    close = -inf masks in the kernels, and the fill keeps the
-    finite-or-(-inf) lse_pair operand contract."""
+    Three phases (see turner_precompute_di): vmapped position-separable
+    one-hot MXU contractions in [p, q] (ops.lut.sep_lookup), ONE fused
+    Pallas diagonal re-layout (ops.pallas_skew.skew_pq_batch), then batched
+    [d, i] assembly.  Cells past the matrix edge (i + d >= N) take the skew
+    fill (0.0, finite) instead of the PSEUDO-row table value; every such
+    cell is killed by the CANON / close = -inf masks in the kernels, and
+    the fill keeps the finite-or-(-inf) lse_pair operand contract."""
+    from .pallas_skew import skew_pq_batch
+
     hc = ct["helix_close_scores"]
     tm = ct["terminal_mismatch_scores"]
     dl = ct["dangling_scores_left"]
@@ -509,17 +511,15 @@ def contra_precompute_di(seqs, ns, ct, N):
     stk = ct["stack_scores"]
     b0x1 = ct["bulge_scores_0x1"]
     i1x1 = ct["interior_scores_1x1"]
+    B = seqs.shape[0]
 
-    def one(seq, n):
+    def one_pq(seq, n):
         pvec = jnp.arange(N)
         x0 = seq
         x1 = S.sget(seq, pvec + 1)
         m1 = S.sget(seq, pvec - 1)
         qv = pvec[None, :]
         pv = pvec[:, None]
-
-        def sk(Mpq):  # [p, q] -> [d, i]
-            return diag.skew_pq(Mpq, 0.0).T
 
         # junction_score_single(i, j) / (j, i) (utils.rs:522-556)
         JSpq = SEP(hc, (x0,), (x0,)) + SEP(
@@ -529,15 +529,6 @@ def contra_precompute_di(seqs, ns, ct, N):
             tm, (x0, m1), (x0, x1), perm=(1, 3, 0, 2)
         )
         BPpq = SEP(bp, (x0,), (x0,))
-
-        JS_id = diag.skew_pq(JSpq, 0.0)  # [i, d]
-        hlen = qv - 1  # d - 1 in [i, d] layout
-        H_id = jnp.where(
-            (hlen >= 0) & (hlen <= MAX_LOOP_LEN),
-            ct["hairpin_scores_len_cumulative"][jnp.clip(hlen, 0, MAX_LOOP_LEN)]
-            + JS_id,
-            NEG_INF,
-        )
 
         # junction(i, j) + mb weights / junction(j, i) + bp, boundary-cased
         # (utils.rs:522-543)
@@ -562,41 +553,72 @@ def contra_precompute_di(seqs, ns, ct, N):
         canon_pq = SEP(S.CANON_MAT.astype(jnp.float32), (x0,), (x0,)) * (
             qv < n
         )
-        CANON = jnp.where(diag.skew_pq(canon_pq, 0.0) > 0.5, 0.0, NEG_INF)
 
         vb0_m1 = jnp.take(b0x1, m1)  # b0x1[x_{p-1}]
         vb0_x1 = jnp.take(b0x1, x1)  # b0x1[x_{p+1}]
-        STK_di = sk(
-            SEP(stk, (x0, x1), (x0, m1), perm=(0, 2, 1, 3))
-            + SEP(bp, (x1,), (m1,))
-        )
-        I11_di = sk(SEP(i1x1, (x1,), (m1,)))
-        B0R_di = sk(jnp.broadcast_to(vb0_m1[None, :], (N, N)))
-        return {
-            "H": H_id.T,
-            "MBC": sk(MBCpq),
-            "ACC": sk(ACCpq),
-            "JS": JS_id.T,
-            "CANON": CANON.T,
-            "JB": sk(JSrevpq + BPpq),
-            # inside 2-loop corrections
-            "STK": STK_di,
-            "I11": I11_di,
-            "B0R": B0R_di,
-            "B0L": jnp.broadcast_to(vb0_x1[None, :], (N, N)),
-            # outside 2-loop corrections (outer (i-1-a, j+1+b), inner (i, j)):
-            # plain [d, i] translations of the inside grids — e.g.
-            # STK(p-1, q+1) = stk[x_{p-1}, x_p, x_{q+1}, x_q] + bp[x_p, x_q]
-            # IS the outside stack cell at (p, q) — so one-pass shifts
-            # replace three more log-depth skews (edge cells differ only
-            # where the kernels' masks kill the term anyway)
-            "STKO": diag.shift_di(STK_di, 2, -1),
-            "I11O": diag.shift_di(I11_di, 4, -2),
-            "B0RO": diag.shift_di(B0R_di, 2, 0),
-            "B0LO": vb0_m1,
+        pq = {
+            "JS": JSpq,
+            "MBC": MBCpq,
+            "ACC": ACCpq,
+            "CANON": canon_pq,
+            "JB": JSrevpq + BPpq,
+            "STK": SEP(stk, (x0, x1), (x0, m1), perm=(0, 2, 1, 3))
+            + SEP(bp, (x1,), (m1,)),
+            "I11": SEP(i1x1, (x1,), (m1,)),
+            "B0R": jnp.broadcast_to(vb0_m1[None, :], (N, N)),
         }
+        return pq, vb0_m1, vb0_x1
 
-    return jax.vmap(one)(seqs, ns)
+    pq, vb0_m1, vb0_x1 = jax.vmap(one_pq)(seqs, ns)
+    names = sorted(pq)
+    skewed = skew_pq_batch([pq[k] for k in names])       # [p, d] each
+    sk = {
+        k: jnp.transpose(v, (0, 2, 1))                   # -> [d, i]
+        for k, v in zip(names, skewed)
+    }
+
+    di = jnp.arange(N)[:, None]
+    ii = jnp.arange(N)[None, :]
+
+    def shift_b(M, dd, ll):
+        """Batched diag.shift_di: OUT[d, i] = M[d + dd, i + ll], 0 fill."""
+        r = jnp.roll(M, (-dd, -ll), axis=(1, 2))
+        ok = (di + dd >= 0) & (di + dd < N) & (ii + ll >= 0) & (ii + ll < N)
+        return jnp.where(ok[None], r, 0.0)
+
+    hlen = di - 1  # d - 1 along the span axis
+    H = jnp.where(
+        (hlen >= 0) & (hlen <= MAX_LOOP_LEN),
+        ct["hairpin_scores_len_cumulative"][jnp.clip(hlen, 0, MAX_LOOP_LEN)]
+        + sk["JS"],
+        NEG_INF,
+    )
+    STK_di = sk["STK"]
+    I11_di = sk["I11"]
+    B0R_di = sk["B0R"]
+    return {
+        "H": H,
+        "MBC": sk["MBC"],
+        "ACC": sk["ACC"],
+        "JS": sk["JS"],
+        "CANON": jnp.where(sk["CANON"] > 0.5, 0.0, NEG_INF),
+        "JB": sk["JB"],
+        # inside 2-loop corrections
+        "STK": STK_di,
+        "I11": I11_di,
+        "B0R": B0R_di,
+        "B0L": jnp.broadcast_to(vb0_x1[:, None, :], (B, N, N)),
+        # outside 2-loop corrections (outer (i-1-a, j+1+b), inner (i, j)):
+        # plain [d, i] translations of the inside grids — e.g.
+        # STK(p-1, q+1) = stk[x_{p-1}, x_p, x_{q+1}, x_q] + bp[x_p, x_q]
+        # IS the outside stack cell at (p, q) — so one-pass shifts
+        # replace three more log-depth skews (edge cells differ only
+        # where the kernels' masks kill the term anyway)
+        "STKO": shift_b(STK_di, 2, -1),
+        "I11O": shift_b(I11_di, 4, -2),
+        "B0RO": shift_b(B0R_di, 2, 0),
+        "B0LO": vb0_m1,
+    }
 
 
 def _contra_len_di(ct):
@@ -1120,18 +1142,23 @@ def _turner_outside_kernel(
 def turner_precompute_di(seqs, ns, tt, N):
     """Per-sequence [d, i] Turner score matrices for both kernels.
 
-    Position-separable one-hot MXU contractions (ops.lut.sep_lookup) +
-    gather-free skews (ops.diag.skew_pq) replace the (N, N) advanced-indexing
-    gathers that dominated the fused Turner path (the 5^6..5^8-entry
-    1x1/1x2/2x2 interior tables ran on the scalar unit).  Same
-    edge-fill/masking argument as contra_precompute_di."""
+    Three phases: (1) vmapped position-separable one-hot MXU contractions
+    build every table in [p, q] layout (ops.lut.sep_lookup — no (N, N)
+    scalar-unit gathers); (2) ONE fused Pallas pass re-lays all of them
+    out diagonally (ops.pallas_skew.skew_pq_batch — bitwise-equal to
+    diag.skew_pq but one VMEM round trip instead of ~7 HBM-materialized
+    select levels per table); (3) batched assembly in [d, i] (hairpin
+    cases, aug corrections, and the outside small-loop translations).
+    Same edge-fill/masking argument as contra_precompute_di."""
+    from .pallas_skew import skew_pq_batch
+
     stk = tt["stack"]
     i1 = tt["int_1x1"]
     i2 = tt["int_1x2"]
     i4 = tt["int_2x2"]
     b1 = tt["bulge_init"][1]
 
-    def one(seq, n):
+    def one_pq(seq, n):
         pvec = jnp.arange(N)
         x0 = seq
         x1, x2, x3 = (S.sget(seq, pvec + k) for k in (1, 2, 3))
@@ -1139,49 +1166,7 @@ def turner_precompute_di(seqs, ns, tt, N):
         qv = pvec[None, :]
         pv = pvec[:, None]
 
-        def sk(Mpq):  # [p, q] -> [d, i]
-            return diag.skew_pq(Mpq, 0.0).T
-
         augu_pq = SEP(S.AUGU_MAT, (x0,), (x0,)) * tt["augu_penalty"]
-        augu_id = diag.skew_pq(augu_pq, 0.0)  # [i, d]
-        aug_di = augu_id.T                    # [d, i]
-
-        def aug_at(dd, ll):
-            """aug_di[d + dd, i + ll] (0 outside) — the helix-end aug of the
-            window-pair cell a small-loop replacement table covers.  The
-            kernels' merged window buffers carry close/bppo + aug
-            precombined, so the replacement tables subtract it here (host,
-            off the kernel hot path) instead of reading a second block."""
-            r = jnp.roll(aug_di, (-dd, -ll), axis=(0, 1))
-            di = jnp.arange(N)[:, None]
-            ii = jnp.arange(N)[None, :]
-            ok = (
-                (di + dd >= 0) & (di + dd < N) & (ii + ll >= 0) & (ii + ll < N)
-            )
-            return jnp.where(ok, r, 0.0)
-
-        # hairpin (utils.rs:166-205); hlen = d - 1 in [i, d] layout
-        hlen = qv - 1
-        init_in = tt["hairpin_init"][
-            jnp.clip(hlen, 0, MAX_HAIRPIN_LEN_EXTRAPOLATION)
-        ]
-        extrap = tt["hairpin_init"][MIN_HAIRPIN_LEN_EXTRAPOLATION - 1] + tt[
-            "coeff_hairpin_extrap"
-        ] * jnp.log(
-            jnp.maximum(hlen, 1).astype(jnp.float32)
-            / np.float32(MIN_HAIRPIN_LEN_EXTRAPOLATION - 1)
-        )
-        init = jnp.where(hlen <= MAX_HAIRPIN_LEN_EXTRAPOLATION, init_in, extrap)
-        tm_h = diag.skew_pq(
-            SEP(tt["tm_hairpin"], (x0, x1), (x0, m1), perm=(0, 2, 1, 3)), 0.0
-        )
-        generic = jnp.where(
-            hlen == MIN_HAIRPIN_LEN,
-            tt["hairpin_init"][jnp.clip(hlen, 0, MAX_LOOP_LEN)],
-            init + tm_h,
-        ) + augu_id
-        H_sp = S.special_hairpin_id(seq, tt, N)
-        H_id = jnp.where(jnp.isfinite(H_sp), H_sp, generic)
 
         # multibranch close (utils.rs:368-382): reversed pair indexing
         MBCpq = (
@@ -1208,81 +1193,121 @@ def turner_precompute_di(seqs, ns, tt, N):
         canon_pq = SEP(S.CANON_MAT.astype(jnp.float32), (x0,), (x0,)) * (
             qv < n
         )
-        CANON = jnp.where(diag.skew_pq(canon_pq, 0.0) > 0.5, 0.0, NEG_INF)
 
-        # terminal-mismatch families: outer TMo_f[i,d] = TM_f at (i, j) and
+        # terminal-mismatch families: outer TMo_f = TM_f at (i, j) and
         # inner TMi_f[r,c] = TM_f[x_{r+c}, x_r, s(r+c+1), s(r-1)]
-        tm_o = lambda f: sk(SEP(tt[f], (x0, x1), (x0, m1), perm=(0, 2, 1, 3)))
-        tm_i = lambda f: sk(SEP(tt[f], (x0, m1), (x0, x1), perm=(1, 3, 0, 2)))
+        tm_o = lambda f: SEP(tt[f], (x0, x1), (x0, m1), perm=(0, 2, 1, 3))
+        tm_i = lambda f: SEP(tt[f], (x0, m1), (x0, x1), perm=(1, 3, 0, 2))
 
-        out = {
-            "H": H_id.T,
-            "MBC": sk(MBCpq),
-            "ACC": sk(ACCpq),
-            "CANON": CANON.T,
-            "AUGT": augu_id.T,
+        pq = {
+            "AUG": augu_pq,
+            "TMH": tm_o("tm_hairpin"),
+            "MBC": MBCpq,
+            "ACC": ACCpq,
+            "CANON": canon_pq,
             "TMo1": tm_o("tm_interior"),
             "TMo2": tm_o("tm_1xmany"),
             "TMo3": tm_o("tm_2x3"),
             "TMi1": tm_i("tm_interior"),
             "TMi2": tm_i("tm_1xmany"),
             "TMi3": tm_i("tm_2x3"),
+            # small-loop replacement raws (utils.rs:207-321)
+            "STK": SEP(stk, (x0, x1), (x0, m1), perm=(0, 2, 1, 3)),
+            "B01": b1 + SEP(stk, (x0, x1), (x0, m2), perm=(0, 2, 1, 3)),
+            "B10": b1 + SEP(stk, (x0, x2), (x0, m1), perm=(0, 2, 1, 3)),
+            "I11": SEP(i1, (x0, x1, x2), (x0, m1, m2),
+                       perm=(0, 2, 4, 1, 3, 5)),
+            "I12": SEP(i2, (x0, x1, x2), (x0, m1, m2, m3),
+                       perm=(0, 2, 5, 1, 3, 4, 6)),
+            "I21": SEP(i2, (x3, x2, x1, x0), (m2, m1, x0),
+                       perm=(1, 3, 4, 6, 0, 2, 5)),
+            "I22": SEP(i4, (x0, x1, x2, x3), (x0, m1, m2, m3),
+                       perm=(0, 2, 4, 6, 1, 3, 5, 7)),
         }
+        return pq, S.special_hairpin_id(seq, tt, N)
 
-        # Small-loop replacement tables (utils.rs:207-321).  Each raw [d, i]
-        # grid is computed ONCE: the inside variant subtracts the inner-pair
-        # aug (the merged CAW window buffer carries it); the outside variant
-        # — whose raw score for inner pair (i, j) / outer (i-1-a, j+1+b) is
-        # the SAME table entry the inside grid selects at
-        # [d + (a+b+2), i - (a+1)] — is a pure shift_di translation minus
-        # the outer-pair aug.  One fused roll+mask each replaces 7
-        # sep_lookup contractions + 7 log-depth skews; bitwise equal at
-        # every cell whose outer pair is on-grid, and off-grid cells only
-        # ever multiply zero/-inf outside weights in the kernels.
-        raws = {
-            # name: (raw grid, a+b+2 span offset, a+1 left offset)
-            "STK": (
-                sk(SEP(stk, (x0, x1), (x0, m1), perm=(0, 2, 1, 3))), 2, 1
-            ),
-            "B01": (
-                sk(b1 + SEP(stk, (x0, x1), (x0, m2), perm=(0, 2, 1, 3))),
-                3, 1,
-            ),
-            "B10": (
-                sk(b1 + SEP(stk, (x0, x2), (x0, m1), perm=(0, 2, 1, 3))),
-                3, 2,
-            ),
-            "I11": (
-                sk(SEP(i1, (x0, x1, x2), (x0, m1, m2),
-                       perm=(0, 2, 4, 1, 3, 5))),
-                4, 2,
-            ),
-            "I12": (
-                sk(SEP(i2, (x0, x1, x2), (x0, m1, m2, m3),
-                       perm=(0, 2, 5, 1, 3, 4, 6))),
-                5, 2,
-            ),
-            "I21": (
-                sk(SEP(i2, (x3, x2, x1, x0), (m2, m1, x0),
-                       perm=(1, 3, 4, 6, 0, 2, 5))),
-                5, 3,
-            ),
-            "I22": (
-                sk(SEP(i4, (x0, x1, x2, x3), (x0, m1, m2, m3),
-                       perm=(0, 2, 4, 6, 1, 3, 5, 7))),
-                6, 3,
-            ),
-        }
-        _in_name = {"STK": "STKT", "I11": "I11T", "I12": "I12T",
-                    "I21": "I21T", "I22": "I22T"}
-        for key, (raw, p, l) in raws.items():
-            out[_in_name.get(key, key)] = raw - aug_at(-p, l)
-            out[key + "O"] = (
-                diag.shift_di(raw, p, -l, 0.0) - aug_at(p, -l)
-            )
-        return out
+    pq, H_sp_id = jax.vmap(one_pq)(seqs, ns)
+    names = sorted(pq)
+    skewed = skew_pq_batch([pq[k] for k in names])       # [p, d] each
+    sk = {
+        k: jnp.transpose(v, (0, 2, 1))                   # -> [d, i]
+        for k, v in zip(names, skewed)
+    }
 
-    return jax.vmap(one)(seqs, ns)
+    aug_di = sk["AUG"]
+    di = jnp.arange(N)[:, None]
+    ii = jnp.arange(N)[None, :]
+
+    def aug_at(dd, ll):
+        """aug_di[d + dd, i + ll] (0 outside) — the helix-end aug of the
+        window-pair cell a small-loop replacement table covers.  The
+        kernels' merged window buffers carry close/bppo + aug precombined,
+        so the replacement tables subtract it here (host, off the kernel
+        hot path) instead of reading a second block."""
+        r = jnp.roll(aug_di, (-dd, -ll), axis=(1, 2))
+        ok = (di + dd >= 0) & (di + dd < N) & (ii + ll >= 0) & (ii + ll < N)
+        return jnp.where(ok[None], r, 0.0)
+
+    def shift_b(M, dd, ll):
+        """Batched diag.shift_di: OUT[d, i] = M[d + dd, i + ll], 0 fill."""
+        r = jnp.roll(M, (-dd, -ll), axis=(1, 2))
+        ok = (di + dd >= 0) & (di + dd < N) & (ii + ll >= 0) & (ii + ll < N)
+        return jnp.where(ok[None], r, 0.0)
+
+    # hairpin (utils.rs:166-205); hlen = d - 1 along the span axis
+    hlen = di - 1
+    init_in = tt["hairpin_init"][
+        jnp.clip(hlen, 0, MAX_HAIRPIN_LEN_EXTRAPOLATION)
+    ]
+    extrap = tt["hairpin_init"][MIN_HAIRPIN_LEN_EXTRAPOLATION - 1] + tt[
+        "coeff_hairpin_extrap"
+    ] * jnp.log(
+        jnp.maximum(hlen, 1).astype(jnp.float32)
+        / np.float32(MIN_HAIRPIN_LEN_EXTRAPOLATION - 1)
+    )
+    init = jnp.where(hlen <= MAX_HAIRPIN_LEN_EXTRAPOLATION, init_in, extrap)
+    generic = jnp.where(
+        hlen == MIN_HAIRPIN_LEN,
+        tt["hairpin_init"][jnp.clip(hlen, 0, MAX_LOOP_LEN)],
+        init + sk["TMH"],
+    ) + aug_di
+    H_sp_di = jnp.transpose(H_sp_id, (0, 2, 1))
+
+    out = {
+        "H": jnp.where(jnp.isfinite(H_sp_di), H_sp_di, generic),
+        "MBC": sk["MBC"],
+        "ACC": sk["ACC"],
+        "CANON": jnp.where(sk["CANON"] > 0.5, 0.0, NEG_INF),
+        "AUGT": aug_di,
+        "TMo1": sk["TMo1"],
+        "TMo2": sk["TMo2"],
+        "TMo3": sk["TMo3"],
+        "TMi1": sk["TMi1"],
+        "TMi2": sk["TMi2"],
+        "TMi3": sk["TMi3"],
+    }
+
+    # Small-loop replacement tables: each raw [d, i] grid is used TWICE —
+    # the inside variant subtracts the inner-pair aug (the merged CAW
+    # window buffer carries it), and the outside variant — whose raw score
+    # for inner pair (i, j) / outer (i-1-a, j+1+b) is the SAME table entry
+    # the inside grid selects at [d + (a+b+2), i - (a+1)] — is a pure
+    # translation minus the outer-pair aug.  One fused roll+mask each
+    # replaces 7 sep_lookup contractions + 7 skews; bitwise equal at every
+    # cell whose outer pair is on-grid, and off-grid cells only ever
+    # multiply zero/-inf outside weights in the kernels.
+    _raw_off = {
+        # name: (a+b+2 span offset, a+1 left offset)
+        "STK": (2, 1), "B01": (3, 1), "B10": (3, 2), "I11": (4, 2),
+        "I12": (5, 2), "I21": (5, 3), "I22": (6, 3),
+    }
+    _in_name = {"STK": "STKT", "I11": "I11T", "I12": "I12T",
+                "I21": "I21T", "I22": "I22T"}
+    for key, (p, l) in _raw_off.items():
+        raw = sk[key]
+        out[_in_name.get(key, key)] = raw - aug_at(-p, l)
+        out[key + "O"] = shift_b(raw, p, -l) - aug_at(p, -l)
+    return out
 
 
 def _turner_len_di(tt):

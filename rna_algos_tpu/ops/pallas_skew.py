@@ -1,0 +1,94 @@
+"""Fused batch skew: [p, q] -> [p, d] diagonal re-layout in one VMEM pass.
+
+The score-matrix precompute converts every position-pair table M[p, q] to
+the diagonal layout V[p, d] = M[p, p + d] the fold kernels consume
+(ops/diag.skew_pq).  In XLA each of the log2(N) shift levels materializes a
+full (B, N, N) concat+select round trip through HBM, and the precompute
+skews ~8 (CONTRA) / ~18 (Turner) tables — measured ~0.4 ms per table-batch
+at B=192, N=128 (~490 GB/s, HBM-bound by construction).
+
+This kernel does the whole permutation in VMEM: stage 1 handles the
+8-aligned part of each row's shift as one statically-unrolled block copy
+per 8-row group (row p shifts by (p & ~7), constant within the group), and
+stage 2 applies the residual 1/2/4-lane shifts as three select levels
+staged through a single scratch.  One HBM read + one write per table
+instead of ~7 materialized levels; all tables of a sequence share one
+grid step.
+
+Fill semantics match diag.skew_pq(M, 0.0): columns past the matrix edge
+(p + d >= N) read 0.0.  Bitwise-identical output (pure permutation + zero
+fill; validated in tests/test_pallas.py).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _skew_kernel(*refs, T, N):
+    ins = refs[:T]
+    outs = refs[T : 2 * T]
+    S = refs[2 * T]
+    riota = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
+    for X, Y in zip(ins, outs):
+        # stage 1: 8-aligned shifts — row p shifts by (p & ~7), constant
+        # within each 8-row group, so one static two-slice copy per group
+        for b in range(N // 8):
+            sh = 8 * b
+            rows = pl.ds(sh, 8)
+            if sh == 0:
+                Y[0, rows, :] = X[0, rows, :]
+            else:
+                Y[0, rows, pl.ds(0, N - sh)] = X[0, rows, pl.ds(sh, N - sh)]
+                Y[0, rows, pl.ds(N - sh, sh)] = jnp.zeros(
+                    (8, sh), jnp.float32
+                )
+        # stage 2: residual 1/2/4-lane shifts, staged through the scratch
+        for k in (1, 2, 4):
+            S[pl.ds(0, N), pl.ds(0, N - k)] = Y[0, pl.ds(0, N), pl.ds(k, N - k)]
+            S[pl.ds(0, N), pl.ds(N - k, k)] = jnp.zeros((N, k), jnp.float32)
+            Y[0] = jnp.where((riota & k) != 0, S[pl.ds(0, N), :], Y[0])
+
+
+def _nn(N):
+    return pl.BlockSpec(
+        (1, N, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+    )
+
+
+def skew_pq_batch(mats, interpret=False):
+    """Skew a list of (B, N, N) [p, q] tables to [p, d] (fill 0.0).
+
+    Returns the skewed tables in input order; callers transpose to the
+    [d, i] layout (XLA fuses the transpose into the consumer).  Falls back
+    to diag.skew_pq off-TPU.
+    """
+    from . import diag
+
+    mats = [jnp.asarray(m) for m in mats]
+    B, N, _ = mats[0].shape
+    try:
+        on_tpu = jax.default_backend() not in ("cpu",)
+    except Exception:
+        on_tpu = False
+    if not (on_tpu or interpret) or N % 8:
+        return [
+            jax.vmap(lambda m: diag.skew_pq(m, 0.0))(m) for m in mats
+        ]
+    T = len(mats)
+    kernel = functools.partial(_skew_kernel, T=T, N=N)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[_nn(N) for _ in range(T)],
+        out_specs=tuple(_nn(N) for _ in range(T)),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((B, N, N), jnp.float32) for _ in range(T)
+        ),
+        scratch_shapes=[pltpu.VMEM((N, N), jnp.float32)],
+        interpret=interpret,
+    )(*mats)
+    return list(outs)

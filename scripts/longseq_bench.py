@@ -1,12 +1,12 @@
 #!/usr/bin/env python
 """Long-sequence benchmark: the XLA-scan fallback beyond the fused-kernel cap.
 
-The fused Pallas kernels keep the whole DP state in VMEM (~16 MB/core), which
-caps them at pow-2 buckets N <= 256 (models/mccaskill.pallas_available).
-Longer sequences dispatch to the XLA wavefront scan automatically; this
-script measures that path at N = 512 / 1024 (reference u16 index supports
-65,535 nt, utils.rs:24-43) so BASELINE.md can document the crossover
-(VERDICT round 1, item 7).
+Measures the auto-dispatched long-sequence path (reference u16 index
+supports 65,535 nt, utils.rs:24-43).  256 < n <= 512 rides the span-chunked
+fused prob kernels (ops/pallas_fold_prob.py) in the exact/fast tiers;
+N >= 1024 (and the parity tier) falls back to the XLA wavefront scan —
+force it with RNA_ALGOS_BACKEND=xla to measure the crossover
+(VERDICT round 1, item 7; numbers in BASELINE.md).
 
 Usage: python scripts/longseq_bench.py [N ...]   (default: 512 1024)
 Env: LONGSEQ_BATCH (default 16), LONGSEQ_REPS (default 3),
@@ -60,7 +60,7 @@ def main():
             times.append((time.perf_counter() - t0) / REPS)
         dt = min(times)
         print(json.dumps({
-            "metric": "longseq_xla_fallback",
+            "metric": "longseq", "backend": os.environ.get("RNA_ALGOS_BACKEND", "auto"),
             "N": N, "batch": B,
             "numerics": os.environ.get("RNA_ALGOS_NUMERICS", "exact"),
             "seqs_per_s": round(B / dt, 2),

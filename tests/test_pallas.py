@@ -1,6 +1,7 @@
 """Fused Pallas kernels vs the XLA scan (interpret mode; backend-agnostic)."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -56,3 +57,20 @@ def test_pallas_square_conversion_matches_xla():
         np.testing.assert_allclose(
             bpp[:n, :n], np.asarray(want_bpp)[k, :n, :n], atol=2e-4
         )
+
+
+def test_skew_pq_batch_matches_diag_skew():
+    """ops.pallas_skew must be a bitwise-identical diagonal re-layout."""
+    from rna_algos_tpu.ops import diag
+    from rna_algos_tpu.ops.pallas_skew import skew_pq_batch
+
+    rng = np.random.default_rng(9)
+    B, N, T = 3, 64, 4
+    mats = [
+        jnp.asarray(rng.normal(size=(B, N, N)).astype(np.float32))
+        for _ in range(T)
+    ]
+    outs = skew_pq_batch(mats, interpret=True)
+    for m, o in zip(mats, outs):
+        want = np.asarray(jax.vmap(lambda x: diag.skew_pq(x, 0.0))(m))
+        assert np.array_equal(np.asarray(o), want)
