@@ -535,7 +535,7 @@ def pallas_available(contra, N):
         # (exact/fast tiers); the parity tier's log kernels stay all-VMEM.
         impl = os.environ.get("RNA_ALGOS_FAST_IMPL", "prob")
         return (
-            N == 512
+            N in (512, 1024)
             and get_mode() in ("fast", "exact")
             and impl.startswith("prob")
         )

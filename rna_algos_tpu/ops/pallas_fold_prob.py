@@ -191,16 +191,27 @@ def _turner_banded_kernels(LENBp, LENIp):
     return KB, K2, KI
 
 
-def _band_mm(KREF, ROWS):
-    """One banded-window MXU pass: (32, 32) kernel @ 32 window rows.
+import os as _os
 
-    full-f32 (HIGHEST) passes — fast mode's ~1e-4 budget is against the
-    exact cubics, not against f32 rounding."""
+# MXU passes for the banded window matmuls.  HIGHEST = 6-pass full-f32
+# emulation; HIGH = 3-pass bf16 residual splitting (~1e-7 relative, well
+# inside the exact tier's measured 3.9e-6 f64-oracle drift); DEFAULT =
+# single bf16 pass (~4e-3 relative — experiment only).  Env override is
+# read at import (precision is baked into every compiled program).
+_BAND_PRECISION = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}[_os.environ.get("RNA_ALGOS_BAND_PRECISION", "highest").lower()]
+
+
+def _band_mm(KREF, ROWS):
+    """One banded-window MXU pass: (32, 32) kernel @ 32 window rows."""
     kw = KREF[0, pl.ds(0, 32), pl.ds(0, 32)]
     rows = ROWS[pl.ds(0, 32), :]
     return jax.lax.dot_general(
         kw, rows, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_BAND_PRECISION,
         preferred_element_type=jnp.float32,
     )
 
@@ -954,6 +965,9 @@ def _inside_call_prob_chunked(pmats, LENp, scal, B, N, R, interpret):
             pltpu.VMEM((8, N), jnp.float32),              # CARRY
         ],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(
         scal,
         pmats["H"], pmats["MBC"], pmats["ACC"], pmats["JS"], pmats["STK"],
@@ -997,6 +1011,9 @@ def _outside_call_prob_chunked(
             pltpu.VMEM((1, N + 8), jnp.float32),          # QASC
         ],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(
         scal_o,
         close, pmats["MBC"], pmats["ACC"], pmats["STKO"], pmats["I11O"],
@@ -1941,6 +1958,9 @@ def _turner_prob_run_body_chunked(seqs, ns, tt, ln_sigma, N, R, interpret):
             pltpu.VMEM((8, N), jnp.float32),              # CARRY
         ],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(
         scal,
         pmats["H"], pmats["MBC"], pmats["ACC"], pmats["CANON"],
@@ -1988,6 +2008,9 @@ def _turner_prob_run_body_chunked(seqs, ns, tt, ln_sigma, N, R, interpret):
             pltpu.VMEM((1, N + 8), jnp.float32),          # QASC
         ],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(
         scal_o,
         close, pmats["MBC"], pmats["ACC"],
@@ -2008,8 +2031,10 @@ def mccaskill_turner_pallas_prob(seqs, ns, tt, N, interpret=False):
 
     def run(ls):
         if N > 256:
+            # R = 64 keeps the validated N = 512 program; the larger
+            # buckets take bigger chunks (fewer ladder marks / boundaries)
             return _turner_prob_run_body_chunked(
-                seqs, ns, tt, ls, N, 64, interpret
+                seqs, ns, tt, ls, N, 64 if N <= 512 else 128, interpret
             )
         return _turner_prob_run_body(seqs, ns, tt, ls, N, interpret)
 

@@ -138,7 +138,7 @@ def _band_mm8(KREF, ROWS):
     rows = ROWS[pl.ds(0, 32 * G), :]
     return jax.lax.dot_general(
         kw, rows, (((1,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=PP._BAND_PRECISION,
         preferred_element_type=jnp.float32,
     )
 
@@ -449,7 +449,13 @@ def _merge_outside(close, pmats, LENp, extL, glob, ebp, mbbp):
 
 
 def _prob8_run_body(seqs, ns, ct, ln_sigma, N, allows_short_hairpins,
-                    interpret):
+                    interpret, upto=None):
+    """Fixed-``ln_sigma`` body of the stacked CONTRA path.
+
+    ``upto`` (static; profiling only — see scripts/profile_prob8.py) stops
+    after a named stage and returns its raw outputs: "iprep" (merged inside
+    tables), "inside" (stacked inside kernel), "aux" (outside auxiliaries),
+    "oprep" (merged outside tables)."""
     B = seqs.shape[0]
     K = B // G
     NG = N * G
@@ -470,6 +476,8 @@ def _prob8_run_body(seqs, ns, ct, ln_sigma, N, allows_short_hairpins,
     vec_i = _bcast_rows(N, eu1, ebp, mbu1, mbbp, logmbu)
 
     mi = {k: ilv(v) for k, v in _merge_inside(pmats, LENp).items()}
+    if upto == "iprep":
+        return mi, KBIG, vec_i
 
     kernel = functools.partial(_inside8_kernel, N=N)
     out_shape = tuple(
@@ -502,6 +510,9 @@ def _prob8_run_body(seqs, ns, ct, ln_sigma, N, allows_short_hairpins,
         mi["I11"], mi["B0R"], mi["B0L"], mi["JB"], KBIG,
     )
 
+    if upto == "inside":
+        return close8, ext8, one8
+
     close, ext, one = dilv(close8), dilv(ext8), dilv(one8)
     # re-mask rows past each sequence's own length: the group loop runs to
     # the group max, and the outside auxiliaries index rows by per-seq n
@@ -513,6 +524,8 @@ def _prob8_run_body(seqs, ns, ct, ln_sigma, N, allows_short_hairpins,
         ns, ext, one, N, neg=0.0, one_val=1.0,
         n_rot=jnp.repeat(n_max.astype(jnp.int32), G),
     )
+    if upto == "aux":
+        return ONEP, QONE, extL, extR, glob
 
     mo, b0lo = _merge_outside(close, pmats, LENp, extL, glob, ebp, mbbp)
     mo8 = {k: ilv(v) for k, v in mo.items()}
@@ -522,6 +535,8 @@ def _prob8_run_body(seqs, ns, ct, ln_sigma, N, allows_short_hairpins,
     ONEP8 = ilv(ONEP)
     QONE8 = ilv(QONE)
     EXTR8 = ilv(extR[:, None, :])
+    if upto == "oprep":
+        return mo8, ONEP8, QONE8, EXTR8, vec_o
 
     min_span = 2 if allows_short_hairpins else MIN_SPAN_HAIRPIN_CLOSE
     kernel_o = functools.partial(_outside8_kernel, N=N, min_span=min_span)

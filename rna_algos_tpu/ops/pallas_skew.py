@@ -15,6 +15,11 @@ staged through a single scratch.  One HBM read + one write per table
 instead of ~7 materialized levels; all tables of a sequence share one
 grid step.
 
+Rows are independent (row p only shifts its own lanes), so large N adds a
+row-chunk grid dimension: blocks become (1, RS, N) and stage 1's global
+shift base is resolved by a static ``pl.when`` unroll over chunks (slice
+sizes must be static).  N <= 512 keeps the original single-chunk program.
+
 Fill semantics match diag.skew_pq(M, 0.0): columns past the matrix edge
 (p + d >= N) read 0.0.  Bitwise-identical output (pure permutation + zero
 fill; validated in tests/test_pallas.py).
@@ -28,34 +33,47 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _skew_kernel(*refs, T, N):
+def _skew_kernel(*refs, T, N, RS):
     ins = refs[:T]
     outs = refs[T : 2 * T]
     S = refs[2 * T]
-    riota = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
+    C = N // RS
+    c = pl.program_id(1) if C > 1 else 0
+    riota = jax.lax.broadcasted_iota(jnp.int32, (RS, 1), 0)
     for X, Y in zip(ins, outs):
         # stage 1: 8-aligned shifts — row p shifts by (p & ~7), constant
-        # within each 8-row group, so one static two-slice copy per group
-        for b in range(N // 8):
-            sh = 8 * b
-            rows = pl.ds(sh, 8)
-            if sh == 0:
-                Y[0, rows, :] = X[0, rows, :]
-            else:
-                Y[0, rows, pl.ds(0, N - sh)] = X[0, rows, pl.ds(sh, N - sh)]
-                Y[0, rows, pl.ds(N - sh, sh)] = jnp.zeros(
-                    (8, sh), jnp.float32
-                )
-        # stage 2: residual 1/2/4-lane shifts, staged through the scratch
+        # within each 8-row group, so one static two-slice copy per group.
+        # The shift base c*RS is grid-dependent; slice sizes must be
+        # static, so each chunk's copies live under a static pl.when.
+        def stage1(cc):
+            for b in range(RS // 8):
+                sh = cc * RS + 8 * b
+                rows = pl.ds(8 * b, 8)
+                if sh == 0:
+                    Y[0, rows, :] = X[0, rows, :]
+                else:
+                    Y[0, rows, pl.ds(0, N - sh)] = X[0, rows, pl.ds(sh, N - sh)]
+                    Y[0, rows, pl.ds(N - sh, sh)] = jnp.zeros(
+                        (8, sh), jnp.float32
+                    )
+
+        if C == 1:
+            stage1(0)
+        else:
+            for cc in range(C):
+                pl.when(c == cc)(functools.partial(stage1, cc))
+        # stage 2: residual 1/2/4-lane shifts, staged through the scratch;
+        # the residual (p & 7) pattern repeats every 8 rows, so the local
+        # row iota selects correctly in every chunk
         for k in (1, 2, 4):
-            S[pl.ds(0, N), pl.ds(0, N - k)] = Y[0, pl.ds(0, N), pl.ds(k, N - k)]
-            S[pl.ds(0, N), pl.ds(N - k, k)] = jnp.zeros((N, k), jnp.float32)
-            Y[0] = jnp.where((riota & k) != 0, S[pl.ds(0, N), :], Y[0])
+            S[pl.ds(0, RS), pl.ds(0, N - k)] = Y[0, pl.ds(0, RS), pl.ds(k, N - k)]
+            S[pl.ds(0, RS), pl.ds(N - k, k)] = jnp.zeros((RS, k), jnp.float32)
+            Y[0] = jnp.where((riota & k) != 0, S[pl.ds(0, RS), :], Y[0])
 
 
-def _nn(N):
+def _nn(RS, N):
     return pl.BlockSpec(
-        (1, N, N), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+        (1, RS, N), lambda b, c=0: (b, c, 0), memory_space=pltpu.VMEM
     )
 
 
@@ -79,16 +97,21 @@ def skew_pq_batch(mats, interpret=False):
             jax.vmap(lambda m: diag.skew_pq(m, 0.0))(m) for m in mats
         ]
     T = len(mats)
-    kernel = functools.partial(_skew_kernel, T=T, N=N)
+    RS = N if N <= 512 else 128   # row-chunk past the all-VMEM budget
+    C = N // RS
+    kernel = functools.partial(_skew_kernel, T=T, N=N, RS=RS)
     outs = pl.pallas_call(
         kernel,
-        grid=(B,),
-        in_specs=[_nn(N) for _ in range(T)],
-        out_specs=tuple(_nn(N) for _ in range(T)),
+        grid=(B,) if C == 1 else (B, C),
+        in_specs=[_nn(RS, N) for _ in range(T)],
+        out_specs=tuple(_nn(RS, N) for _ in range(T)),
         out_shape=tuple(
             jax.ShapeDtypeStruct((B, N, N), jnp.float32) for _ in range(T)
         ),
-        scratch_shapes=[pltpu.VMEM((N, N), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((RS, N), jnp.float32)],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(*mats)
     return list(outs)

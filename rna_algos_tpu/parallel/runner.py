@@ -76,6 +76,9 @@ class FoldEngine:
             elif (prefer_pow2 and N == 384
                   and M.pallas_available(self.contra, 512)):
                 N = 512  # span-chunked fused kernels cover 256 < n <= 512
+            elif (prefer_pow2 and 512 < N <= 1024
+                  and M.pallas_available(self.contra, 1024)):
+                N = 1024  # span-chunked fused kernels, second tier
             by_bucket.setdefault(N, []).append(k)
         for N, idxs in by_bucket.items():
             arr = pad_seqs([seqs[k] for k in idxs], N)

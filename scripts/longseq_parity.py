@@ -13,7 +13,12 @@ piecewise-cubic scan is 2.0e-3 off.  The 3e-3 budget below bounds the
 cubics' drift, not the kernels'.
 
 Env: PARITY_BATCH (default 16), PARITY_SKIP_XLA=1 to skip the slow scan,
-PARITY_MODEL=contra|turner (default contra).
+PARITY_MODEL=contra|turner (default contra), PARITY_N (default 512;
+1024 exercises the second chunked tier), PARITY_CROSS=1 to additionally
+run sequences short enough for the N/2 bucket through BOTH bucket
+programs and diff the BPPs (validates the chunk machinery at the larger
+N against the already-validated smaller program, without the
+prohibitively slow XLA scan at N=1024).
 """
 
 import json
@@ -28,7 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 B = int(os.environ.get("PARITY_BATCH", "16"))
-N = 512
+N = int(os.environ.get("PARITY_N", "512"))
 
 
 def main():
@@ -85,6 +90,39 @@ def main():
     print(json.dumps({"phase": "bounds", "min": float(lo),
                       "max": float(hi)}), flush=True)
     assert lo >= -1e-3 and hi <= 1 + 1e-3, "BPP bounds violated"
+
+    if os.environ.get("PARITY_CROSS") == "1":
+        # bucket-crossing parity: sequences that fit the N/2 bucket run
+        # through BOTH chunked programs; differences are pure chunking/
+        # reassociation effects of the larger grid
+        N2 = N // 2
+        lens2 = rng.randint(int(N2 * 0.75), N2 + 1, size=B).astype(np.int32)
+        seqs2 = np.full((B, N), 4, np.int32)
+        for b, l in enumerate(lens2):
+            seqs2[b, :l] = rng.randint(0, 4, size=int(l))
+        arr_big = jnp.asarray(seqs2)
+        arr_small = jnp.asarray(seqs2[:, :N2])
+        ns2 = jnp.asarray(lens2)
+        if contra:
+            run_b = lambda a, nn: PP.mccaskill_contra_pallas_prob(
+                a, ns2, ct, N=nn
+            )
+        else:
+            run_b = lambda a, nn: PP.mccaskill_turner_pallas_prob(
+                a, ns2, ct, N=nn
+            )
+        bppo_b, _ = run_b(arr_big, N)
+        bpp_b, _ = _prob_finish(bppo_b, ns2, N=N)
+        bppo_s, _ = run_b(arr_small, N2)
+        bpp_s, _ = _prob_finish(bppo_s, ns2, N=N2)
+        bpp_b = np.asarray(bpp_b)[:, :N2, :N2]
+        bpp_s = np.asarray(bpp_s)
+        d = np.max(np.abs(bpp_b - bpp_s))
+        print(json.dumps({
+            "phase": "bucket_cross_parity", "N_big": N, "N_small": N2,
+            "max_abs_diff": float(d), "ok": bool(d <= 1e-5),
+        }), flush=True)
+        assert d <= 1e-5, f"bucket-cross parity failed: {d}"
 
     if os.environ.get("PARITY_SKIP_XLA") != "1":
         t0 = time.perf_counter()

@@ -2,19 +2,20 @@
 """Stage profile of the stacked (G=8) scaled-probability CONTRA path.
 
 Times cumulative prefixes of ops/pallas_fold_prob8._prob8_run_body at a
-fixed ln_sigma (taken from one converged full run, so no retries fire),
-then differences them into per-stage costs:
+fixed ln_sigma (taken from one converged full run, so no retries fire)
+via its ``upto`` argument, then differences them into per-stage costs:
 
-  pmats        contra_prob_mats precompute (XLA)
-  prep         merges + interleave + banded kernel assembly (XLA);
-               approximate: the timed prefix covers _merge_inside + ilv +
-               the banded kernel, not the smaller _group_scal / vec_i /
-               _bcast_rows / exp() pieces _prob8_run_body also does
-               pre-kernel (those land in kernels+aux below)
-  kernels+aux  stacked inside Pallas kernel + re-mask + contra_outside_aux
-               + stacked outside Pallas kernel + final dilv (one stage:
-               there is no prefix point between the two kernels)
-  retry_oh     full public entry minus the fixed-ls body (while_loop wrap)
+  pmats                contra_prob_mats precompute (XLA)
+  iprep                inside-table merges + interleave + banded kernel
+                       assembly + vec rows (XLA)
+  inside_kernel        stacked inside Pallas kernel
+  aux                  dilv + re-mask + contra_outside_aux (XLA)
+  oprep                outside-table merges + interleaves (XLA)
+  outside_kernel+dilv  stacked outside Pallas kernel + final dilv
+  retry_oh             full public entry minus the fixed-ls body
+
+Caveat: each cumulative prefix ends at a different XLA fusion boundary, so
+stage differences are approximate where XLA would have fused across them.
 """
 
 import json
@@ -79,30 +80,26 @@ if __name__ == "__main__":
 
     @partial(jax.jit, static_argnames=("upto",))
     def prefix(ls, upto):
-        pmats = PP.contra_prob_mats(arr, ns, ct, ls, N)
         if upto == "pmats":
-            return pmats
-        LENp = PP._contra_len_prob(ct, ls)
-        KBIG = P8._kbig(PP._banded_window_kernel(LENp))
-        mi = {k: P8.ilv(v) for k, v in P8._merge_inside(pmats, LENp).items()}
-        if upto == "prep":
-            return mi, KBIG
-        body = partial(
-            P8._prob8_run_body, arr, ns, ct, ls, N, False, False
+            return PP.contra_prob_mats(arr, ns, ct, ls, N)
+        return P8._prob8_run_body(
+            arr, ns, ct, ls, N, False, False,
+            upto=None if upto == "full" else upto,
         )
-        return body()
 
     out = {}
-    out["pmats"] = _time(lambda: prefix(ls, upto="pmats"))
-    out["prep_cum"] = _time(lambda: prefix(ls, upto="prep"))
-    out["body_cum"] = _time(lambda: prefix(ls, upto="full"))
+    for stage in ("pmats", "iprep", "inside", "aux", "oprep", "full"):
+        out[stage + "_cum"] = _time(lambda s=stage: prefix(ls, upto=s))
     out["entry_cum"] = _time(full)
 
     stages = {
-        "pmats": out["pmats"],
-        "prep": out["prep_cum"] - out["pmats"],
-        "kernels+aux": out["body_cum"] - out["prep_cum"],
-        "retry_oh": out["entry_cum"] - out["body_cum"],
+        "pmats": out["pmats_cum"],
+        "iprep": out["iprep_cum"] - out["pmats_cum"],
+        "inside_kernel": out["inside_cum"] - out["iprep_cum"],
+        "aux": out["aux_cum"] - out["inside_cum"],
+        "oprep": out["oprep_cum"] - out["aux_cum"],
+        "outside_kernel+dilv": out["full_cum"] - out["oprep_cum"],
+        "retry_oh": out["entry_cum"] - out["full_cum"],
     }
     for k, v in {**out, **stages}.items():
         print(json.dumps({
