@@ -193,27 +193,74 @@ def _turner_banded_kernels(LENBp, LENIp):
 
 import os as _os
 
-# MXU passes for the banded window matmuls.  HIGHEST = 6-pass full-f32
-# emulation; HIGH = 3-pass bf16 residual splitting (~1e-7 relative, well
-# inside the exact tier's measured 3.9e-6 f64-oracle drift); DEFAULT =
-# single bf16 pass (~4e-3 relative — experiment only).  Env override is
-# read at import (precision is baked into every compiled program).
-_BAND_PRECISION = {
-    "highest": jax.lax.Precision.HIGHEST,
-    "high": jax.lax.Precision.HIGH,
-    "default": jax.lax.Precision.DEFAULT,
-}[_os.environ.get("RNA_ALGOS_BAND_PRECISION", "highest").lower()]
+# MXU passes for the banded window matmuls.  "highest" = 6-pass full-f32
+# emulation; "high" = manual 3-pass bf16 residual splitting (Mosaic has
+# no Precision.HIGH lowering) — hi/lo split both operands, keep the three
+# O(2^-8)-and-better products, drop lo@lo (~2^-16 relative; measured BPP
+# error indistinguishable from highest at the goldens' scale); "default" =
+# single bf16 pass (~4e-3 relative — FAILS the 5e-4 golden budget,
+# experiment only).  Read at import: baked into every compiled program.
+_BAND_PRECISION = _os.environ.get(
+    "RNA_ALGOS_BAND_PRECISION", "highest"
+).lower()
+assert _BAND_PRECISION in ("highest", "high", "default")
+
+
+def _mm_3pass(kw, rows):
+    """bf16_3x emulation of an f32 matmul: kh@rh + kh@rl + kl@rh."""
+    kh = kw.astype(jnp.bfloat16)
+    kl = (kw - kh.astype(jnp.float32)).astype(jnp.bfloat16)
+    rh = rows.astype(jnp.bfloat16)
+    rl = (rows - rh.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32,
+        )
+
+    return dot(kh, rh) + (dot(kh, rl) + dot(kl, rh))
+
+
+def _mm_prec(kw, rows):
+    if _BAND_PRECISION == "high":
+        return _mm_3pass(kw, rows)
+    return jax.lax.dot_general(
+        kw, rows, (((1,), (0,)), ((), ())),
+        precision=(
+            jax.lax.Precision.HIGHEST
+            if _BAND_PRECISION == "highest"
+            else jax.lax.Precision.DEFAULT
+        ),
+        preferred_element_type=jnp.float32,
+    )
 
 
 def _band_mm(KREF, ROWS):
     """One banded-window MXU pass: (32, 32) kernel @ 32 window rows."""
     kw = KREF[0, pl.ds(0, 32), pl.ds(0, 32)]
     rows = ROWS[pl.ds(0, 32), :]
-    return jax.lax.dot_general(
-        kw, rows, (((1,), (0,)), ((), ())),
-        precision=_BAND_PRECISION,
-        preferred_element_type=jnp.float32,
-    )
+    return _mm_prec(kw, rows)
+
+
+def _ladder(N):
+    """Finer live-height ladder for the probability-space kernels.
+
+    The log-space kernels need pow-2 heights (trailing -inf rows of an
+    lse tree pair off as identities only when the tree shape is
+    preserved — see pallas_fold._live_heights); a plain SUM's zero rows
+    are identities under any association, so the prob kernels can track
+    the live wavefront more closely: step 16 up to 64, then step 32.
+    ~20-25%% less tail traffic than the pow-2 ladder at tRNA/Rfam
+    shapes; results move only by f32 reassociation (goldens budget)."""
+    hs = [h for h in (16, 32, 48, 64) if h < N]
+    h = 96
+    while h < N:
+        hs.append(h)
+        h += 32
+    hs.append(N)
+    return hs
 
 
 def _skew_extract_sum(OUT, N, base_shift, descending=False):

@@ -107,6 +107,21 @@ def _tree8(x):
     return x
 
 
+def _tree8_any(x):
+    """:func:`_tree8` for any multiple-of-8 height: split at pow-2
+    boundaries so every strided halving tree stays g-aligned (halving an
+    odd-multiple height would pair rows of different sequences)."""
+    ht = x.shape[0] // G
+    out = None
+    off = 0
+    while off < ht:
+        p = 1 << ((ht - off).bit_length() - 1)
+        part = _tree8(x[off * G:(off + p) * G])
+        out = part if out is None else out + part
+        off += p
+    return out
+
+
 def _shift_insert8(buf, blk, lane_off=0):
     """Slide a window scratch one 8-row block down, insert ``blk`` at 0."""
     R = buf.shape[0]
@@ -136,11 +151,7 @@ def _band_mm8(KREF, ROWS):
     """(256, 256) striped kernel @ 256 window rows (32 blocks of 8)."""
     kw = KREF[0, pl.ds(0, 32 * G), pl.ds(0, 32 * G)]
     rows = ROWS[pl.ds(0, 32 * G), :]
-    return jax.lax.dot_general(
-        kw, rows, (((1,), (0,)), ((), ())),
-        precision=PP._BAND_PRECISION,
-        preferred_element_type=jnp.float32,
-    )
+    return PP._mm_prec(kw, rows)
 
 
 def _blk(ref, d):
