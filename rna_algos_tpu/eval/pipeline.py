@@ -9,6 +9,7 @@ wall time per model is reported like the reference's elapsed-time printouts
 """
 
 import json
+import math
 import os
 import time
 
@@ -111,6 +112,16 @@ def compute_stats(out_root, rna_dir, ref_ss_dir, models=("turner", "contra"),
     return curves
 
 
+def _nan_to_null(obj):
+    if isinstance(obj, float) and (math.isnan(obj) or math.isinf(obj)):
+        return None
+    if isinstance(obj, dict):
+        return {k: _nan_to_null(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_nan_to_null(v) for v in obj]
+    return obj
+
+
 def run_all(sth_path, work_dir, models=("turner", "contra"),
             programs=PROGRAMS):
     """Full pipeline: compile families -> estimate -> stats (run_all.py:7-10)."""
@@ -124,7 +135,11 @@ def run_all(sth_path, work_dir, models=("turner", "contra"),
     curves = compute_stats(out_root, seq_dir, ss_dir, models, programs)
     report = {"num_families": n_fams, "timings_s": timings, "curves": curves}
     with open(os.path.join(work_dir, "eval_report.json"), "w") as f:
-        json.dump(report, f, indent=2)
+        # Strict JSON: degenerate (zero-denominator) metric cells are NaN
+        # in-memory; serialize them as null (json.dump would emit the
+        # Python-only literal `NaN`, which standards-compliant parsers
+        # reject).
+        json.dump(_nan_to_null(report), f, indent=2, allow_nan=False)
     try:
         from .plots import plot_curves
 

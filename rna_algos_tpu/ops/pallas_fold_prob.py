@@ -203,7 +203,11 @@ import os as _os
 _BAND_PRECISION = _os.environ.get(
     "RNA_ALGOS_BAND_PRECISION", "highest"
 ).lower()
-assert _BAND_PRECISION in ("highest", "high", "default")
+if _BAND_PRECISION not in ("highest", "high", "default"):
+    raise ValueError(
+        "RNA_ALGOS_BAND_PRECISION must be one of 'highest'/'high'/'default', "
+        f"got {_BAND_PRECISION!r}"
+    )
 
 
 def _mm_3pass(kw, rows):
@@ -242,25 +246,6 @@ def _band_mm(KREF, ROWS):
     kw = KREF[0, pl.ds(0, 32), pl.ds(0, 32)]
     rows = ROWS[pl.ds(0, 32), :]
     return _mm_prec(kw, rows)
-
-
-def _ladder(N):
-    """Finer live-height ladder for the probability-space kernels.
-
-    The log-space kernels need pow-2 heights (trailing -inf rows of an
-    lse tree pair off as identities only when the tree shape is
-    preserved — see pallas_fold._live_heights); a plain SUM's zero rows
-    are identities under any association, so the prob kernels can track
-    the live wavefront more closely: step 16 up to 64, then step 32.
-    ~20-25%% less tail traffic than the pow-2 ladder at tRNA/Rfam
-    shapes; results move only by f32 reassociation (goldens budget)."""
-    hs = [h for h in (16, 32, 48, 64) if h < N]
-    h = 96
-    while h < N:
-        hs.append(h)
-        h += 32
-    hs.append(N)
-    return hs
 
 
 def _skew_extract_sum(OUT, N, base_shift, descending=False):

@@ -107,21 +107,6 @@ def _tree8(x):
     return x
 
 
-def _tree8_any(x):
-    """:func:`_tree8` for any multiple-of-8 height: split at pow-2
-    boundaries so every strided halving tree stays g-aligned (halving an
-    odd-multiple height would pair rows of different sequences)."""
-    ht = x.shape[0] // G
-    out = None
-    off = 0
-    while off < ht:
-        p = 1 << ((ht - off).bit_length() - 1)
-        part = _tree8(x[off * G:(off + p) * G])
-        out = part if out is None else out + part
-        off += p
-    return out
-
-
 def _shift_insert8(buf, blk, lane_off=0):
     """Slide a window scratch one 8-row block down, insert ``blk`` at 0."""
     R = buf.shape[0]

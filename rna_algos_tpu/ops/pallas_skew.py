@@ -92,7 +92,10 @@ def skew_pq_batch(mats, interpret=False):
         on_tpu = jax.default_backend() not in ("cpu",)
     except Exception:
         on_tpu = False
-    if not (on_tpu or interpret) or N % 8:
+    # Past 512 the kernel row-chunks at RS=128, so N must divide evenly
+    # (C = N // RS floors: a stray remainder would leave the last rows
+    # unvisited — silent garbage, not a crash).
+    if not (on_tpu or interpret) or N % 8 or (N > 512 and N % 128):
         return [
             jax.vmap(lambda m: diag.skew_pq(m, 0.0))(m) for m in mats
         ]

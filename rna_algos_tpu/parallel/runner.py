@@ -30,6 +30,19 @@ def pick_bucket(n):
     for b in BUCKETS:
         if n <= b:
             return b
+    if n > 1024:
+        # Past the last fused tier the only path is the XLA scan
+        # (~1 s/seq at N=512 and O(n^3) beyond) — warn instead of
+        # silently dispatching to it.
+        import warnings
+
+        warnings.warn(
+            f"sequence length {n} exceeds the fused-kernel tiers "
+            "(N <= 1024); falling back to the XLA wavefront scan, which "
+            "is orders of magnitude slower at this length",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return ((n + 127) // 128) * 128
 
 

@@ -68,3 +68,63 @@ def test_pallas_hw_golden_bpps(model, contra, mode):
         err = np.abs(bpp[k, :n, :n] - ref).max()
         assert err < 5e-4, (k, err)
     assert np.asarray(presence).any()
+
+
+@pytest.mark.slow
+def test_band_precision_high_golden():
+    """RNA_ALGOS_BAND_PRECISION=high (3-pass bf16 residual matmuls) must
+    hold the same 5e-4 golden budget as the default 'highest' tier.
+
+    The env var is read at rna_algos_tpu import (baked into every compiled
+    program), so the check runs in a subprocess.
+    """
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(
+        """
+        import os
+        os.environ["RNA_ALGOS_BAND_PRECISION"] = "high"
+        import numpy as np
+        import jax.numpy as jnp
+        from rna_algos_tpu.constants import PSEUDO_BASE
+        from rna_algos_tpu.params import build_fold_score_sets
+        from rna_algos_tpu.ops import scores as S
+        from rna_algos_tpu.models import mccaskill as M
+        from rna_algos_tpu.utils import read_fasta
+        from rna_algos_tpu import numerics
+
+        recs = read_fasta("assets/sampled_trnas.fa")
+        golden = np.load("tests/golden/trna_bpps.npz")
+        tbl = S.contra_table_pytree(build_fold_score_sets())
+        N = 128
+        seqs = np.full((len(recs), N), PSEUDO_BASE, dtype=np.int32)
+        ns = np.zeros(len(recs), dtype=np.int32)
+        for k, r in enumerate(recs):
+            seqs[k, : len(r.seq)] = r.seq
+            ns[k] = len(r.seq)
+        with numerics.force_mode("exact"):
+            bpp, _ = M.mccaskill_bpp_batch_pallas(
+                jnp.asarray(seqs), jnp.asarray(ns), tbl, N=N, contra=True
+            )
+        bpp = np.asarray(bpp)
+        for k in range(len(recs)):
+            ref = golden[f"rec{k}_contra"]
+            n = ref.shape[0]
+            err = np.abs(bpp[k, :n, :n] - ref).max()
+            assert err < 5e-4, (k, err)
+        print("BAND_PRECISION_HIGH_OK")
+        """
+    )
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    assert "BAND_PRECISION_HIGH_OK" in out.stdout, (out.stdout, out.stderr)
