@@ -5,10 +5,14 @@ McCaskill wall time on the 6 sampled tRNAs), scaled to a TPU-sized batch: the
 6 tRNAs are tiled to a large padded batch, the CONTRAfold model runs the full
 inside+outside wavefront per sequence, and we report sequences/second.
 
-The reference publishes no numbers (BASELINE.md): ``REFERENCE_EST_SEQS_PER_S``
-is an explicit single-host Rust estimate (multi-threaded, ~5-10 ms/seq at
-~80 nt) used for ``vs_baseline`` until a cargo toolchain can measure the real
-reference; the raw value is the durable metric.
+The reference publishes no numbers (BASELINE.md). ``vs_baseline`` is anchored
+to a MEASUREMENT: native/ref_baseline.json, produced by
+``python scripts/ref_baseline.py`` — a reference-faithful single-threaded C
+implementation of the same recurrences + cubic f32 numerics
+(native/ref_baseline.c, bit-exact vs tests/oracle), timed on this host's CPU
+on the same 192-seq tRNA workload, scaled by num_cores (the linear best case
+for the reference's per-sequence thread pool). Falls back to an explicit
+800 seqs/s estimate only if the measurement file is missing.
 
 Numerics: the bench measures the library DEFAULT mode (``exact``), which on
 TPU runs the scaled probability-space kernels (exact f32 sums; BPPs within
@@ -60,7 +64,20 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 # benches the reference-cubic mode, =fast the hardware tier.
 os.environ["RNA_ALGOS_NUMERICS"] = os.environ.get("BENCH_NUMERICS", "exact")
 
-REFERENCE_EST_SEQS_PER_S = 800.0  # est. Rust reference, 1 host / all cores
+def _reference_baseline_seqs_per_s():
+    """Measured CPU-reference throughput (see module docstring)."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "native", "ref_baseline.json",
+    )
+    try:
+        with open(path) as f:
+            return float(json.load(f)["all_cores_seqs_per_s_est"])
+    except (OSError, KeyError, ValueError):
+        return 800.0  # pre-measurement estimate (BASELINE.md)
+
+
+REFERENCE_EST_SEQS_PER_S = _reference_baseline_seqs_per_s()
 BATCH = int(os.environ.get("BENCH_BATCH", "192"))
 REPS = int(os.environ.get("BENCH_REPS", "20"))
 TRIALS = int(os.environ.get("BENCH_TRIALS", "10"))
