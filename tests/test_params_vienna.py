@@ -295,9 +295,124 @@ def test_embedded_special_hairpins():
 
 
 def test_surrogate_quarantine_registry():
-    """Every table is classified; mismatches/dangles/small interiors remain
-    quarantined as surrogates until a real .par supersedes them."""
-    assert set(T.EXACT_PUBLISHED) | set(T.SURROGATE) == set(T.TABLE_NAMES)
-    assert "TERMINAL_MISMATCH_SCORES_HAIRPIN" in T.SURROGATE
-    assert "INTERIOR_SCORES_1X1" in T.SURROGATE
+    """Every table is classified exactly once; the SURROGATE class is empty
+    since round 3 (VERDICT item 1): dangles + interior/1xN/2x3/multibranch
+    mismatch rules are EXACT_PUBLISHED, the hairpin mismatch table is a full
+    offline transcription (TRANSCRIBED_PUBLISHED), and the 1x1/1x2/2x2
+    tables implement the published generation model (MODEL_GENERATED)."""
+    classes = (
+        set(T.EXACT_PUBLISHED),
+        set(T.TRANSCRIBED_PUBLISHED),
+        set(T.MODEL_GENERATED),
+        set(T.SURROGATE),
+    )
+    union = set().union(*classes)
+    assert union == set(T.TABLE_NAMES)
+    assert sum(len(c) for c in classes) == len(union)  # disjoint
+    assert T.SURROGATE == ()
+    assert "TERMINAL_MISMATCH_SCORES_HAIRPIN" in T.TRANSCRIBED_PUBLISHED
+    assert "INTERIOR_SCORES_1X1" in T.MODEL_GENERATED
     assert "STACK_SCORES" in T.EXACT_PUBLISHED
+    assert "DANGLING_SCORES_3PRIME" in T.EXACT_PUBLISHED
+
+
+# ---------------------------------------------------------------------------
+# Round-3 published-value anchors for the previously-surrogate tables.
+# Sources named per test; each pins the embedded value against the published
+# Turner 2004 free energy (kcal/mol at 37C).
+# ---------------------------------------------------------------------------
+
+def test_embedded_dangle_values():
+    """NNDB Turner 2004 'dangling ends' tables (Serra & Turner values;
+    identical rows in ViennaRNA rna_turner2004.par dangle5/dangle3)."""
+    d3, d5 = T.DANGLING_SCORES_3PRIME, T.DANGLING_SCORES_5PRIME
+    # 3' dangles: the strong purine stacks
+    assert d3[C][G][A] == kdg(-1.10)
+    assert d3[C][G][G] == kdg(-1.30)
+    assert d3[G][C][A] == kdg(-1.70)  # most stabilizing dangle in the set
+    assert d3[G][C][G] == kdg(-1.70)
+    assert d3[A][U][A] == kdg(-0.70)
+    assert d3[U][A][A] == kdg(-0.80)
+    # 5' dangles are weak
+    assert d5[C][G][A] == kdg(-0.50)
+    assert d5[G][C][G] == kdg(-0.00)
+    assert d5[A][U][G] == kdg(-0.40)
+    # published wobble-row convention: GU rows copy AU, UG rows copy UA
+    np.testing.assert_array_equal(d3[G][U], d3[A][U])
+    np.testing.assert_array_equal(d3[U][G], d3[U][A])
+    np.testing.assert_array_equal(d5[G][U], d5[A][U])
+    np.testing.assert_array_equal(d5[U][G], d5[U][A])
+
+
+def test_embedded_interior_mismatch_rule():
+    """Mathews et al. 2004 (PNAS 101:7287) internal-loop model: sparse first-
+    mismatch bonuses A.G/G.A -0.8, U.U -0.7; NO bonus for 1xN loops; the
+    AU/GU closure penalty is applied separately by the scoring code."""
+    tm = T.TERMINAL_MISMATCH_SCORES_INTERIOR
+    for (a, b) in ((C, G), (G, C), (A, U), (U, G)):
+        assert tm[a][b][A][G] == kdg(-0.80)
+        assert tm[a][b][G][A] == kdg(-0.80)
+        assert tm[a][b][U][U] == kdg(-0.70)
+        assert tm[a][b][A][A] == 0.0
+        assert tm[a][b][C][C] == 0.0
+    assert np.all(np.asarray(T.TERMINAL_MISMATCH_SCORES_1XMANY) == 0.0)
+    np.testing.assert_array_equal(
+        T.TERMINAL_MISMATCH_SCORES_2X3, T.TERMINAL_MISMATCH_SCORES_INTERIOR
+    )
+
+
+def test_embedded_multibranch_mismatch_is_dangle_sum():
+    """NNDB Turner 2004 multibranch/exterior rule: terminal stacking =
+    5' dangle + 3' dangle (the rule that generates RNAstructure tstackm and
+    ViennaRNA mismatch_multi/mismatch_exterior)."""
+    tm = T.TERMINAL_MISMATCH_SCORES_MULTIBRANCH
+    d5, d3 = T.DANGLING_SCORES_5PRIME, T.DANGLING_SCORES_3PRIME
+    for (a, b) in ((C, G), (G, C), (A, U), (U, A), (G, U), (U, G)):
+        for x in range(4):
+            for y in range(4):
+                # dangle sum in kcal space, converted once (1 ulp slack vs
+                # summing the converted scores)
+                assert tm[a][b][x][y] == pytest.approx(
+                    d5[a][b][x] + d3[a][b][y], abs=2e-6
+                )
+
+
+def test_embedded_hairpin_mismatch_anchors():
+    """Published hairpin terminal-mismatch anchors (NNDB 'hairpin loops'
+    terminal mismatch table): the classic stabilized first mismatches on a
+    C-G closing pair — G.A, G.G and U.U — and the overall pattern that
+    purine (G.) mismatches stack far better than pyrimidine ones."""
+    tm = T.TERMINAL_MISMATCH_SCORES_HAIRPIN
+    assert tm[C][G][G][A] == kdg(-2.30)
+    assert tm[C][G][G][G] == kdg(-2.40)
+    assert tm[C][G][U][U] == kdg(-2.10)
+    assert tm[G][C][G][C] == kdg(-2.90)
+    # sanity structure: every canonical closing pair's G-row mismatches are
+    # at least as stabilizing as the C-row ones on average
+    for (a, b) in ((C, G), (G, C), (A, U), (U, A), (G, U), (U, G)):
+        g_mean = np.mean([tm[a][b][G][y] for y in range(4)])
+        c_mean = np.mean([tm[a][b][C][y] for y in range(4)])
+        assert g_mean > c_mean  # score space: larger = more stabilizing
+
+
+def test_embedded_small_interior_model():
+    """Published generation model for the 1x1/1x2/2x2 tables (Mathews et al.
+    2004 supplement; NNDB 'internal loops' 1x1/2x2 estimation): base
+    initiation + 0.7/AU-GU closing pair + measured-class stabilizations,
+    closure penalties baked in (the reference adds no helix-end penalty on
+    these paths, utils.rs:273-304)."""
+    i11 = T.INTERIOR_SCORES_1X1
+    # generic 1x1 between CG pairs = 0.9; U.U = -0.4; G.G = -1.4 (net)
+    assert i11[C][G][A][A][C][G] == kdg(0.90)
+    assert i11[C][G][U][U][C][G] == kdg(0.90 - 1.30)
+    assert i11[C][G][G][G][C][G] == kdg(0.90 - 2.30)
+    # AU closures add 0.7 each
+    assert i11[A][U][A][A][U][A] == kdg(0.90 + 1.40)
+    # 1x2: flat 2.7 + closures (1xN side: no mismatch bonuses)
+    i21 = T.INTERIOR_SCORES_1X2
+    assert i21[C][G][A][A][C][C][G] == kdg(2.70)
+    assert i21[G][U][A][A][C][C][G] == kdg(2.70 + 0.70)
+    # 2x2: 1.1 base + per-side bonuses
+    i22 = T.INTERIOR_SCORES_2X2
+    assert i22[C][G][A][A][A][A][C][G] == kdg(1.10)
+    assert i22[C][G][G][A][A][G][C][G] == kdg(1.10 - 1.60)
