@@ -20,13 +20,14 @@ from rna_algos_tpu.utils import read_fasta
 
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "trna_bpps.npz")
 
+from tests.conftest import tpu_required_skip
+
+_skip = tpu_required_skip()
 pytestmark = [
     pytest.mark.skipif(
         not os.path.exists(GOLDEN), reason="golden fixtures not generated"
     ),
-    pytest.mark.skipif(
-        jax.default_backend() in ("cpu",), reason="Mosaic path needs a TPU"
-    ),
+    pytest.mark.skipif(_skip is not None, reason=_skip or ""),
 ]
 
 
@@ -68,6 +69,39 @@ def test_pallas_hw_golden_bpps(model, contra, mode):
         err = np.abs(bpp[k, :n, :n] - ref).max()
         assert err < 5e-4, (k, err)
     assert np.asarray(presence).any()
+
+
+def test_batch_memos_equal_across_backends():
+    """VERDICT round 2, item 6: the batch API returns the FoldScores memo
+    contract on every backend, and the memo grids are identical between the
+    XLA scan and the fused Pallas path."""
+    from rna_algos_tpu import numerics
+
+    recs = read_fasta("assets/sampled_trnas.fa")
+    tbl = S.contra_table_pytree(build_fold_score_sets())
+    N = 128
+    seqs = np.full((len(recs), N), PSEUDO_BASE, dtype=np.int32)
+    ns = np.zeros(len(recs), dtype=np.int32)
+    for k, r in enumerate(recs):
+        seqs[k, : len(r.seq)] = r.seq
+        ns[k] = len(r.seq)
+    seqs, ns = jnp.asarray(seqs), jnp.asarray(ns)
+    with numerics.force_mode("exact"):
+        bpp_p, memos_p = M.mccaskill_bpp_batch_pallas(
+            seqs, ns, tbl, N=N, contra=True, return_memos=True
+        )
+        bpp_x, memos_x = M.mccaskill_bpp_batch(
+            seqs, ns, tbl, N=N, contra=True, return_memos=True
+        )
+    assert set(memos_p) == {
+        "hairpin", "multibranch_close", "accessible", "presence"
+    }
+    for key in ("hairpin", "multibranch_close", "accessible"):
+        np.testing.assert_array_equal(
+            np.asarray(memos_p[key]), np.asarray(memos_x[key]), err_msg=key
+        )
+    # the two backends' BPPs agree within the golden budget
+    assert np.abs(np.asarray(bpp_p) - np.asarray(bpp_x)).max() < 5e-4
 
 
 @pytest.mark.slow
