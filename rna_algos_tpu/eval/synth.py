@@ -42,19 +42,112 @@ def random_structure(rng, n):
     return "." * u + random_structure(rng, n - u)
 
 
+def multiloop_structure(rng, n):
+    """Multiloop-dense template: an outer stem closing >= 3 inner stems.
+
+    Round-3 hard class (VERDICT round 2, item 8): multibranch-heavy
+    structures stress the multibranch affine model rather than the
+    single-stem hairpins random_structure mostly emits."""
+    if n < 40:
+        return random_structure(rng, n)
+    s = int(rng.integers(3, 6))
+    inner_n = n - 2 * s
+    n_branches = int(rng.integers(3, 5))
+    # split the interior into branches + spacers
+    spacer = int(rng.integers(1, 4))
+    budget = inner_n - spacer * (n_branches + 1)
+    if budget < n_branches * 12:
+        return random_structure(rng, n)
+    cuts = sorted(rng.choice(budget - n_branches * 12 + 1, n_branches - 1)) if n_branches > 1 else []
+    sizes = []
+    prev = 0
+    for c in list(cuts) + [budget - n_branches * 12]:
+        sizes.append(12 + (c - prev))
+        prev = c
+    parts = ["." * spacer]
+    for sz in sizes:
+        bs = min(int(rng.integers(3, 6)), (sz - 4) // 2)
+        parts.append("(" * bs + "." * (sz - 2 * bs) + ")" * bs)
+        parts.append("." * spacer)
+    inner = "".join(parts)
+    inner += "." * (inner_n - len(inner))
+    return "(" * s + inner + ")" * s
+
+
+def longrange_structure(rng, n):
+    """Long-range template: a short outer stem pairing the two ends of the
+    sequence (pair distance ~ n), enclosing mostly-local content.  Stresses
+    the estimator's ability to keep probability mass on distant pairs."""
+    if n < 60:
+        return random_structure(rng, n)
+    s = int(rng.integers(3, 5))
+    inner = random_structure(rng, n - 2 * s)
+    return "(" * s + inner + ")" * s
+
+
+def add_pseudoknot(rng, ss):
+    """Overlay a crossing stem as letter brackets (A...a) on a nested
+    template.  The reference eval preserves letter brackets and projects
+    them as reference pairs (compile_rna_fams.py:72-106), so a nested-only
+    estimator is structurally unable to predict them — the hard class the
+    round-2 VERDICT asked for."""
+    ss = list(ss)
+    n = len(ss)
+    # find two unpaired runs separated by a paired region
+    runs = []
+    start = None
+    for i, ch in enumerate(ss + ["x"]):
+        if ch == "." and start is None:
+            start = i
+        elif ch != "." and start is not None:
+            if i - start >= 4:
+                runs.append((start, i))
+            start = None
+    for (a0, a1) in runs:
+        for (b0, b1) in runs:
+            if b0 <= a1:
+                continue
+            # require a bracket between the runs so the knot crosses
+            if not any(c in "()" for c in ss[a1:b0]):
+                continue
+            k = min(3, a1 - a0, b1 - b0)
+            for t in range(k):
+                ss[a0 + t] = "A"
+                ss[b1 - 1 - t] = "a"
+            return "".join(ss)
+    return "".join(ss)
+
+
 def pair_table(ss):
+    """Pairs of a template incl. pseudoknot letter brackets (A/a)."""
     stack, pairs = [], []
+    kstack = []
     for i, ch in enumerate(ss):
         if ch == "(":
             stack.append(i)
         elif ch == ")":
             pairs.append((stack.pop(), i))
+        elif ch == "A":
+            kstack.append(i)
+        elif ch == "a":
+            pairs.append((kstack.pop(), i))
     return pairs
 
 
-def sample_family(rng, n_seqs, length, mut_rate=0.08, gap_rate=0.06):
-    """(rows, ss_cons): aligned member sequences compatible with one template."""
-    ss = random_structure(rng, length)
+def sample_family(rng, n_seqs, length, mut_rate=0.08, gap_rate=0.06,
+                  structure_cls="random"):
+    """(rows, ss_cons): aligned member sequences compatible with one template.
+
+    ``structure_cls``: "random" (round-2 behavior), "multiloop",
+    "longrange", or "pseudoknot" — the round-3 hard classes."""
+    if structure_cls == "multiloop":
+        ss = multiloop_structure(rng, length)
+    elif structure_cls == "longrange":
+        ss = longrange_structure(rng, length)
+    elif structure_cls == "pseudoknot":
+        ss = add_pseudoknot(rng, random_structure(rng, length))
+    else:
+        ss = random_structure(rng, length)
     pairs = pair_table(ss)
     paired = {i for p in pairs for i in p}
     # family consensus sequence
@@ -95,16 +188,26 @@ def write_stockholm(path, families):
 def generate_seed_set(path, n_families=20, seed=20260819):
     """Write a synthetic seed set; returns the number of VALID families.
 
-    Includes out-of-spec families (too many members, too wide, ambiguity
-    codes) so compile_rna_fams' filters are exercised on realistic input.
+    Round 3: families cycle through difficulty classes — the easy round-2
+    nested templates plus multiloop-dense, long-range and >= 150-nt
+    families, and pseudoknotted references (letter brackets the nested-only
+    estimators cannot predict) — so the accuracy gate tests discrimination,
+    not just plumbing.  Includes out-of-spec families (too many members,
+    too wide, ambiguity codes) so compile_rna_fams' filters are exercised
+    on realistic input.
     """
     rng = np.random.default_rng(seed)
     fams = []
     valid = 0
+    classes = ("random", "multiloop", "longrange", "pseudoknot", "random")
     for k in range(n_families):
-        length = int(rng.integers(60, 190))
+        cls = classes[k % len(classes)]
+        if cls in ("multiloop", "longrange"):
+            length = int(rng.integers(150, 200))  # the >= 150-nt hard class
+        else:
+            length = int(rng.integers(60, 190))
         n_seqs = int(rng.integers(3, 10))
-        fams.append(sample_family(rng, n_seqs, length))
+        fams.append(sample_family(rng, n_seqs, length, structure_cls=cls))
         valid += 1
     # out-of-spec: too many sequences
     fams.append(sample_family(rng, 14, 80))
