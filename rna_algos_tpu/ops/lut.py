@@ -18,10 +18,9 @@ import jax.numpy as jnp
 
 
 def _use_onehot():
-    try:
-        return jax.default_backend() not in ("cpu",)
-    except Exception:
-        return False
+    from ..utils.platform import on_tpu
+
+    return on_tpu()
 
 
 def sep_lookup(table, i_parts, j_parts, perm=None):

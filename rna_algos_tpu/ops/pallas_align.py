@@ -350,12 +350,7 @@ def _durbin_pallas_body(seqs1, ns1, seqs2, ns2, sc, N, interpret):
 
 
 def pallas_available(N1, N2):
-    """Fused pair-HMM applies: TPU backend, square pow-2 bucket <= 256."""
-    try:
-        backend = jax.default_backend()
-    except Exception:
-        return False
-    return (
-        N1 == N2 and N1 <= 256 and (N1 & (N1 - 1)) == 0
-        and backend not in ("cpu",)
-    )
+    """Fused pair-HMM applies: TPU placement, square pow-2 bucket <= 256."""
+    from ..utils.platform import on_tpu
+
+    return N1 == N2 and N1 <= 256 and (N1 & (N1 - 1)) == 0 and on_tpu()

@@ -88,10 +88,9 @@ def skew_pq_batch(mats, interpret=False):
 
     mats = [jnp.asarray(m) for m in mats]
     B, N, _ = mats[0].shape
-    try:
-        on_tpu = jax.default_backend() not in ("cpu",)
-    except Exception:
-        on_tpu = False
+    from ..utils.platform import on_tpu as _on_tpu
+
+    on_tpu = _on_tpu()
     # Past 512 the kernel row-chunks at RS=128, so N must divide evenly
     # (C = N // RS floors: a stray remainder would leave the last rows
     # unvisited — silent garbage, not a crash).

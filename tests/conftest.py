@@ -29,6 +29,39 @@ if str(REPO_ROOT) not in sys.path:
 
 import pytest
 
+# The axon TPU plugin pins jax_platforms="axon,cpu", so the JAX_PLATFORMS=cpu
+# above does NOT keep computations off the (tunneled, single) TPU — and the
+# tunnel can be flaky (see docs/STATUS.md round 3).  RNA_ALGOS_TEST_CPU=1
+# actually forces the default device to a virtual CPU for every test, which
+# is this conftest's original intent; the Mosaic-path tests (test_pallas_hw,
+# the TPU-mesh and long-n tests) detect the flag and skip — run those
+# separately without the flag to exercise the real chip.
+_FORCE_CPU = os.environ.get("RNA_ALGOS_TEST_CPU") == "1"
+if _FORCE_CPU:
+    os.environ.setdefault("RNA_ALGOS_BACKEND", "xla")
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _default_device_cpu():
+    if not _FORCE_CPU:
+        yield
+        return
+    import jax
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        yield
+
+
+def tpu_required_skip():
+    """Shared skip condition for tests that must run Mosaic on hardware."""
+    import jax
+
+    if _FORCE_CPU:
+        return "RNA_ALGOS_TEST_CPU=1 (CPU-forced run)"
+    if jax.default_backend() in ("cpu",):
+        return "Mosaic path needs a TPU"
+    return None
+
 
 @pytest.fixture(scope="session")
 def trna_records():

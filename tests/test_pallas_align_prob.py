@@ -83,7 +83,9 @@ def test_prob_interpret_parity_trna_pairs():
 
 
 @pytest.mark.skipif(
-    jax.default_backend() in ("cpu",), reason="Mosaic path needs a TPU"
+    __import__("tests.conftest", fromlist=["x"]).tpu_required_skip()
+    is not None,
+    reason="Mosaic path needs a TPU (or CPU-forced run)",
 )
 def test_prob_pallas_hw_trna_all_pairs():
     recs = read_fasta("assets/sampled_trnas.fa")

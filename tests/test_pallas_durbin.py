@@ -70,7 +70,9 @@ def test_auto_dispatch_xla_fallback():
 
 
 @pytest.mark.skipif(
-    jax.default_backend() in ("cpu",), reason="Mosaic path needs a TPU"
+    __import__("tests.conftest", fromlist=["x"]).tpu_required_skip()
+    is not None,
+    reason="Mosaic path needs a TPU (or CPU-forced run)",
 )
 def test_pallas_hw_trna_all_pairs():
     recs = read_fasta("assets/sampled_trnas.fa")
