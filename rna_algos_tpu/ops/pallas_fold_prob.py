@@ -193,15 +193,18 @@ def _turner_banded_kernels(LENBp, LENIp):
 
 import os as _os
 
-# MXU passes for the banded window matmuls.  "highest" = 6-pass full-f32
-# emulation; "high" = manual 3-pass bf16 residual splitting (Mosaic has
-# no Precision.HIGH lowering) — hi/lo split both operands, keep the three
-# O(2^-8)-and-better products, drop lo@lo (~2^-16 relative; measured BPP
-# error indistinguishable from highest at the goldens' scale); "default" =
-# single bf16 pass (~4e-3 relative — FAILS the 5e-4 golden budget,
-# experiment only).  Read at import: baked into every compiled program.
+# MXU passes for the banded window matmuls.  "high" (default since round
+# 3) = manual 3-pass bf16 residual splitting (Mosaic has no Precision.HIGH
+# lowering) — hi/lo split both operands, keep the three O(2^-8)-and-better
+# products, drop lo@lo (~2^-16 relative); gated by the 5e-4 goldens AND
+# the float64 long-n anchors (tests/test_longn_numerics.py), and measured
+# +16% (CONTRA) / +30% (Turner) end-to-end over "highest" at the tRNA
+# headline.  "highest" = 6-pass full-f32 emulation (the pre-round-3
+# default); "default" = single bf16 pass (~4e-3 relative — FAILS the 5e-4
+# golden budget, experiment only).  Read at import: baked into every
+# compiled program.
 _BAND_PRECISION = _os.environ.get(
-    "RNA_ALGOS_BAND_PRECISION", "highest"
+    "RNA_ALGOS_BAND_PRECISION", "high"
 ).lower()
 if _BAND_PRECISION not in ("highest", "high", "default"):
     raise ValueError(

@@ -51,6 +51,11 @@ from .pallas_fold import LPAD
 
 G = 8
 WB = 33 * G       # window scratch rows: insert block + 32 aged read blocks
+# Turner window scratches carry one extra aged block: the K2 diagonal arm
+# (r = a + 2) reads the window at a +2-block offset, so offset slices of
+# 32 blocks need 34 blocks total (the top block is only ever read with a
+# zero weight).
+WBT = 34 * G
 
 
 # ---------------------------------------------------------------------------
@@ -72,6 +77,18 @@ def dilv(y):
     return y.reshape(K, R, G, C).transpose(0, 2, 1, 3).reshape(K * G, R, C)
 
 
+def dup2(y):
+    """(K, T*G, C) G-striped -> (K, T*2G, C): each G-block duplicated, so
+    row t*2G + fam*G + g carries the same data for both families (the
+    shared multiplicand of a paired-history reduce)."""
+    K, TG, C = y.shape
+    T = TG // G
+    out = jnp.broadcast_to(
+        y.reshape(K, T, 1, G, C), (K, T, 2, G, C)
+    )
+    return out.reshape(K, T * 2 * G, C)
+
+
 def _kbig(K):
     """(B, 32, 32) per-seq banded kernels -> (B/G, 256, 256) striped
     block-diagonal: KBIG[a*8+g, r*8+g'] = K[g, a, r] * delta(g, g')."""
@@ -81,6 +98,29 @@ def _kbig(K):
     # [k, a, g, r, g'] -> (k, 256, 256)
     out = jnp.einsum("kgar,gh->kagrh", Kg, eye)
     return out.reshape(B // G, 32 * G, 32 * G)
+
+
+def _wcols8(KBb, K2b):
+    """Interleaved weight columns for the decomposed Turner windows.
+
+    (B, 32, 32) banded kernels -> (B/G, 4*32*G, 8): stacked families
+    [kb_col (a=0, by r); kb_diag (r=a+1, by a); k2_col (a=1, by r);
+    k2_diag (r=a+2, by a)], each 8-interleaved; lane dim is a small
+    broadcast (the kernel reads column 0)."""
+    kb_col = KBb[:, 0, :]
+    kb_diag = jnp.pad(
+        jnp.diagonal(KBb, offset=1, axis1=1, axis2=2), ((0, 0), (0, 1))
+    )
+    k2_col = K2b[:, 1, :]
+    k2_diag = jnp.pad(
+        jnp.diagonal(K2b, offset=2, axis1=1, axis2=2), ((0, 0), (0, 2))
+    )
+    fams = [
+        ilv(f[:, :, None])
+        for f in (kb_col, kb_diag, k2_col, k2_diag)
+    ]
+    w = jnp.concatenate(fams, axis=1)            # (K, 4*32*G, 1)
+    return jnp.broadcast_to(w, w.shape[:2] + (8,))
 
 
 def _bcast_rows(N, *cols):
@@ -101,7 +141,14 @@ def _bcast_rows(N, *cols):
 def _tree8(x):
     """Per-sequence sublane sum: (t*8, N) -> (8, N), halving on multiples
     of 8 so row t*8+g only ever merges with rows of the same g."""
-    while x.shape[0] > G:
+    return _tree_to(x, G)
+
+
+def _tree_to(x, stop):
+    """Halving tree down to ``stop`` rows; at 2G striping (row t*2G +
+    fam*G + g) stopping at 2G keeps the two families separate while the
+    per-family t-pairing equals :func:`_tree8`'s (bit-identical sums)."""
+    while x.shape[0] > stop:
         h = x.shape[0] // 2
         x = x[:h] + x[h:]
     return x
@@ -154,26 +201,42 @@ def _inside8_kernel(
     H, MBC, ACC, JS, STK, I11, B0R, B0L, JB,  # (1, N*8, N) merged [d*8+g, i]
     KBIG,                                    # (1, 256, 256)
     close_out, ext_out, one_out,             # (1, N*8, N)
-    CJW, FQ, FQM, extrS, mbS, oneS, S1SC,
+    CJW, FQ2, EO, mbS, S1SC,
     *, N,
 ):
+    """Stacked inside kernel with PAIRED history buffers (round 3).
+
+    The two per-span history streams (rm for the external bifurcation, rmmb
+    for the multibranch one) age, shift, multiply and tree-reduce the same
+    way, so they ride ONE buffer at 2G striping — row ``t*2G + fam*G + g``
+    holds stream ``fam`` of sequence ``g`` at age ``t`` — and likewise
+    their multiplicands (the ext suffix ensembles and the one-or-more
+    sums) share ``EO``.  One shift, one masked multiply and one halving
+    tree serve both families per span.  The halving pairs rows of equal
+    (fam, g), so each family's reduction order matches the former
+    separate-buffer kernels; measured vs those kernels in interpret mode
+    the ext stream is bit-identical and the mb stream agrees to ~3e-8
+    relative (reassociation-level; goldens and the f64 anchors gate the
+    result)."""
     n_i = SCAL[0, 0, 7].astype(jnp.int32)
     EU1 = VEC[0, pl.ds(0, G), :]
     EBP = VEC[0, pl.ds(G, G), :]
     MBU1 = VEC[0, pl.ds(2 * G, G), :]
     MBBP = VEC[0, pl.ds(3 * G, G), :]
 
-    for buf in (CJW, FQ, FQM, mbS, oneS, extrS):
+    for buf in (CJW, FQ2, EO, mbS):
         buf[:] = jnp.zeros_like(buf[:])
-    extrS[pl.ds(0, G), :] = jnp.ones((G, N), jnp.float32)
+    EO[pl.ds(0, G), :] = jnp.ones((G, N), jnp.float32)  # ext(i, i-1) = 1
     close_out[0] = jnp.zeros_like(close_out[0])
     ext_out[0] = jnp.zeros_like(ext_out[0])
     one_out[0] = jnp.zeros_like(one_out[0])
     S1SC[:] = jnp.zeros_like(S1SC[:])
 
+    G2 = 2 * G
     NG = N * G
-    sub = jax.lax.broadcasted_iota(jnp.int32, (NG, 1), 0)
-    tb_full = sub // G
+    sub2 = jax.lax.broadcasted_iota(jnp.int32, (2 * NG, 1), 0)
+    tb2_full = sub2 // G2
+    fam0_full = (sub2 // G) % 2 == 0
     zero_blk = jnp.zeros((G, N), jnp.float32)
 
     def span_step(d, carry):
@@ -200,36 +263,38 @@ def _inside8_kernel(
         epow = epow_prev * EU1
 
         def tail(ht):
-            hg = ht * G
-            tb = tb_full[:hg]
-            for buf, row in ((FQ, rm_new), (FQM, rmmb_new)):
-                shifted = buf[pl.ds(0, hg - G), pl.ds(1, N + 7)]
-                buf[pl.ds(G, hg - G), pl.ds(0, N + 7)] = shifted
-                buf[pl.ds(0, G), pl.ds(0, N)] = row
+            h2 = ht * G2
+            tb = tb2_full[:h2]
+            fam0 = fam0_full[:h2]
+            shifted = FQ2[pl.ds(0, h2 - G2), pl.ds(1, N + 7)]
+            FQ2[pl.ds(G2, h2 - G2), pl.ds(0, N + 7)] = shifted
+            FQ2[pl.ds(0, G), pl.ds(0, N)] = rm_new
+            FQ2[pl.ds(G, G), pl.ds(0, N)] = rmmb_new
 
-            qblk = FQ[pl.ds(0, hg), pl.ds(0, N)]
-            eblk = extrS[pl.ds(0, hg), :]
-            terms = jnp.where(tb <= d - 1, qblk * eblk, 0.0)
-            ext_new = epow + _tree8(terms)
+            terms = jnp.where(
+                (tb <= d - 1) & (fam0 | (tb >= 1)),
+                FQ2[pl.ds(0, h2), pl.ds(0, N)] * EO[pl.ds(0, h2), :],
+                0.0,
+            )
+            red = _tree_to(terms, G2)    # (2G, N): [ext(G); mb(G)]
+            ext_new = epow + red[:G]
+            s2 = red[G:]
             ext_out[0, pl.ds(d * G, G), :] = ext_new
-            extrS[pl.ds((d + 1) * G, G), :] = ext_new
 
-            qmblk = FQM[pl.ds(0, hg), pl.ds(0, N)]
-            x = jnp.where((tb >= 1) & (tb <= d - 1), qmblk, 0.0)
             # telescoped sum_t rmmb_{d-t} * mbu1^t (flush-safe; see the
-            # per-seq kernels): FQM rows G..2G-1 after this span's shift
-            # hold rmmb_{d-1} at the aged lane alignment
+            # per-seq kernels): FQ2's fam-1 block at age 1 after this
+            # span's shift holds rmmb_{d-1} at the aged lane alignment
             s1v = MBU1 * (
-                FQM[pl.ds(G, G), pl.ds(0, N)]
+                FQ2[pl.ds(3 * G, G), pl.ds(0, N)]
                 + S1SC[pl.ds(0, G), pl.ds(1, N)]
             )
             S1SC[pl.ds(0, G), pl.ds(0, N)] = s1v
-            s1 = rmmb_new + s1v
-            oblk = oneS[pl.ds(0, hg), :]
-            s2 = _tree8(oblk * x)
+            one_new = rmmb_new + s1v + s2
             mbS[pl.ds(G, G), :] = mbS[pl.ds(0, G), :]
             mbS[pl.ds(0, G), pl.ds(0, N)] = s2
-            oneS[pl.ds((d + 1) * G, G), :] = s1 + s2
+            one_out[0, pl.ds(d * G, G), :] = one_new
+            EO[pl.ds((d + 1) * G2, G), :] = ext_new
+            EO[pl.ds((d + 1) * G2 + G, G), :] = one_new
 
         prev = 0
         for ht in PF._live_heights(N):
@@ -243,7 +308,6 @@ def _inside8_kernel(
     lax.fori_loop(
         0, n_i, span_step, (zero_blk, zero_blk, jnp.ones((G, N), jnp.float32))
     )
-    one_out[0] = oneS[pl.ds(G, NG), :]
 
 
 # ---------------------------------------------------------------------------
@@ -259,16 +323,19 @@ def _outside8_kernel(
     EXTR,                                    # (1, 8, 2N) pre-rotated
     KBIG,                                    # (1, 256, 256)
     bppo_out,                                # (1, N*8, N)
-    OG, XS, RPM, RPM2, SONEF, REXT, P2SC, QASC,
+    OG, XS, RP2, SONEF, REXT, P2SC, QASC,
     *, N, min_span,
 ):
+    """pm|pm2 history rides one 2G-striped buffer RP2 (see
+    :func:`_inside8_kernel`); QONE arrives fam-duplicated at 2G striping."""
     n_i = SCAL[0, 0, 7].astype(jnp.int32)
     LOGMBU = VEC[0, pl.ds(0, G), :]
     B0LOv = VEC[0, pl.ds(G, G), :]
 
-    for buf in (OG, XS, RPM, RPM2):
+    for buf in (OG, XS, RP2):
         buf[:] = jnp.zeros_like(buf[:])
     bppo_out[0] = jnp.zeros_like(bppo_out[0])
+    G2 = 2 * G
     NG = N * G
     SONEF[pl.ds(0, NG), :] = ONEP[0, pl.ds(0, NG), :]
     REXT[pl.ds(0, G), :] = EXTR[0, pl.ds(0, G), :]
@@ -278,6 +345,8 @@ def _outside8_kernel(
 
     sub = jax.lax.broadcasted_iota(jnp.int32, (NG, 1), 0)
     tb_full = sub // G
+    sub2 = jax.lax.broadcasted_iota(jnp.int32, (2 * NG, 1), 0)
+    tb2_full = sub2 // G2
     C2 = SONEF.shape[1]
 
     def span_step(step, carry):
@@ -318,30 +387,31 @@ def _outside8_kernel(
             )
             P2SC[pl.ds(0, G), pl.ds(0, N)] = pm2_raw
             pm2_new = jnp.where(span_ok, pm2_raw, 0.0)
-            for buf, row in ((RPM, pm_new), (RPM2, pm2_new)):
-                shifted = buf[pl.ds(0, hg - G), pl.ds(0, N - 1)]
-                buf[pl.ds(G, hg - G), pl.ds(1, N - 1)] = shifted
-                buf[pl.ds(G, hg - G), pl.ds(0, 1)] = jnp.zeros(
-                    (hg - G, 1), jnp.float32
-                )
-                buf[pl.ds(0, G), pl.ds(0, N)] = row
+            h2 = ht * G2
+            tb2 = tb2_full[:h2]
+            shifted = RP2[pl.ds(0, h2 - G2), pl.ds(0, N - 1)]
+            RP2[pl.ds(G2, h2 - G2), pl.ds(1, N - 1)] = shifted
+            RP2[pl.ds(G2, h2 - G2), pl.ds(0, 1)] = jnp.zeros(
+                (h2 - G2, 1), jnp.float32
+            )
+            RP2[pl.ds(0, G), pl.ds(0, N)] = pm_new
+            RP2[pl.ds(G, G), pl.ds(0, N)] = pm2_new
 
-            r_pm = RPM[pl.ds(0, hg), pl.ds(0, N)]
-            r_pm2 = RPM2[pl.ds(0, hg), pl.ds(0, N)]
-            m1 = tb >= 1
-            qone_blk = QONE[0, pl.ds(0, hg), :]
-            # diagonally telescoped QA (see the per-seq kernels): RPM rows
-            # G..2G-1 after this span's shift hold pm_{s-1} aged one lane
+            # diagonally telescoped QA (see the per-seq kernels): RP2's
+            # fam-0 block at age 1 after this span's shift holds pm_{s-1}
+            # aged one lane
             qa_raw = (
-                RPM[pl.ds(G, G), pl.ds(0, N)]
+                RP2[pl.ds(G2, G), pl.ds(0, N)]
                 + MBU1 * QASC[pl.ds(0, G), pl.ds(0, N)]
             )
             QASC[pl.ds(0, G), pl.ds(1, N)] = qa_raw
-            terms_a = jnp.where(m1, r_pm2 * qone_blk, 0.0)
-            terms_bc = jnp.where(m1, r_pm * qone_blk, 0.0)
-            mb_ctx = acc_mb * (
-                _tree8(terms_a) + _tree8(terms_bc) + qa_raw
+            terms2 = jnp.where(
+                tb2 >= 1,
+                RP2[pl.ds(0, h2), pl.ds(0, N)] * QONE[0, pl.ds(0, h2), :],
+                0.0,
             )
+            red2 = _tree_to(terms2, G2)   # [pm-family(G); pm2-family(G)]
+            mb_ctx = acc_mb * (red2[G:] + red2[:G] + qa_raw)
 
             bppo_new = base + two + mb_ctx
             bppo_new = jnp.where(pos & span_ok, bppo_new, 0.0)
@@ -492,11 +562,9 @@ def _prob8_run_body(seqs, ns, ct, ln_sigma, N, allows_short_hairpins,
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((WB, N + LPAD), jnp.float32),        # CJW
-            pltpu.VMEM((NG, N + 8), jnp.float32),           # FQ
-            pltpu.VMEM((NG, N + 8), jnp.float32),           # FQM
-            pltpu.VMEM((NG + G, N), jnp.float32),           # extrS
+            pltpu.VMEM((2 * NG, N + 8), jnp.float32),       # FQ2 (rm|rmmb)
+            pltpu.VMEM((2 * NG + 2 * G, N), jnp.float32),   # EO (ext|one)
             pltpu.VMEM((2 * G, N + 8), jnp.float32),        # mbS
-            pltpu.VMEM((NG + G, N), jnp.float32),           # oneS
             pltpu.VMEM((G, N + 8), jnp.float32),            # S1SC
         ],
         interpret=interpret,
@@ -529,7 +597,7 @@ def _prob8_run_body(seqs, ns, ct, ln_sigma, N, allows_short_hairpins,
         [_bcast_rows(N, logmbu), ilv(b0lo[:, None, :])], axis=1
     )
     ONEP8 = ilv(ONEP)
-    QONE8 = ilv(QONE)
+    QONE8 = dup2(ilv(QONE))
     EXTR8 = ilv(extR[:, None, :])
     if upto == "oprep":
         return mo8, ONEP8, QONE8, EXTR8, vec_o
@@ -544,7 +612,7 @@ def _prob8_run_body(seqs, ns, ct, ln_sigma, N, allows_short_hairpins,
             _nn(2 * G, N),
             *(_nn(NG, N) for _ in range(9)),
             _nn(NG, 2 * N),                    # ONEP
-            _nn(NG, N),                        # QONE
+            _nn(2 * NG, N),                    # QONE (fam-duplicated)
             _nn(G, 2 * N),                     # EXTR
             _nn(32 * G, 32 * G),
         ],
@@ -553,8 +621,7 @@ def _prob8_run_body(seqs, ns, ct, ln_sigma, N, allows_short_hairpins,
         scratch_shapes=[
             pltpu.VMEM((WB, N + LPAD), jnp.float32),        # OG
             pltpu.VMEM((NG, N), jnp.float32),               # XS
-            pltpu.VMEM((NG, N), jnp.float32),               # RPM
-            pltpu.VMEM((NG, N), jnp.float32),               # RPM2
+            pltpu.VMEM((2 * NG, N), jnp.float32),           # RP2 (pm|pm2)
             pltpu.VMEM((NG, 2 * N), jnp.float32),           # SONEF
             pltpu.VMEM((G, 2 * N), jnp.float32),            # REXT
             pltpu.VMEM((G, N), jnp.float32),                # P2SC
@@ -600,11 +667,24 @@ def _turner_inside8_kernel(
     H, MBC, ACC, AUGC, TMO1C, TMO2C, TMO3C,  # (1, N*8, N) merged
     SP00, SP01, SP10, SP11, SP12, SP21, SP22,
     AUGT, TMI1, TMI2, TMI3,
-    KB, K2, KI,                              # (1, 256, 256)
+    KI,                                      # (1, 256, 256)
+    WCOLS,                                   # (1, 4*32*G, 8) weight columns
     close_out, ext_out, one_out,
-    CAW, GW1, GW2, GW3, FQ, FQM, extrS, mbS, oneS, S1SC,
+    CAW, GW1, GW2, GW3, FQ2, EO, mbS, S1SC,
     *, N,
 ):
+    """Paired-history-buffer tail as in :func:`_inside8_kernel` (round 3):
+    rm|rmmb ride ``FQ2`` and ext|one ride ``EO`` at 2G striping.
+
+    Round-3 window restructure: the Turner bulge (KB) and 2x3-edge (K2)
+    banded kernels are 1-D families — one column (a = const) plus one
+    diagonal (b = const) — so their striped-block-diagonal MXU matmuls
+    (8x-diluted, ~100 MFLOP/span each at 3-pass precision) are replaced by
+    a weighted sublane tree-sum (column arm) and one extra skew extraction
+    over a +c-block offset slice (diagonal arm), with the per-sequence
+    weights delivered as interleaved columns in ``WCOLS``
+    [kb_col; kb_diag; k2_col; k2_diag].  Only the genuinely 2-D generic
+    interior region (KI) keeps its matmul."""
     n_i = SCAL[0, 0, 7].astype(jnp.int32)
     EU1 = VEC[0, pl.ds(0, G), :]
     EBP = VEC[0, pl.ds(G, G), :]
@@ -613,28 +693,43 @@ def _turner_inside8_kernel(
     LENI32 = VEC[0, pl.ds(5 * G, G), :]
     LENI23 = VEC[0, pl.ds(6 * G, G), :]
 
-    for buf in (CAW, GW1, GW2, GW3, FQ, FQM, mbS, oneS, extrS):
+    for buf in (CAW, GW1, GW2, GW3, FQ2, EO, mbS):
         buf[:] = jnp.zeros_like(buf[:])
-    extrS[pl.ds(0, G), :] = jnp.ones((G, N), jnp.float32)
+    EO[pl.ds(0, G), :] = jnp.ones((G, N), jnp.float32)
     close_out[0] = jnp.zeros_like(close_out[0])
     ext_out[0] = jnp.zeros_like(ext_out[0])
+    one_out[0] = jnp.zeros_like(one_out[0])
     S1SC[:] = jnp.zeros_like(S1SC[:])
 
+    G2 = 2 * G
     NG = N * G
-    sub = jax.lax.broadcasted_iota(jnp.int32, (NG, 1), 0)
-    tb_full = sub // G
+    sub2 = jax.lax.broadcasted_iota(jnp.int32, (2 * NG, 1), 0)
+    tb2_full = sub2 // G2
+    fam0_full = (sub2 // G) % 2 == 0
     zero_blk = jnp.zeros((G, N), jnp.float32)
+
+    W32 = 32 * G
+    wcb = WCOLS[0, pl.ds(0, W32), pl.ds(0, 1)]
+    wdb = WCOLS[0, pl.ds(W32, W32), pl.ds(0, 1)]
+    wc2 = WCOLS[0, pl.ds(2 * W32, W32), pl.ds(0, 1)]
+    wd2 = WCOLS[0, pl.ds(3 * W32, W32), pl.ds(0, 1)]
 
     def span_step(d, carry):
         rm_prev, rmmb_prev, epow_prev = carry
 
-        two = _blk(AUGC, d) * _skew_extract_sum8(_band_mm8(KB, CAW), N, 1)
+        kb_sum = _tree8(CAW[pl.ds(0, W32), :] * wcb)[:, 1:1 + N]
+        kb_sum = kb_sum + _skew_extract_sum8(
+            CAW[pl.ds(G, W32), :] * wdb, N, 1
+        )
+        two = _blk(AUGC, d) * kb_sum
         two = two + _blk(TMO1C, d) * _skew_extract_sum8(
             _band_mm8(KI, GW1), N, 1
         )
-        two = two + _blk(TMO2C, d) * _skew_extract_sum8(
-            _band_mm8(K2, GW2), N, 1
+        k2_sum = _tree8(GW2[pl.ds(0, W32), :] * wc2)[:, 2:2 + N]
+        k2_sum = k2_sum + _skew_extract_sum8(
+            GW2[pl.ds(2 * G, W32), :] * wd2, N, 1
         )
+        two = two + _blk(TMO2C, d) * k2_sum
         two = two + _blk(TMO3C, d) * (
             LENI32 * GW3[pl.ds(6 * G, G), pl.ds(3, N)]
             + LENI23 * GW3[pl.ds(6 * G, G), pl.ds(4, N)]
@@ -660,36 +755,38 @@ def _turner_inside8_kernel(
         epow = epow_prev * EU1
 
         def tail(ht):
-            hg = ht * G
-            tb = tb_full[:hg]
-            for buf, row in ((FQ, rm_new), (FQM, rmmb_new)):
-                shifted = buf[pl.ds(0, hg - G), pl.ds(1, N + 7)]
-                buf[pl.ds(G, hg - G), pl.ds(0, N + 7)] = shifted
-                buf[pl.ds(0, G), pl.ds(0, N)] = row
+            h2 = ht * G2
+            tb = tb2_full[:h2]
+            fam0 = fam0_full[:h2]
+            shifted = FQ2[pl.ds(0, h2 - G2), pl.ds(1, N + 7)]
+            FQ2[pl.ds(G2, h2 - G2), pl.ds(0, N + 7)] = shifted
+            FQ2[pl.ds(0, G), pl.ds(0, N)] = rm_new
+            FQ2[pl.ds(G, G), pl.ds(0, N)] = rmmb_new
 
-            qblk = FQ[pl.ds(0, hg), pl.ds(0, N)]
-            eblk = extrS[pl.ds(0, hg), :]
-            terms = jnp.where(tb <= d - 1, qblk * eblk, 0.0)
-            ext_new = epow + _tree8(terms)
+            terms = jnp.where(
+                (tb <= d - 1) & (fam0 | (tb >= 1)),
+                FQ2[pl.ds(0, h2), pl.ds(0, N)] * EO[pl.ds(0, h2), :],
+                0.0,
+            )
+            red = _tree_to(terms, G2)
+            ext_new = epow + red[:G]
+            s2 = red[G:]
             ext_out[0, pl.ds(d * G, G), :] = ext_new
-            extrS[pl.ds((d + 1) * G, G), :] = ext_new
 
-            qmblk = FQM[pl.ds(0, hg), pl.ds(0, N)]
-            x = jnp.where((tb >= 1) & (tb <= d - 1), qmblk, 0.0)
             # telescoped sum_t rmmb_{d-t} * mbu1^t (flush-safe; see the
-            # per-seq kernels): FQM rows G..2G-1 after this span's shift
-            # hold rmmb_{d-1} at the aged lane alignment
+            # per-seq kernels): FQ2's fam-1 block at age 1 after this
+            # span's shift holds rmmb_{d-1} at the aged lane alignment
             s1v = MBU1 * (
-                FQM[pl.ds(G, G), pl.ds(0, N)]
+                FQ2[pl.ds(3 * G, G), pl.ds(0, N)]
                 + S1SC[pl.ds(0, G), pl.ds(1, N)]
             )
             S1SC[pl.ds(0, G), pl.ds(0, N)] = s1v
-            s1 = rmmb_new + s1v
-            oblk = oneS[pl.ds(0, hg), :]
-            s2 = _tree8(oblk * x)
+            one_new = rmmb_new + s1v + s2
             mbS[pl.ds(G, G), :] = mbS[pl.ds(0, G), :]
             mbS[pl.ds(0, G), pl.ds(0, N)] = s2
-            oneS[pl.ds((d + 1) * G, G), :] = s1 + s2
+            one_out[0, pl.ds(d * G, G), :] = one_new
+            EO[pl.ds((d + 1) * G2, G), :] = ext_new
+            EO[pl.ds((d + 1) * G2 + G, G), :] = one_new
 
         prev = 0
         for ht in PF._live_heights(N):
@@ -707,7 +804,6 @@ def _turner_inside8_kernel(
     lax.fori_loop(
         0, n_i, span_step, (zero_blk, zero_blk, jnp.ones((G, N), jnp.float32))
     )
-    one_out[0] = oneS[pl.ds(G, NG), :]
 
 
 def _turner_outside8_kernel(
@@ -717,19 +813,26 @@ def _turner_outside8_kernel(
     SP00, SP01, SP10, SP11, SP12, SP21, SP22,
     TMO1, TMO2, TMO3,
     ONEP, QONE, EXTR,
-    KB, K2, KI,
+    KI,
+    WCOLS,
     bppo_out,
-    OG, GW1, GW2, GW3, XS, RPM, RPM2, SONEF, REXT, P2SC, QASC,
+    OG, GW1, GW2, GW3, XS, RP2, SONEF, REXT, P2SC, QASC,
     *, N, min_span,
 ):
+    """pm|pm2 history rides one 2G-striped buffer RP2 (see
+    :func:`_inside8_kernel`); QONE arrives fam-duplicated at 2G striping;
+    the KB/K2 window matmuls are decomposed into column + diagonal arms
+    (see :func:`_turner_inside8_kernel`), here with the descending lane
+    direction of the outside windows."""
     n_i = SCAL[0, 0, 7].astype(jnp.int32)
     LOGMBU = VEC[0, pl.ds(0, G), :]
     LENI32 = VEC[0, pl.ds(G, G), :]
     LENI23 = VEC[0, pl.ds(2 * G, G), :]
 
-    for buf in (OG, GW1, GW2, GW3, XS, RPM, RPM2):
+    for buf in (OG, GW1, GW2, GW3, XS, RP2):
         buf[:] = jnp.zeros_like(buf[:])
     bppo_out[0] = jnp.zeros_like(bppo_out[0])
+    G2 = 2 * G
     NG = N * G
     SONEF[pl.ds(0, NG), :] = ONEP[0, pl.ds(0, NG), :]
     REXT[pl.ds(0, G), :] = EXTR[0, pl.ds(0, G), :]
@@ -739,7 +842,14 @@ def _turner_outside8_kernel(
 
     sub = jax.lax.broadcasted_iota(jnp.int32, (NG, 1), 0)
     tb_full = sub // G
+    sub2 = jax.lax.broadcasted_iota(jnp.int32, (2 * NG, 1), 0)
+    tb2_full = sub2 // G2
     C2 = SONEF.shape[1]
+    W32 = 32 * G
+    wcb = WCOLS[0, pl.ds(0, W32), pl.ds(0, 1)]
+    wdb = WCOLS[0, pl.ds(W32, W32), pl.ds(0, 1)]
+    wc2 = WCOLS[0, pl.ds(2 * W32, W32), pl.ds(0, 1)]
+    wd2 = WCOLS[0, pl.ds(3 * W32, W32), pl.ds(0, 1)]
 
     def span_step(step, carry):
         d = N - 1 - step
@@ -754,15 +864,19 @@ def _turner_outside8_kernel(
         rt = REXT[pl.ds(0, G), pl.ds(0, N)]
         base = close_blk * _blk(ACCB, d) * rt
 
-        two = _blk(AUGT, d) * _skew_extract_sum8(
-            _band_mm8(KB, OG), N, 31, descending=True
+        kb_sum = _tree8(OG[pl.ds(0, W32), :] * wcb)[:, 31:31 + N]
+        kb_sum = kb_sum + _skew_extract_sum8(
+            OG[pl.ds(G, W32), :] * wdb, N, 31, descending=True
         )
+        two = _blk(AUGT, d) * kb_sum
         two = two + _blk(TMI1C, d) * _skew_extract_sum8(
             _band_mm8(KI, GW1), N, 31, descending=True
         )
-        two = two + _blk(TMI2C, d) * _skew_extract_sum8(
-            _band_mm8(K2, GW2), N, 31, descending=True
+        k2_sum = _tree8(GW2[pl.ds(0, W32), :] * wc2)[:, 30:30 + N]
+        k2_sum = k2_sum + _skew_extract_sum8(
+            GW2[pl.ds(2 * G, W32), :] * wd2, N, 31, descending=True
         )
+        two = two + _blk(TMI2C, d) * k2_sum
         two = two + _blk(TMI3C, d) * (
             LENI32 * GW3[pl.ds(6 * G, G), pl.ds(29, N)]
             + LENI23 * GW3[pl.ds(6 * G, G), pl.ds(28, N)]
@@ -790,30 +904,31 @@ def _turner_outside8_kernel(
             )
             P2SC[pl.ds(0, G), pl.ds(0, N)] = pm2_raw
             pm2_new = jnp.where(span_ok, pm2_raw, 0.0)
-            for buf, row in ((RPM, pm_new), (RPM2, pm2_new)):
-                shifted = buf[pl.ds(0, hg - G), pl.ds(0, N - 1)]
-                buf[pl.ds(G, hg - G), pl.ds(1, N - 1)] = shifted
-                buf[pl.ds(G, hg - G), pl.ds(0, 1)] = jnp.zeros(
-                    (hg - G, 1), jnp.float32
-                )
-                buf[pl.ds(0, G), pl.ds(0, N)] = row
+            h2 = ht * G2
+            tb2 = tb2_full[:h2]
+            shifted = RP2[pl.ds(0, h2 - G2), pl.ds(0, N - 1)]
+            RP2[pl.ds(G2, h2 - G2), pl.ds(1, N - 1)] = shifted
+            RP2[pl.ds(G2, h2 - G2), pl.ds(0, 1)] = jnp.zeros(
+                (h2 - G2, 1), jnp.float32
+            )
+            RP2[pl.ds(0, G), pl.ds(0, N)] = pm_new
+            RP2[pl.ds(G, G), pl.ds(0, N)] = pm2_new
 
-            r_pm = RPM[pl.ds(0, hg), pl.ds(0, N)]
-            r_pm2 = RPM2[pl.ds(0, hg), pl.ds(0, N)]
-            m1 = tb >= 1
-            qone_blk = QONE[0, pl.ds(0, hg), :]
-            # diagonally telescoped QA (see the per-seq kernels): RPM rows
-            # G..2G-1 after this span's shift hold pm_{s-1} aged one lane
+            # diagonally telescoped QA (see the per-seq kernels): RP2's
+            # fam-0 block at age 1 after this span's shift holds pm_{s-1}
+            # aged one lane
             qa_raw = (
-                RPM[pl.ds(G, G), pl.ds(0, N)]
+                RP2[pl.ds(G2, G), pl.ds(0, N)]
                 + MBU1 * QASC[pl.ds(0, G), pl.ds(0, N)]
             )
             QASC[pl.ds(0, G), pl.ds(1, N)] = qa_raw
-            terms_a = jnp.where(m1, r_pm2 * qone_blk, 0.0)
-            terms_bc = jnp.where(m1, r_pm * qone_blk, 0.0)
-            mb_ctx = acc_mb * (
-                _tree8(terms_a) + _tree8(terms_bc) + qa_raw
+            terms2 = jnp.where(
+                tb2 >= 1,
+                RP2[pl.ds(0, h2), pl.ds(0, N)] * QONE[0, pl.ds(0, h2), :],
+                0.0,
             )
+            red2 = _tree_to(terms2, G2)   # [pm-family(G); pm2-family(G)]
+            mb_ctx = acc_mb * (red2[G:] + red2[:G] + qa_raw)
 
             bppo_new = base + two + mb_ctx
             bppo_new = jnp.where(pos & span_ok, bppo_new, 0.0)
@@ -923,7 +1038,8 @@ def _turner_prob8_run_body(seqs, ns, tt, ln_sigma, N, interpret):
     pmats = PP.turner_prob_mats(seqs, ns, tt, ln_sigma, N)
     LENBp, LENIp = PP._turner_len_prob(tt, ln_sigma)
     KBb, K2b, KIb = PP._turner_banded_kernels(LENBp, LENIp)
-    KB8, K28, KI8 = _kbig(KBb), _kbig(K2b), _kbig(KIb)
+    KI8 = _kbig(KIb)
+    WCOLS8 = _wcols8(KBb, K2b)
     scal, n_max = _group_scal(ns, B)
 
     u = jnp.exp(-ln_sigma)
@@ -947,20 +1063,19 @@ def _turner_prob8_run_body(seqs, ns, tt, ln_sigma, N, interpret):
             _SMEM_SPEC,
             _nn(7 * G, N),
             *(_nn(NG, N) for _ in range(18)),
-            *(_nn(32 * G, 32 * G) for _ in range(3)),
+            _nn(32 * G, 32 * G),
+            _nn(4 * 32 * G, 8),
         ],
         out_specs=(_nn(NG, N), _nn(NG, N), _nn(NG, N)),
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((WB, N + LPAD), jnp.float32),        # CAW
-            pltpu.VMEM((WB, N + LPAD), jnp.float32),        # GW1
-            pltpu.VMEM((WB, N + LPAD), jnp.float32),        # GW2
-            pltpu.VMEM((WB, N + LPAD), jnp.float32),        # GW3
-            pltpu.VMEM((NG, N + 8), jnp.float32),           # FQ
-            pltpu.VMEM((NG, N + 8), jnp.float32),           # FQM
-            pltpu.VMEM((NG + G, N), jnp.float32),           # extrS
+            pltpu.VMEM((WBT, N + LPAD), jnp.float32),       # CAW
+            pltpu.VMEM((WBT, N + LPAD), jnp.float32),       # GW1
+            pltpu.VMEM((WBT, N + LPAD), jnp.float32),       # GW2
+            pltpu.VMEM((WBT, N + LPAD), jnp.float32),       # GW3
+            pltpu.VMEM((2 * NG, N + 8), jnp.float32),       # FQ2 (rm|rmmb)
+            pltpu.VMEM((2 * NG + 2 * G, N), jnp.float32),   # EO (ext|one)
             pltpu.VMEM((2 * G, N + 8), jnp.float32),        # mbS
-            pltpu.VMEM((NG + G, N), jnp.float32),           # oneS
             pltpu.VMEM((G, N + 8), jnp.float32),            # S1SC
         ],
         interpret=interpret,
@@ -970,7 +1085,7 @@ def _turner_prob8_run_body(seqs, ns, tt, ln_sigma, N, interpret):
     )(
         scal, vec_i,
         *(mi[k] for k in _TI_NAMES),
-        KB8, K28, KI8,
+        KI8, WCOLS8,
     )
 
     close, ext, one = dilv(close8), dilv(ext8), dilv(one8)
@@ -987,7 +1102,7 @@ def _turner_prob8_run_body(seqs, ns, tt, ln_sigma, N, interpret):
     mo8 = {k: ilv(v) for k, v in mo.items()}
     vec_o = _bcast_rows(N, logmbu, leni32, leni23)
     ONEP8 = ilv(ONEP)
-    QONE8 = ilv(QONE)
+    QONE8 = dup2(ilv(QONE))
     EXTR8 = ilv(extR[:, None, :])
 
     kernel_o = functools.partial(
@@ -1001,20 +1116,20 @@ def _turner_prob8_run_body(seqs, ns, tt, ln_sigma, N, interpret):
             _nn(3 * G, N),
             *(_nn(NG, N) for _ in range(18)),
             _nn(NG, 2 * N),                    # ONEP
-            _nn(NG, N),                        # QONE
+            _nn(2 * NG, N),                    # QONE (fam-duplicated)
             _nn(G, 2 * N),                     # EXTR
-            *(_nn(32 * G, 32 * G) for _ in range(3)),
+            _nn(32 * G, 32 * G),
+            _nn(4 * 32 * G, 8),
         ],
         out_specs=_nn(NG, N),
         out_shape=jax.ShapeDtypeStruct((K, NG, N), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((WB, N + LPAD), jnp.float32),        # OG
-            pltpu.VMEM((WB, N + LPAD), jnp.float32),        # GW1
-            pltpu.VMEM((WB, N + LPAD), jnp.float32),        # GW2
-            pltpu.VMEM((WB, N + LPAD), jnp.float32),        # GW3
+            pltpu.VMEM((WBT, N + LPAD), jnp.float32),       # OG
+            pltpu.VMEM((WBT, N + LPAD), jnp.float32),       # GW1
+            pltpu.VMEM((WBT, N + LPAD), jnp.float32),       # GW2
+            pltpu.VMEM((WBT, N + LPAD), jnp.float32),       # GW3
             pltpu.VMEM((NG, N), jnp.float32),               # XS
-            pltpu.VMEM((NG, N), jnp.float32),               # RPM
-            pltpu.VMEM((NG, N), jnp.float32),               # RPM2
+            pltpu.VMEM((2 * NG, N), jnp.float32),           # RP2 (pm|pm2)
             pltpu.VMEM((NG, 2 * N), jnp.float32),           # SONEF
             pltpu.VMEM((G, 2 * N), jnp.float32),            # REXT
             pltpu.VMEM((G, N), jnp.float32),                # P2SC
@@ -1028,7 +1143,7 @@ def _turner_prob8_run_body(seqs, ns, tt, ln_sigma, N, interpret):
         scal, vec_o,
         *(mo8[k] for k in _TO_NAMES),
         ONEP8, QONE8, EXTR8,
-        KB8, K28, KI8,
+        KI8, WCOLS8,
     )
     return dilv(bppo8), glob
 
