@@ -148,16 +148,16 @@ def _init_swapped(buf, src, R, N):
     buf[pl.ds(0, R), pl.ds(N, N)] = src[0, pl.ds(0, R), pl.ds(0, N)]
 
 
-def _rotate_right(buf, rows):
-    """Rotate a (rows, 2N) scratch one lane right (wrap) via two static
-    shifted copies.  ``pltpu.roll`` costs ~1us fixed per call on v5e (even
-    static single-lane amounts), so per-span rolls are replaced by one init
-    roll into scratch + this rotate."""
+def _rotate_right(buf, rows, row_off=0):
+    """Rotate rows [row_off, row_off+rows) of a (R, 2N) scratch one lane
+    right (wrap) via two static shifted copies.  ``pltpu.roll`` costs ~1us
+    fixed per call on v5e (even static single-lane amounts), so per-span
+    rolls are replaced by one init roll into scratch + this rotate."""
     C = buf.shape[1]
-    wrap = buf[pl.ds(0, rows), pl.ds(C - 1, 1)]
-    body = buf[pl.ds(0, rows), pl.ds(0, C - 1)]
-    buf[pl.ds(0, rows), pl.ds(1, C - 1)] = body
-    buf[pl.ds(0, rows), pl.ds(0, 1)] = wrap
+    wrap = buf[pl.ds(row_off, rows), pl.ds(C - 1, 1)]
+    body = buf[pl.ds(row_off, rows), pl.ds(0, C - 1)]
+    buf[pl.ds(row_off, rows), pl.ds(1, C - 1)] = body
+    buf[pl.ds(row_off, rows), pl.ds(0, 1)] = wrap
 
 
 # ---------------------------------------------------------------------------

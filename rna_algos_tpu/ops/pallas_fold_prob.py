@@ -172,6 +172,26 @@ def _banded_window_kernel(LENp, specials=((0, 0), (0, 1), (1, 0), (1, 1))):
 # bulges read CAW alone; TM1/TM2 interiors read CAW merged with the
 # matching inner-terminal-mismatch window; the two TM3 cells (2,3)/(3,2)
 # and the 7 small-loop specials are added explicitly.
+def _turner_wcols(KBb, K2b):
+    """(B, 32, 32) -> (B, 32, 8) weight columns for the decomposed Turner
+    windows: lanes [kb_col (a=0, by r), kb_diag (r=a+1, by a),
+    k2_col (a=1, by r), k2_diag (r=a+2, by a), 0, 0, 0, 0].  See
+    pallas_fold_prob8._wcols8 for the stacked variant and the inside
+    kernels for the arms' evaluation."""
+    kb_col = KBb[:, 0, :]
+    kb_diag = jnp.pad(
+        jnp.diagonal(KBb, offset=1, axis1=1, axis2=2), ((0, 0), (0, 1))
+    )
+    k2_col = K2b[:, 1, :]
+    k2_diag = jnp.pad(
+        jnp.diagonal(K2b, offset=2, axis1=1, axis2=2), ((0, 0), (0, 2))
+    )
+    z = jnp.zeros_like(kb_col)
+    return jnp.stack(
+        [kb_col, kb_diag, k2_col, k2_diag, z, z, z, z], axis=2
+    )
+
+
 def _turner_banded_kernels(LENBp, LENIp):
     KB = _banded_kernel(
         LENBp,
@@ -659,6 +679,20 @@ def _inside_call_prob(pmats, LENp, scal, B, N, interpret):
 # rotate only ever touches rows already delivered.
 # ---------------------------------------------------------------------------
 
+# Per-op row-piece cap for the tall history-buffer operations.  Measured
+# on v5e (scripts/longseq_probe.py, N=1024): the per-byte cost of the
+# per-span shifts/reduces degrades ~6x once a single op spans >> 256 rows
+# (160 -> 33 ms/seq when the ladder is capped at 256, floor 26 ms at 64),
+# so ops over taller regions are issued as static sequences of <= 256-row
+# pieces — same arithmetic, restored fast regime.
+_PIECE = 256
+
+
+def _row_pieces(ht, P=_PIECE):
+    """Static [(start, rows)] cover of [0, ht) in <= P-row pieces."""
+    return [(s, min(P, ht - s)) for s in range(0, ht, P)]
+
+
 def _live_marks_chunked(N, R):
     """Chunk-aligned live-height ladder: 32, 64, .., R, 2R, .., N."""
     hs, h = [], 32
@@ -742,22 +776,32 @@ def _contra_inside_prob_kernel_chunked(
         epow = epow_prev * eu1
 
         def tail(ht):
-            tb = t_idx[:ht]
+            # piece-split tall ops (see _row_pieces): shifts run top piece
+            # first so a piece's source rows are read before being
+            # overwritten by the piece below it
             for buf, row in ((FQ, rm_new), (FQM, rmmb_new)):
-                shifted = buf[pl.ds(0, ht - 1), pl.ds(1, N + 7)]
-                buf[pl.ds(1, ht - 1), pl.ds(0, N + 7)] = shifted
+                for (s, rows) in reversed(_row_pieces(ht - 1)):
+                    shifted = buf[pl.ds(s, rows), pl.ds(1, N + 7)]
+                    buf[pl.ds(s + 1, rows), pl.ds(0, N + 7)] = shifted
                 buf[pl.ds(0, 1), pl.ds(0, N)] = row
 
-            qblk = FQ[pl.ds(0, ht), pl.ds(0, N)]
-            eblk = extrS[pl.ds(0, ht), :]
-            terms = jnp.where(tb <= d - 1, qblk * eblk, 0.0)
-            ext_new = epow + jnp.sum(terms, axis=0, keepdims=True)
+            ext_sum = jnp.zeros((1, N), jnp.float32)
+            s2 = jnp.zeros((1, N), jnp.float32)
+            for (s, rows) in _row_pieces(ht):
+                tb = t_idx[s:s + rows]
+                qblk = FQ[pl.ds(s, rows), pl.ds(0, N)]
+                eblk = extrS[pl.ds(s, rows), :]
+                terms = jnp.where(tb <= d - 1, qblk * eblk, 0.0)
+                ext_sum = ext_sum + jnp.sum(terms, axis=0, keepdims=True)
+                qmblk = FQM[pl.ds(s, rows), pl.ds(0, N)]
+                x = jnp.where((tb >= 1) & (tb <= d - 1), qmblk, 0.0)
+                oblk = oneS[pl.ds(s, rows), :]
+                s2 = s2 + jnp.sum(oblk * x, axis=0, keepdims=True)
+            ext_new = epow + ext_sum
             extS[pl.ds(d, 1), :] = ext_new
             extrS[pl.ds(d + 1, 1), :] = ext_new
             ext_out[0, pl.ds(r, 1), :] = ext_new
 
-            qmblk = FQM[pl.ds(0, ht), pl.ds(0, N)]
-            x = jnp.where((tb >= 1) & (tb <= d - 1), qmblk, 0.0)
             # sum_t rmmb_{d-t} * mbu1^t telescoped: S1_d = mbu1 *
             # (rmmb_{d-1} + S1_{d-1}) under the 1-lane aging shift (FQM
             # row 1 after this span's shift IS rmmb_{d-1} at the aged
@@ -773,8 +817,6 @@ def _contra_inside_prob_kernel_chunked(
             )
             S1SC[pl.ds(0, 1), pl.ds(0, N)] = s1v
             s1 = rmmb_new + s1v
-            oblk = oneS[pl.ds(0, ht), :]
-            s2 = jnp.sum(oblk * x, axis=0, keepdims=True)
             mbS[pl.ds(1, 1), :] = mbS[pl.ds(0, 1), :]
             mbS[pl.ds(0, 1), pl.ds(0, N)] = s2
             one_new = s1 + s2
@@ -875,12 +917,13 @@ def _contra_outside_prob_kernel_chunked(
         mbc_row = _row3(MBC, r)
 
         def tail(ht):
-            tb = t_idx[:ht]
-            Xr = XS[pl.ds(0, ht), :]
-            s_one = SONEF[pl.ds(0, ht), pl.ds(0, N)]
-            pm_new = jnp.where(
-                span_ok, jnp.sum(Xr * s_one, axis=0, keepdims=True), 0.0
-            )
+            # piece-split tall ops (see _row_pieces + the probe note)
+            pm_sum = jnp.zeros((1, N), jnp.float32)
+            for (s, rows) in _row_pieces(ht):
+                Xr = XS[pl.ds(s, rows), :]
+                s_one = SONEF[pl.ds(s, rows), pl.ds(0, N)]
+                pm_sum = pm_sum + jnp.sum(Xr * s_one, axis=0, keepdims=True)
+            pm_new = jnp.where(span_ok, pm_sum, 0.0)
             # sum_t g_{s-1-t} * mbu1^t telescoped (see the inside S1SC
             # note): pm2_s = XS[0] + mbu1 * pm2_{s-1}, flush-safe
             pm2_raw = (
@@ -890,27 +933,36 @@ def _contra_outside_prob_kernel_chunked(
             P2SC[pl.ds(0, 1), pl.ds(0, N)] = pm2_raw
             pm2_new = jnp.where(span_ok, pm2_raw, 0.0)
             for buf, row in ((RPM, pm_new), (RPM2, pm2_new)):
-                shifted = buf[pl.ds(0, ht - 1), pl.ds(0, N - 1)]
-                buf[pl.ds(1, ht - 1), pl.ds(1, N - 1)] = shifted
-                buf[pl.ds(1, ht - 1), pl.ds(0, 1)] = jnp.zeros((ht - 1, 1))
+                for (s, rows) in reversed(_row_pieces(ht - 1)):
+                    shifted = buf[pl.ds(s, rows), pl.ds(0, N - 1)]
+                    buf[pl.ds(s + 1, rows), pl.ds(1, N - 1)] = shifted
+                    buf[pl.ds(s + 1, rows), pl.ds(0, 1)] = jnp.zeros(
+                        (rows, 1)
+                    )
                 buf[pl.ds(0, 1), pl.ds(0, N)] = row
 
-            r_pm = RPM[pl.ds(0, ht), pl.ds(0, N)]
-            r_pm2 = RPM2[pl.ds(0, ht), pl.ds(0, N)]
-            qone_blk = QONE[0, pl.ds(0, ht), pl.ds(0, N)]
-            m1 = tb >= 1
             qa_raw = (
                 RPM[pl.ds(1, 1), pl.ds(0, N)]
                 + mbu1 * QASC[pl.ds(0, 1), pl.ds(0, N)]
             )
             QASC[pl.ds(0, 1), pl.ds(1, N)] = qa_raw
-            terms_a = jnp.where(m1, r_pm2 * qone_blk, 0.0)
-            terms_bc = jnp.where(m1, r_pm * qone_blk, 0.0)
-            mb_ctx = acc_mb * (
-                jnp.sum(terms_a, axis=0, keepdims=True)
-                + jnp.sum(terms_bc, axis=0, keepdims=True)
-                + qa_raw
-            )
+            ab_sum = jnp.zeros((1, N), jnp.float32)
+            for (s, rows) in _row_pieces(ht):
+                m1 = t_idx[s:s + rows] >= 1
+                r_pm = RPM[pl.ds(s, rows), pl.ds(0, N)]
+                r_pm2 = RPM2[pl.ds(s, rows), pl.ds(0, N)]
+                qone_blk = QONE[0, pl.ds(s, rows), pl.ds(0, N)]
+                ab_sum = ab_sum + (
+                    jnp.sum(
+                        jnp.where(m1, r_pm2 * qone_blk, 0.0),
+                        axis=0, keepdims=True,
+                    )
+                    + jnp.sum(
+                        jnp.where(m1, r_pm * qone_blk, 0.0),
+                        axis=0, keepdims=True,
+                    )
+                )
+            mb_ctx = acc_mb * (ab_sum + qa_raw)
 
             bppo_new = base + two + mb_ctx
             bppo_new = jnp.where(pos & span_ok, bppo_new, 0.0)
@@ -919,10 +971,12 @@ def _contra_outside_prob_kernel_chunked(
             g2 = bppo_new * jsn_row * inv_close
             _shift_insert(OG, g2, lane_off=32)
             g_row = bppo_new * mbc_row * inv_close
-            shifted = XS[pl.ds(0, ht - 1), :]
-            XS[pl.ds(1, ht - 1), :] = shifted
+            for (s, rows) in reversed(_row_pieces(ht - 1)):
+                shifted = XS[pl.ds(s, rows), :]
+                XS[pl.ds(s + 1, rows), :] = shifted
             XS[pl.ds(0, 1), :] = g_row
-            _rotate_right(SONEF, ht)
+            for (s, rows) in _row_pieces(ht):
+                _rotate_right(SONEF, rows, row_off=s)
             _rotate_right(REXT, 1)
 
         prev = 0
@@ -1143,6 +1197,26 @@ def _prob_run_body(
     return bppo, glob
 
 
+def _estimate_ls0(run_small, B, ns_small, base):
+    """Per-sequence ln_sigma seed from a cheap truncated-prefix pass.
+
+    At N > 256 the representable scaled-Z band is only ~87/n wide in
+    ln_sigma, so a global seed forces the retry loop to bisect-walk — and
+    EVERY retry re-runs the full inside+outside for the whole batch
+    (measured at N=1024: 164 ms/seq with retries vs 27.9 fixed —
+    scripts/longseq_probe.py round 3).  One resident-kernel pass over the
+    first 256 nt measures each sequence's per-base log-Z (the quantity the
+    seed must match; it drifts only mildly with length), putting the full
+    run inside the guard band with 0-1 retries."""
+    ls0 = jnp.full((B,), base, jnp.float32)
+    _bppo, glob = run_small(ls0)
+    ok = jnp.isfinite(glob) & (glob > 0.0)
+    z = ls0 + jnp.log(jnp.where(ok, glob, 1.0)) / jnp.maximum(
+        ns_small.astype(jnp.float32), 1.0
+    )
+    return jnp.where(ok, z, ls0)
+
+
 def _retrying(run, B, ls0=None, ns=None):
     """Device-side rescale-retry loop around a (ln_sigma,) -> (bppo, Z) run.
 
@@ -1219,7 +1293,24 @@ def mccaskill_contra_pallas_prob(
             seqs, ns, ct, ls, N, allows_short_hairpins, interpret
         )
 
-    return _retrying(run, seqs.shape[0], ns=ns)
+    B = seqs.shape[0]
+    ls0 = None
+    if N > 512:
+        # Seed from a 512-nt-prefix chunked pass: per-base log-Z measured
+        # with the f64 oracle drifts only ~0.013 from n=512 to n=1000
+        # (inside the +-55/n guard band), while a 256 prefix drifts ~0.14
+        # (long-range pairs engage between 256 and 512) — so 512 is the
+        # shortest prefix that seeds the n > 512 tier retry-free.
+        ns_small = jnp.minimum(ns, 512)
+
+        def run_small(ls):
+            return _prob_run_body(
+                seqs[:, :512], ns_small, ct, ls, 512,
+                allows_short_hairpins, interpret,
+            )
+
+        ls0 = _estimate_ls0(run_small, B, ns_small, LN_SIGMA0)
+    return _retrying(run, B, ls0=ls0, ns=ns)
 
 
 # ---------------------------------------------------------------------------
@@ -1275,7 +1366,7 @@ def _turner_inside_prob_kernel(
     H, MBC, ACC, CANON,
     STKT, B01, B10, I11T, I12T, I21T, I22T,
     TMo1, TMo2, TMo3, AUGT, TMi1N, TMi2N, TMi3N,
-    LENB, LENI, KB, K2, KI,
+    LENB, LENI, KI, WCOL,
     close_out, ext_out, one_out,
     CAW, GW1, GW2, GW3, FQ, FQM, extS, extrS, mbS, oneS, closeF, S1SC,
     *, N,
@@ -1304,13 +1395,27 @@ def _turner_inside_prob_kernel(
         # windows (blk and w_tmi were read at identical [row, lane]
         # offsets, so the products fold into the inserted rows), the 2
         # TM3 cells and the 7 small-loop specials added explicitly.
-        two = _skew_extract_sum(_band_mm(KB, CAW), N, 1)
+        # KB (bulge) and K2 (2x3-edge) are 1-D families: column +
+        # diagonal arms on the VPU (see prob8._turner_inside8_kernel);
+        # only the 2-D generic interior keeps its matmul
+        two = jnp.sum(
+            CAW[pl.ds(0, 32), :] * WCOL[0, :, pl.ds(0, 1)],
+            axis=0, keepdims=True,
+        )[:, 1:1 + N]
+        two = two + _skew_extract_sum(
+            CAW[pl.ds(1, 32), :] * WCOL[0, :, pl.ds(1, 1)], N, 1
+        )
         two = two + _row3(TMo1, d) * _skew_extract_sum(
             _band_mm(KI, GW1), N, 1
         )
-        two = two + _row3(TMo2, d) * _skew_extract_sum(
-            _band_mm(K2, GW2), N, 1
+        k2s = jnp.sum(
+            GW2[pl.ds(0, 32), :] * WCOL[0, :, pl.ds(2, 1)],
+            axis=0, keepdims=True,
+        )[:, 2:2 + N]
+        k2s = k2s + _skew_extract_sum(
+            GW2[pl.ds(2, 32), :] * WCOL[0, :, pl.ds(3, 1)], N, 1
         )
+        two = two + _row3(TMo2, d) * k2s
         two = two + _row3(TMo3, d) * (
             LENI[0, pl.ds(3, 1), pl.ds(2, 1)]
             * GW3[pl.ds(6, 1), pl.ds(3, N)]
@@ -1405,7 +1510,7 @@ def _turner_outside_prob_kernel(
     TMo1N, TMo2N, TMo3N, AUGT, TMi1R, TMi2R, TMi3R,
     ONEP, QONE,
     EXTL, EXTR,
-    LENB, LENI, KB, K2, KI,
+    LENB, LENI, KI, WCOL,
     bppo_out,
     OG, GW1, GW2, GW3, XS, RPM, RPM2, bppoF, SONEF, REXT, P2SC, QASC,
     *, N, min_span,
@@ -1443,15 +1548,26 @@ def _turner_outside_prob_kernel(
 
         # 2-loop context window: same 3 banded matmuls as the inside
         # kernel; lane shifts DESCEND with a (outer pair left of i)
-        two = _skew_extract_sum(
-            _band_mm(KB, OG), N, 31, descending=True
+        two = jnp.sum(
+            OG[pl.ds(0, 32), :] * WCOL[0, :, pl.ds(0, 1)],
+            axis=0, keepdims=True,
+        )[:, 31:31 + N]
+        two = two + _skew_extract_sum(
+            OG[pl.ds(1, 32), :] * WCOL[0, :, pl.ds(1, 1)], N, 31,
+            descending=True,
         )
         two = two + _row3(TMi1R, d) * _skew_extract_sum(
             _band_mm(KI, GW1), N, 31, descending=True
         )
-        two = two + _row3(TMi2R, d) * _skew_extract_sum(
-            _band_mm(K2, GW2), N, 31, descending=True
+        k2s = jnp.sum(
+            GW2[pl.ds(0, 32), :] * WCOL[0, :, pl.ds(2, 1)],
+            axis=0, keepdims=True,
+        )[:, 30:30 + N]
+        k2s = k2s + _skew_extract_sum(
+            GW2[pl.ds(2, 32), :] * WCOL[0, :, pl.ds(3, 1)], N, 31,
+            descending=True,
         )
+        two = two + _row3(TMi2R, d) * k2s
         two = two + _row3(TMi3R, d) * (
             LENI[0, pl.ds(3, 1), pl.ds(2, 1)]
             * GW3[pl.ds(6, 1), pl.ds(29, N)]
@@ -1571,6 +1687,7 @@ def _turner_prob_run_body(seqs, ns, tt, ln_sigma, N, interpret):
     pmats = turner_prob_mats(seqs, ns, tt, ln_sigma, N)
     LENBp, LENIp = _turner_len_prob(tt, ln_sigma)
     KB, K2, KI = _turner_banded_kernels(LENBp, LENIp)
+    WCOLt = _turner_wcols(KB, K2)
     scal = _turner_scal_rows(tt, ln_sigma, ns)
     out_shape = tuple(
         jax.ShapeDtypeStruct((B, N, N), jnp.float32) for _ in range(3)
@@ -1583,7 +1700,7 @@ def _turner_prob_run_body(seqs, ns, tt, ln_sigma, N, interpret):
             _SMEM_SPEC,
             *(_nn(N, N) for _ in range(18)),
             _nn(W2, W), _nn(W2, W),
-            _nn(32, 32), _nn(32, 32), _nn(32, 32),
+            _nn(32, 32), _nn(32, 8),
         ],
         out_specs=(_nn(N, N), _nn(N, N), _nn(N, N)),
         out_shape=out_shape,
@@ -1609,7 +1726,7 @@ def _turner_prob_run_body(seqs, ns, tt, ln_sigma, N, interpret):
         pmats["I12T"], pmats["I21T"], pmats["I22T"],
         pmats["TMo1"], pmats["TMo2"], pmats["TMo3"], pmats["AUGT"],
         pmats["TMi1"], pmats["TMi2"], pmats["TMi3"],
-        LENBp, LENIp, KB, K2, KI,
+        LENBp, LENIp, KI, WCOLt,
     )
     ONEP, QONE, extL, extR, glob = PF.contra_outside_aux(
         ns, ext, one, N, neg=0.0, one_val=1.0
@@ -1629,7 +1746,7 @@ def _turner_prob_run_body(seqs, ns, tt, ln_sigma, N, interpret):
             _nn(1, N),                        # EXTL
             _nn(1, 2 * N),                    # EXTR
             _nn(W2, W), _nn(W2, W),           # LENB LENI
-            _nn(32, 32), _nn(32, 32), _nn(32, 32),   # KB K2 KI
+            _nn(32, 32), _nn(32, 8),          # KI, weight columns
         ],
         out_specs=_nn(N, N),
         out_shape=jax.ShapeDtypeStruct((B, N, N), jnp.float32),
@@ -1657,7 +1774,7 @@ def _turner_prob_run_body(seqs, ns, tt, ln_sigma, N, interpret):
         pmats["TMi1"], pmats["TMi2"], pmats["TMi3"],
         ONEP, QONE,
         extL[:, None, :], extR[:, None, :],
-        LENBp, LENIp, KB, K2, KI,
+        LENBp, LENIp, KI, WCOLt,
     )
     return bppo, glob
 
@@ -1674,7 +1791,7 @@ def _turner_inside_prob_kernel_chunked(
     H, MBC, ACC, CANON,
     STKT, B01, B10, I11T, I12T, I21T, I22T,
     TMo1, TMo2, TMo3, AUGT, TMi1N, TMi2N, TMi3N,
-    LENB, LENI, KB, K2, KI,
+    LENB, LENI, KI, WCOL,
     close_out, ext_out, one_out,
     CAW, GW1, GW2, GW3, FQ, FQM, extS, extrS, mbS, oneS, S1SC, CARRY,
     *, N, R,
@@ -1709,13 +1826,27 @@ def _turner_inside_prob_kernel_chunked(
         r = d - base
 
         aug_row = _row3(AUGT, r)
-        two = _skew_extract_sum(_band_mm(KB, CAW), N, 1)
+        # KB (bulge) and K2 (2x3-edge) are 1-D families: column +
+        # diagonal arms on the VPU (see prob8._turner_inside8_kernel);
+        # only the 2-D generic interior keeps its matmul
+        two = jnp.sum(
+            CAW[pl.ds(0, 32), :] * WCOL[0, :, pl.ds(0, 1)],
+            axis=0, keepdims=True,
+        )[:, 1:1 + N]
+        two = two + _skew_extract_sum(
+            CAW[pl.ds(1, 32), :] * WCOL[0, :, pl.ds(1, 1)], N, 1
+        )
         two = two + _row3(TMo1, r) * _skew_extract_sum(
             _band_mm(KI, GW1), N, 1
         )
-        two = two + _row3(TMo2, r) * _skew_extract_sum(
-            _band_mm(K2, GW2), N, 1
+        k2s = jnp.sum(
+            GW2[pl.ds(0, 32), :] * WCOL[0, :, pl.ds(2, 1)],
+            axis=0, keepdims=True,
+        )[:, 2:2 + N]
+        k2s = k2s + _skew_extract_sum(
+            GW2[pl.ds(2, 32), :] * WCOL[0, :, pl.ds(3, 1)], N, 1
         )
+        two = two + _row3(TMo2, r) * k2s
         two = two + _row3(TMo3, r) * (
             LENI[0, pl.ds(3, 1), pl.ds(2, 1)]
             * GW3[pl.ds(6, 1), pl.ds(3, N)]
@@ -1744,22 +1875,30 @@ def _turner_inside_prob_kernel_chunked(
         epow = epow_prev * eu1
 
         def tail(ht):
-            tb = t_idx[:ht]
+            # piece-split tall ops (see _row_pieces + the probe note)
             for buf, row in ((FQ, rm_new), (FQM, rmmb_new)):
-                shifted = buf[pl.ds(0, ht - 1), pl.ds(1, N + 7)]
-                buf[pl.ds(1, ht - 1), pl.ds(0, N + 7)] = shifted
+                for (s, rows) in reversed(_row_pieces(ht - 1)):
+                    shifted = buf[pl.ds(s, rows), pl.ds(1, N + 7)]
+                    buf[pl.ds(s + 1, rows), pl.ds(0, N + 7)] = shifted
                 buf[pl.ds(0, 1), pl.ds(0, N)] = row
 
-            qblk = FQ[pl.ds(0, ht), pl.ds(0, N)]
-            eblk = extrS[pl.ds(0, ht), :]
-            terms = jnp.where(tb <= d - 1, qblk * eblk, 0.0)
-            ext_new = epow + jnp.sum(terms, axis=0, keepdims=True)
+            ext_sum = jnp.zeros((1, N), jnp.float32)
+            s2 = jnp.zeros((1, N), jnp.float32)
+            for (s, rows) in _row_pieces(ht):
+                tb = t_idx[s:s + rows]
+                qblk = FQ[pl.ds(s, rows), pl.ds(0, N)]
+                eblk = extrS[pl.ds(s, rows), :]
+                terms = jnp.where(tb <= d - 1, qblk * eblk, 0.0)
+                ext_sum = ext_sum + jnp.sum(terms, axis=0, keepdims=True)
+                qmblk = FQM[pl.ds(s, rows), pl.ds(0, N)]
+                x = jnp.where((tb >= 1) & (tb <= d - 1), qmblk, 0.0)
+                oblk = oneS[pl.ds(s, rows), :]
+                s2 = s2 + jnp.sum(oblk * x, axis=0, keepdims=True)
+            ext_new = epow + ext_sum
             extS[pl.ds(d, 1), :] = ext_new
             extrS[pl.ds(d + 1, 1), :] = ext_new
             ext_out[0, pl.ds(r, 1), :] = ext_new
 
-            qmblk = FQM[pl.ds(0, ht), pl.ds(0, N)]
-            x = jnp.where((tb >= 1) & (tb <= d - 1), qmblk, 0.0)
             # sum_t rmmb_{d-t} * mbu1^t telescoped: S1_d = mbu1 *
             # (rmmb_{d-1} + S1_{d-1}) under the 1-lane aging shift (FQM
             # row 1 after this span's shift IS rmmb_{d-1} at the aged
@@ -1775,8 +1914,6 @@ def _turner_inside_prob_kernel_chunked(
             )
             S1SC[pl.ds(0, 1), pl.ds(0, N)] = s1v
             s1 = rmmb_new + s1v
-            oblk = oneS[pl.ds(0, ht), :]
-            s2 = jnp.sum(oblk * x, axis=0, keepdims=True)
             mbS[pl.ds(1, 1), :] = mbS[pl.ds(0, 1), :]
             mbS[pl.ds(0, 1), pl.ds(0, N)] = s2
             one_new = s1 + s2
@@ -1811,7 +1948,7 @@ def _turner_outside_prob_kernel_chunked(
     TMo1N, TMo2N, TMo3N, AUGT, TMi1R, TMi2R, TMi3R,
     ONEP, QONE,
     EXTL, EXTR,
-    LENB, LENI, KB, K2, KI,
+    LENB, LENI, KI, WCOL,
     bppo_out,
     OG, GW1, GW2, GW3, XS, RPM, RPM2, SONEF, REXT, P2SC, QASC,
     *, N, R, min_span,
@@ -1852,15 +1989,26 @@ def _turner_outside_prob_kernel_chunked(
         base = lt * acc_row * rt * inv_glob
         augt_row = _row3(AUGT, r)
 
-        two = _skew_extract_sum(
-            _band_mm(KB, OG), N, 31, descending=True
+        two = jnp.sum(
+            OG[pl.ds(0, 32), :] * WCOL[0, :, pl.ds(0, 1)],
+            axis=0, keepdims=True,
+        )[:, 31:31 + N]
+        two = two + _skew_extract_sum(
+            OG[pl.ds(1, 32), :] * WCOL[0, :, pl.ds(1, 1)], N, 31,
+            descending=True,
         )
         two = two + _row3(TMi1R, r) * _skew_extract_sum(
             _band_mm(KI, GW1), N, 31, descending=True
         )
-        two = two + _row3(TMi2R, r) * _skew_extract_sum(
-            _band_mm(K2, GW2), N, 31, descending=True
+        k2s = jnp.sum(
+            GW2[pl.ds(0, 32), :] * WCOL[0, :, pl.ds(2, 1)],
+            axis=0, keepdims=True,
+        )[:, 30:30 + N]
+        k2s = k2s + _skew_extract_sum(
+            GW2[pl.ds(2, 32), :] * WCOL[0, :, pl.ds(3, 1)], N, 31,
+            descending=True,
         )
+        two = two + _row3(TMi2R, r) * k2s
         two = two + _row3(TMi3R, r) * (
             LENI[0, pl.ds(3, 1), pl.ds(2, 1)]
             * GW3[pl.ds(6, 1), pl.ds(29, N)]
@@ -1881,11 +2029,13 @@ def _turner_outside_prob_kernel_chunked(
 
         def tail(ht):
             tb = t_idx[:ht]
-            Xr = XS[pl.ds(0, ht), :]
-            s_one = SONEF[pl.ds(0, ht), pl.ds(0, N)]
-            pm_new = jnp.where(
-                span_ok, jnp.sum(Xr * s_one, axis=0, keepdims=True), 0.0
-            )
+            # piece-split tall ops (see _row_pieces + the probe note)
+            pm_sum = jnp.zeros((1, N), jnp.float32)
+            for (s, rows) in _row_pieces(ht):
+                Xr = XS[pl.ds(s, rows), :]
+                s_one = SONEF[pl.ds(s, rows), pl.ds(0, N)]
+                pm_sum = pm_sum + jnp.sum(Xr * s_one, axis=0, keepdims=True)
+            pm_new = jnp.where(span_ok, pm_sum, 0.0)
             # sum_t g_{s-1-t} * mbu1^t telescoped (see the inside S1SC
             # note): pm2_s = XS[0] + mbu1 * pm2_{s-1}, flush-safe
             pm2_raw = (
@@ -1895,27 +2045,36 @@ def _turner_outside_prob_kernel_chunked(
             P2SC[pl.ds(0, 1), pl.ds(0, N)] = pm2_raw
             pm2_new = jnp.where(span_ok, pm2_raw, 0.0)
             for buf, row in ((RPM, pm_new), (RPM2, pm2_new)):
-                shifted = buf[pl.ds(0, ht - 1), pl.ds(0, N - 1)]
-                buf[pl.ds(1, ht - 1), pl.ds(1, N - 1)] = shifted
-                buf[pl.ds(1, ht - 1), pl.ds(0, 1)] = jnp.zeros((ht - 1, 1))
+                for (s, rows) in reversed(_row_pieces(ht - 1)):
+                    shifted = buf[pl.ds(s, rows), pl.ds(0, N - 1)]
+                    buf[pl.ds(s + 1, rows), pl.ds(1, N - 1)] = shifted
+                    buf[pl.ds(s + 1, rows), pl.ds(0, 1)] = jnp.zeros(
+                        (rows, 1)
+                    )
                 buf[pl.ds(0, 1), pl.ds(0, N)] = row
 
-            r_pm = RPM[pl.ds(0, ht), pl.ds(0, N)]
-            r_pm2 = RPM2[pl.ds(0, ht), pl.ds(0, N)]
-            qone_blk = QONE[0, pl.ds(0, ht), pl.ds(0, N)]
-            m1 = tb >= 1
             qa_raw = (
                 RPM[pl.ds(1, 1), pl.ds(0, N)]
                 + mbu1 * QASC[pl.ds(0, 1), pl.ds(0, N)]
             )
             QASC[pl.ds(0, 1), pl.ds(1, N)] = qa_raw
-            terms_a = jnp.where(m1, r_pm2 * qone_blk, 0.0)
-            terms_bc = jnp.where(m1, r_pm * qone_blk, 0.0)
-            mb_ctx = acc_mb * (
-                jnp.sum(terms_a, axis=0, keepdims=True)
-                + jnp.sum(terms_bc, axis=0, keepdims=True)
-                + qa_raw
-            )
+            ab_sum = jnp.zeros((1, N), jnp.float32)
+            for (s, rows) in _row_pieces(ht):
+                m1 = t_idx[s:s + rows] >= 1
+                r_pm = RPM[pl.ds(s, rows), pl.ds(0, N)]
+                r_pm2 = RPM2[pl.ds(s, rows), pl.ds(0, N)]
+                qone_blk = QONE[0, pl.ds(s, rows), pl.ds(0, N)]
+                ab_sum = ab_sum + (
+                    jnp.sum(
+                        jnp.where(m1, r_pm2 * qone_blk, 0.0),
+                        axis=0, keepdims=True,
+                    )
+                    + jnp.sum(
+                        jnp.where(m1, r_pm * qone_blk, 0.0),
+                        axis=0, keepdims=True,
+                    )
+                )
+            mb_ctx = acc_mb * (ab_sum + qa_raw)
 
             bppo_new = base + two + mb_ctx
             bppo_new = jnp.where(pos & span_ok, bppo_new, 0.0)
@@ -1927,10 +2086,12 @@ def _turner_outside_prob_kernel_chunked(
             _shift_insert(GW2, g2 * _row3(TMo2N, r), lane_off=32)
             _shift_insert(GW3, g2 * _row3(TMo3N, r), lane_off=32)
             g_row = bppo_new * mbc_row * inv_close
-            shifted = XS[pl.ds(0, ht - 1), :]
-            XS[pl.ds(1, ht - 1), :] = shifted
+            for (s, rows) in reversed(_row_pieces(ht - 1)):
+                shifted = XS[pl.ds(s, rows), :]
+                XS[pl.ds(s + 1, rows), :] = shifted
             XS[pl.ds(0, 1), :] = g_row
-            _rotate_right(SONEF, ht)
+            for (s, rows) in _row_pieces(ht):
+                _rotate_right(SONEF, rows, row_off=s)
             _rotate_right(REXT, 1)
 
         prev = 0
@@ -1959,6 +2120,7 @@ def _turner_prob_run_body_chunked(seqs, ns, tt, ln_sigma, N, R, interpret):
     pmats = turner_prob_mats(seqs, ns, tt, ln_sigma, N)
     LENBp, LENIp = _turner_len_prob(tt, ln_sigma)
     KB, K2, KI = _turner_banded_kernels(LENBp, LENIp)
+    WCOLt = _turner_wcols(KB, K2)
     scal = _turner_scal_rows(tt, ln_sigma, ns)
     out_shape = tuple(
         jax.ShapeDtypeStruct((B, N, N), jnp.float32) for _ in range(3)
@@ -1973,8 +2135,7 @@ def _turner_prob_run_body_chunked(seqs, ns, tt, ln_sigma, N, R, interpret):
             _smem_spec2(),
             *(_chunk_spec(R, N) for _ in range(18)),
             _const_spec2(W2, W), _const_spec2(W2, W),
-            _const_spec2(32, 32), _const_spec2(32, 32),
-            _const_spec2(32, 32),
+            _const_spec2(32, 32), _const_spec2(32, 8),
         ],
         out_specs=tuple(_chunk_spec(R, N) for _ in range(3)),
         out_shape=out_shape,
@@ -2003,7 +2164,7 @@ def _turner_prob_run_body_chunked(seqs, ns, tt, ln_sigma, N, R, interpret):
         pmats["I12T"], pmats["I21T"], pmats["I22T"],
         pmats["TMo1"], pmats["TMo2"], pmats["TMo3"], pmats["AUGT"],
         pmats["TMi1"], pmats["TMi2"], pmats["TMi3"],
-        LENBp, LENIp, KB, K2, KI,
+        LENBp, LENIp, KI, WCOLt,
     )
     ONEP, QONE, extL, extR, glob = PF.contra_outside_aux(
         ns, ext, one, N, neg=0.0, one_val=1.0
@@ -2024,8 +2185,7 @@ def _turner_prob_run_body_chunked(seqs, ns, tt, ln_sigma, N, R, interpret):
             _const_spec2(1, N),                  # EXTL
             _const_spec2(1, 2 * N),              # EXTR
             _const_spec2(W2, W), _const_spec2(W2, W),
-            _const_spec2(32, 32), _const_spec2(32, 32),
-            _const_spec2(32, 32),
+            _const_spec2(32, 32), _const_spec2(32, 8),
         ],
         out_specs=_chunk_spec(R, N, desc=True, C=C),
         out_shape=jax.ShapeDtypeStruct((B, N, N), jnp.float32),
@@ -2055,7 +2215,7 @@ def _turner_prob_run_body_chunked(seqs, ns, tt, ln_sigma, N, R, interpret):
         pmats["TMi1"], pmats["TMi2"], pmats["TMi3"],
         ONEP, QONE,
         extL[:, None, :], extR[:, None, :],
-        LENBp, LENIp, KB, K2, KI,
+        LENBp, LENIp, KI, WCOLt,
     )
     return bppo, glob
 
@@ -2073,6 +2233,20 @@ def mccaskill_turner_pallas_prob(seqs, ns, tt, N, interpret=False):
             )
         return _turner_prob_run_body(seqs, ns, tt, ls, N, interpret)
 
+    B = seqs.shape[0]
+    if N > 512:
+        # 512-prefix seed; see the CONTRA entry for the drift rationale
+        ns_small = jnp.minimum(ns, 512)
+
+        def run_small(ls):
+            return _turner_prob_run_body_chunked(
+                seqs[:, :512], ns_small, tt, ls, 512, 64, interpret
+            )
+
+        ls_seed = _estimate_ls0(
+            run_small, B, ns_small, LN_SIGMA0_TURNER
+        )
+        return _retrying(run, B, ls0=ls_seed, ns=ns)
     return _retrying(
         run, seqs.shape[0],
         ls0=jnp.asarray(LN_SIGMA0_TURNER, jnp.float32), ns=ns,
