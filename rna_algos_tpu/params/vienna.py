@@ -270,6 +270,34 @@ def parse_vienna_par(text):
                 -(floats[-1] / 100.0) / RT
             )
 
+    # --- convention adjustment: unbake the AU/GU closure ----------------------
+    # ViennaRNA's energy model adds ONLY the mismatch table inside hairpin
+    # and interior loops, so the .par mismatch_hairpin / mismatch_interior*
+    # rows for AU/UA/GU/UG closing pairs carry the terminal-AU/GU closure
+    # penalty baked in.  The reference's scoring (and ours,
+    # utils.rs:188-195,316-319 analogs) adds HELIX_AUGU_END_PENALTY
+    # separately on those paths, so a raw ingest would double-count it —
+    # subtract the file's own Misc terminal-AU value (the same value the
+    # scoring re-adds) from those rows.  mismatch_multi/exterior need no
+    # adjustment (Vienna adds the penalty separately there, as we do), and
+    # int11/int21/int22 keep the baked closure (the reference reads those
+    # tables without any separate penalty, utils.rs:273-304).
+    pen = out.get("HELIX_AUGU_END_PENALTY")
+    if pen is not None:
+        wobble = ((A, U), (U, A), (G, U), (U, G))
+        for key in (
+            "TERMINAL_MISMATCH_SCORES_HAIRPIN",
+            "TERMINAL_MISMATCH_SCORES_INTERIOR",
+            "TERMINAL_MISMATCH_SCORES_1XMANY",
+            "TERMINAL_MISMATCH_SCORES_2X3",
+        ):
+            t = out.get(key)
+            if t is None:
+                continue
+            for (a, b) in wobble:
+                # real bases only; the PSEUDO_BASE pads stay neutral
+                t[a][b][:4, :4] = t[a][b][:4, :4] - np.float32(pen)
+
     # --- special hairpins -------------------------------------------------------
     specials = []
     for name in ("Triloops", "Tetraloops", "Hexaloops"):
