@@ -99,3 +99,40 @@ def test_mccaskill_batch_matches_single():
     for k in range(3):
         single, _ = M.mccaskill_bpp(seqs[k], ns[k], CT, N=N, contra=True)
         np.testing.assert_allclose(batch[k], np.asarray(single), atol=1e-6)
+
+
+def test_batch_return_memos_contract():
+    """return_memos=True yields the batched FoldScores grids on the XLA
+    path and they match the single-sequence memos (left layout [i, d])."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rna_algos_tpu.constants import PSEUDO_BASE
+    from rna_algos_tpu.models import mccaskill as M
+    from rna_algos_tpu.ops import scores as S
+    from rna_algos_tpu.params import build_fold_score_sets
+
+    rng = np.random.default_rng(9)
+    N, B = 32, 3
+    seqs = np.full((B, N), PSEUDO_BASE, dtype=np.int32)
+    ns = np.zeros(B, dtype=np.int32)
+    for k in range(B):
+        n = int(rng.integers(20, N - 1))
+        seqs[k, :n] = rng.integers(0, 4, size=n)
+        ns[k] = n
+    tbl = S.contra_table_pytree(build_fold_score_sets())
+    bpp, memos = M.mccaskill_bpp_batch(
+        jnp.asarray(seqs), jnp.asarray(ns), tbl, N=N, contra=True,
+        return_memos=True,
+    )
+    assert set(memos) == {
+        "hairpin", "multibranch_close", "accessible", "presence"
+    }
+    for k in range(B):
+        _bpp1, m1 = M.mccaskill_bpp(
+            jnp.asarray(seqs[k]), jnp.asarray(ns[k]), tbl, N=N, contra=True
+        )
+        for key in ("hairpin", "multibranch_close", "accessible"):
+            np.testing.assert_array_equal(
+                np.asarray(memos[key])[k], np.asarray(m1[key]), err_msg=key
+            )

@@ -105,3 +105,58 @@ def test_prob_dispatch_in_fast_mode():
         np.asarray(bpp), np.asarray(want), atol=5e-4
     )
     assert bool(np.asarray(presence).any())
+
+
+def test_turner_window_decomposition_reconstructs_matmul():
+    """The KB/K2 column+diagonal decomposition (round 3) must reproduce the
+    banded-matmul window sums exactly: for random window rows W,
+    extract(K @ W) == column arm + diagonal arm, for both lane directions.
+
+    Pure NumPy re-statement of the kernel arms (the kernels' slices mirror
+    this; pallas_fold_prob8._wcols8 / pallas_fold_prob._turner_wcols supply
+    the weights)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from rna_algos_tpu.ops import pallas_fold_prob as PP
+
+    rng = np.random.default_rng(3)
+    B = 4
+    LENBp = jnp.asarray(
+        rng.random((B, 31, 31), dtype=np.float32), jnp.float32
+    )
+    LENIp = jnp.asarray(
+        rng.random((B, 31, 31), dtype=np.float32), jnp.float32
+    )
+    KB, K2, KI = (np.asarray(k) for k in
+                  PP._turner_banded_kernels(LENBp, LENIp))
+    wcols = np.asarray(PP._turner_wcols(jnp.asarray(KB), jnp.asarray(K2)))
+    N, L = 64, 64 + 33
+    W = rng.random((34, L), dtype=np.float32)
+
+    def extract(OUT, base, descending):
+        # reference skew extraction: sum_a OUT[a, i + base +- a]
+        res = np.zeros(N, np.float32)
+        for a in range(32):
+            for i in range(N):
+                l = i + base - a if descending else i + base + a
+                if 0 <= l < L:
+                    res[i] += OUT[a, l]
+        return res
+
+    for g in range(B):
+        for Kmat, col_a, col_lane, diag_off, wc, wd in (
+            (KB[g], 0, 1, 1, wcols[g, :, 0], wcols[g, :, 1]),
+            (K2[g], 1, 2, 2, wcols[g, :, 2], wcols[g, :, 3]),
+        ):
+            for descending, base in ((False, 1), (True, 31)):
+                OUT = Kmat @ W[:32]
+                want = extract(OUT, base, descending)
+                # column arm: fixed a = col_a, lanes shifted by its offset
+                shift = base - col_a if descending else base + col_a
+                col = (W[:32] * wc[:, None]).sum(axis=0)[shift:shift + N]
+                # diagonal arm: rows offset by diag_off, per-a weights
+                Wd = W[diag_off:diag_off + 32] * wd[:, None]
+                diag = extract(Wd, base, descending)
+                got = col + diag
+                np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
