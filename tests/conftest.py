@@ -31,12 +31,14 @@ import pytest
 
 # The axon TPU plugin pins jax_platforms="axon,cpu", so the JAX_PLATFORMS=cpu
 # above does NOT keep computations off the (tunneled, single) TPU — and the
-# tunnel can be flaky (see docs/STATUS.md round 3).  RNA_ALGOS_TEST_CPU=1
-# actually forces the default device to a virtual CPU for every test, which
-# is this conftest's original intent; the Mosaic-path tests (test_pallas_hw,
-# the TPU-mesh and long-n tests) detect the flag and skip — run those
-# separately without the flag to exercise the real chip.
-_FORCE_CPU = os.environ.get("RNA_ALGOS_TEST_CPU") == "1"
+# tunnel can be flaky (a hung client poisons it for ~10-20 min; see
+# docs/STATUS.md round 3).  The suite therefore DEFAULTS to CPU-forced
+# (jax.default_device on a virtual CPU — this conftest's original intent;
+# ~5 min, zero tunnel traffic); the Mosaic-path tests (test_pallas_hw, the
+# TPU-mesh and long-n tests) detect the mode and skip.  Run those on the
+# real chip with RNA_ALGOS_TEST_CPU=0, one file at a time under
+# `timeout -s KILL` (see CLAUDE.md "Testing").
+_FORCE_CPU = os.environ.get("RNA_ALGOS_TEST_CPU", "1") == "1"
 if _FORCE_CPU:
     os.environ.setdefault("RNA_ALGOS_BACKEND", "xla")
 
