@@ -343,8 +343,6 @@ def _outside8_kernel(
     QASC[:] = jnp.zeros_like(QASC[:])
     MBU1 = jnp.exp(LOGMBU)
 
-    sub = jax.lax.broadcasted_iota(jnp.int32, (NG, 1), 0)
-    tb_full = sub // G
     sub2 = jax.lax.broadcasted_iota(jnp.int32, (2 * NG, 1), 0)
     tb2_full = sub2 // G2
     C2 = SONEF.shape[1]
@@ -376,7 +374,6 @@ def _outside8_kernel(
 
         def tail(ht):
             hg = ht * G
-            tb = tb_full[:hg]
             Xr = XS[pl.ds(0, hg), :]
             s_one = SONEF[pl.ds(0, hg), pl.ds(0, N)]
             pm_new = jnp.where(span_ok, _tree8(Xr * s_one), 0.0)
@@ -840,8 +837,6 @@ def _turner_outside8_kernel(
     QASC[:] = jnp.zeros_like(QASC[:])
     MBU1 = jnp.exp(LOGMBU)
 
-    sub = jax.lax.broadcasted_iota(jnp.int32, (NG, 1), 0)
-    tb_full = sub // G
     sub2 = jax.lax.broadcasted_iota(jnp.int32, (2 * NG, 1), 0)
     tb2_full = sub2 // G2
     C2 = SONEF.shape[1]
@@ -893,7 +888,6 @@ def _turner_outside8_kernel(
 
         def tail(ht):
             hg = ht * G
-            tb = tb_full[:hg]
             Xr = XS[pl.ds(0, hg), :]
             s_one = SONEF[pl.ds(0, hg), pl.ds(0, N)]
             pm_new = jnp.where(span_ok, _tree8(Xr * s_one), 0.0)
