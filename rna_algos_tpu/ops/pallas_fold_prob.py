@@ -1197,7 +1197,16 @@ def _prob_run_body(
     return bppo, glob
 
 
-def _estimate_ls0(run_small, B, ns_small, base):
+# Per-base log-Z grows slightly with sequence length (longer-range pairs
+# engage); the f64 oracle measures z(512) -> z(1000) drift of ~+0.013
+# (CONTRA) / +0.035 (Turner) on random sequences.  Centering the prefix
+# seed on the expected full-length value keeps more lanes inside the
+# +-55/n guard band on the first full run.
+LS_PREFIX_DRIFT = 0.013
+LS_PREFIX_DRIFT_TURNER = 0.035
+
+
+def _estimate_ls0(run_small, B, ns_small, base, drift=0.0):
     """Per-sequence ln_sigma seed from a cheap truncated-prefix pass.
 
     At N > 256 the representable scaled-Z band is only ~87/n wide in
@@ -1211,7 +1220,7 @@ def _estimate_ls0(run_small, B, ns_small, base):
     ls0 = jnp.full((B,), base, jnp.float32)
     _bppo, glob = run_small(ls0)
     ok = jnp.isfinite(glob) & (glob > 0.0)
-    z = ls0 + jnp.log(jnp.where(ok, glob, 1.0)) / jnp.maximum(
+    z = drift + ls0 + jnp.log(jnp.where(ok, glob, 1.0)) / jnp.maximum(
         ns_small.astype(jnp.float32), 1.0
     )
     return jnp.where(ok, z, ls0)
@@ -1309,7 +1318,9 @@ def mccaskill_contra_pallas_prob(
                 allows_short_hairpins, interpret,
             )
 
-        ls0 = _estimate_ls0(run_small, B, ns_small, LN_SIGMA0)
+        ls0 = _estimate_ls0(
+            run_small, B, ns_small, LN_SIGMA0, drift=LS_PREFIX_DRIFT
+        )
     return _retrying(run, B, ls0=ls0, ns=ns)
 
 
@@ -2244,7 +2255,8 @@ def mccaskill_turner_pallas_prob(seqs, ns, tt, N, interpret=False):
             )
 
         ls_seed = _estimate_ls0(
-            run_small, B, ns_small, LN_SIGMA0_TURNER
+            run_small, B, ns_small, LN_SIGMA0_TURNER,
+            drift=LS_PREFIX_DRIFT_TURNER,
         )
         return _retrying(run, B, ls0=ls_seed, ns=ns)
     return _retrying(
