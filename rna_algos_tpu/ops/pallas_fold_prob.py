@@ -1213,10 +1213,10 @@ def _estimate_ls0(run_small, B, ns_small, base, drift=0.0):
     ln_sigma, so a global seed forces the retry loop to bisect-walk — and
     EVERY retry re-runs the full inside+outside for the whole batch
     (measured at N=1024: 164 ms/seq with retries vs 27.9 fixed —
-    scripts/longseq_probe.py round 3).  One resident-kernel pass over the
-    first 256 nt measures each sequence's per-base log-Z (the quantity the
-    seed must match; it drifts only mildly with length), putting the full
-    run inside the guard band with 0-1 retries."""
+    scripts/longseq_probe.py round 3).  One chunked pass over the first
+    512 nt measures each sequence's per-base log-Z (the quantity the seed
+    must match; LS_PREFIX_DRIFT centers it on the full-length value),
+    putting the full run inside the guard band with 0-1 retries."""
     ls0 = jnp.full((B,), base, jnp.float32)
     _bppo, glob = run_small(ls0)
     ok = jnp.isfinite(glob) & (glob > 0.0)

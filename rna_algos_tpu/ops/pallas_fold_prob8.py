@@ -32,8 +32,9 @@ the per-sequence kernels' up to float reassociation of the tree sums.
 
 Reference recurrences: /root/reference/src/mccaskill_algo.rs:380-516
 (inside), :612-723 (outside).  Gated to buckets N <= 128: the VMEM
-working set (tables + scratches) is ~10 MB at N = 128 and would exceed
-the ~16 MB/core VMEM at 256; larger buckets keep the per-sequence path.
+working set (tables + scratches) is ~10 MB at N = 128 and would grow 4x
+at 256, past the comfortable Mosaic budget on this part; larger buckets
+keep the per-sequence path.
 """
 
 import functools

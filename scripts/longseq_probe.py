@@ -36,12 +36,6 @@ def main():
 
     if CAP:
         orig = PP._live_marks_chunked
-
-        def capped(n, r):
-            return [h for h in orig(n, r) if h <= CAP] + [CAP] * (
-                0 if any(h >= CAP for h in orig(n, r)) else 1
-            )
-
         PP._live_marks_chunked = lambda n, r: sorted(
             set(min(h, CAP) for h in orig(n, r))
         )
