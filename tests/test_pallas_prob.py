@@ -160,3 +160,25 @@ def test_turner_window_decomposition_reconstructs_matmul():
                 diag = extract(Wd, base, descending)
                 got = col + diag
                 np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
+
+
+def test_estimate_ls0_seed_math():
+    """The prefix seed recovers per-base log-Z (+drift) from a finite glob
+    and falls back to the base for zero/inf lanes."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from rna_algos_tpu.ops import pallas_fold_prob as PP
+
+    ns = jnp.asarray(np.array([100, 200, 150], np.int32))
+    glob = jnp.asarray(np.array([np.exp(5.0), 0.0, np.inf], np.float32))
+
+    def run_small(ls0):
+        return None, glob
+
+    seed = np.asarray(
+        PP._estimate_ls0(run_small, 3, ns, 0.9, drift=0.01)
+    )
+    assert seed[0] == np.float32(0.01 + 0.9 + 5.0 / 100.0)
+    assert seed[1] == np.float32(0.9)   # glob = 0: fall back
+    assert seed[2] == np.float32(0.9)   # glob = inf: fall back

@@ -82,3 +82,37 @@ def test_stacked8_dispatch_pads_ragged_batch():
     got = np.asarray(M._prob_finish(bppo[:B], ns, N=N)[0])
     want = np.asarray(want)
     assert np.abs(got - want).max() < 5e-4
+
+
+def test_dup2_and_wcols8_layouts():
+    """Host-side layout helpers for the paired-history/decomposed kernels."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from rna_algos_tpu.ops import pallas_fold_prob8 as P8
+
+    rng = np.random.default_rng(2)
+    y = jnp.asarray(rng.random((2, 3 * P8.G, 5), dtype=np.float32))
+    d = np.asarray(P8.dup2(y))
+    assert d.shape == (2, 6 * P8.G, 5)
+    yn = np.asarray(y)
+    for t in range(3):
+        for fam in range(2):
+            np.testing.assert_array_equal(
+                d[:, (t * 2 + fam) * P8.G:(t * 2 + fam + 1) * P8.G],
+                yn[:, t * P8.G:(t + 1) * P8.G],
+            )
+
+    KB = jnp.asarray(rng.random((P8.G, 32, 32), dtype=np.float32))
+    K2 = jnp.asarray(rng.random((P8.G, 32, 32), dtype=np.float32))
+    w = np.asarray(P8._wcols8(KB, K2))
+    assert w.shape == (1, 4 * 32 * P8.G, 8)
+    KBn, K2n = np.asarray(KB), np.asarray(K2)
+    for g in range(P8.G):
+        for r in range(32):
+            assert w[0, r * P8.G + g, 0] == KBn[g, 0, r]          # kb col
+            assert w[0, 2 * 32 * P8.G + r * P8.G + g, 0] == K2n[g, 1, r]
+        for a in range(31):
+            assert w[0, 32 * P8.G + a * P8.G + g, 0] == KBn[g, a, a + 1]
+        for a in range(30):
+            assert w[0, 3 * 32 * P8.G + a * P8.G + g, 0] == K2n[g, a, a + 2]
