@@ -278,9 +278,19 @@ TERMINAL_MISMATCH_SCORES_HAIRPIN = _build_mismatch_hairpin()
 # (Mathews et al. 2004, PNAS 101:7287, internal-loop model; NNDB "internal
 # loops"): first mismatches contribute 0 except A.G / G.A (-0.8 kcal/mol)
 # and U.U (-0.7); 1xN loops get NO mismatch bonus at all; 2x3 loops use the
-# same bonuses as generic interiors.  The per-AU/GU closure penalty is
-# applied separately by the scoring code (utils.rs:316-319 analog), so these
-# tables carry only the bonuses.
+# same bonuses as generic interiors.
+#
+# Closure-penalty convention (ADVICE round 3): the published internal-loop
+# model charges 0.7 kcal/mol per AU/GU *closing pair of an interior loop* —
+# the value the 1x1/1x2/2x2 tables below bake in, and the value a ViennaRNA
+# `.par` ingest nets on this path (the file rows bake 0.7; the loader unbakes
+# the file's 0.5 Misc terminal-AU; the scoring code re-adds the generic 0.5
+# HELIX_AUGU_END_PENALTY).  The scoring code's separate penalty on the
+# generic-interior path is the helix-end 0.5 (utils.rs:316-319 analog), so
+# these tables carry the 0.2 kcal/mol closure differential on the AU/UA/GU/UG
+# rows — every cell, since the reference adds the mismatch lookup
+# unconditionally per closure — making default and `.par` paths agree at a
+# net 0.7 per wobble-closed interior closure.
 # ---------------------------------------------------------------------------
 _INTERIOR_FIRST_MISMATCH_DG = {
     (A, G): -0.80,
@@ -288,12 +298,19 @@ _INTERIOR_FIRST_MISMATCH_DG = {
     (U, U): -0.70,
 }
 
+# per AU/GU closing pair: published interior closure 0.7 minus the generic
+# 0.5 helix-end penalty the scoring code adds on this path
+_INT_MISMATCH_CLOSURE_EXTRA_DG = 0.20
+_WOBBLE_END_PAIRS = ((A, U), (U, A), (G, U), (U, G))
+
 
 def _build_mismatch_interior(bonuses):
     t = _table((_B, _B, _B, _B))
     for (a, b) in CANONICAL_PAIRS:
-        for (x, y), v in bonuses.items():
-            t[a][b][x][y] = dg(v)
+        extra = _INT_MISMATCH_CLOSURE_EXTRA_DG if (a, b) in _WOBBLE_END_PAIRS else 0.0
+        for x in range(4):
+            for y in range(4):
+                t[a][b][x][y] = dg(bonuses.get((x, y), 0.0) + extra)
     return t
 
 

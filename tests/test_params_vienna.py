@@ -358,16 +358,26 @@ def test_embedded_dangle_values():
 
 def test_embedded_interior_mismatch_rule():
     """Mathews et al. 2004 (PNAS 101:7287) internal-loop model: sparse first-
-    mismatch bonuses A.G/G.A -0.8, U.U -0.7; NO bonus for 1xN loops; the
-    AU/GU closure penalty is applied separately by the scoring code."""
+    mismatch bonuses A.G/G.A -0.8, U.U -0.7; NO bonus for 1xN loops.  The
+    scoring code adds the generic 0.5 helix-end penalty on this path, so the
+    AU/UA/GU/UG rows carry the 0.2 kcal/mol closure differential that brings
+    the net to the published 0.7 interior-closure value (ADVICE round 3) —
+    matching what a ViennaRNA .par ingest nets on the same path."""
     tm = T.TERMINAL_MISMATCH_SCORES_INTERIOR
-    for (a, b) in ((C, G), (G, C), (A, U), (U, G)):
-        assert tm[a][b][A][G] == kdg(-0.80)
-        assert tm[a][b][G][A] == kdg(-0.80)
-        assert tm[a][b][U][U] == kdg(-0.70)
-        assert tm[a][b][A][A] == 0.0
-        assert tm[a][b][C][C] == 0.0
-    assert np.all(np.asarray(T.TERMINAL_MISMATCH_SCORES_1XMANY) == 0.0)
+    for (a, b), extra in (
+        ((C, G), 0.0), ((G, C), 0.0), ((A, U), 0.20), ((U, G), 0.20),
+        ((U, A), 0.20), ((G, U), 0.20),
+    ):
+        assert np.isclose(tm[a][b][A][G], kdg(-0.80 + extra), atol=1e-6)
+        assert np.isclose(tm[a][b][G][A], kdg(-0.80 + extra), atol=1e-6)
+        assert np.isclose(tm[a][b][U][U], kdg(-0.70 + extra), atol=1e-6)
+        assert np.isclose(tm[a][b][A][A], kdg(extra), atol=1e-6)
+        assert np.isclose(tm[a][b][C][C], kdg(extra), atol=1e-6)
+    tm1 = np.asarray(T.TERMINAL_MISMATCH_SCORES_1XMANY)
+    for (a, b) in ((C, G), (G, C)):
+        assert np.all(tm1[a][b] == 0.0)
+    for (a, b) in ((A, U), (U, A), (G, U), (U, G)):
+        assert np.allclose(tm1[a][b][:4, :4], kdg(0.20), atol=1e-6)
     np.testing.assert_array_equal(
         T.TERMINAL_MISMATCH_SCORES_2X3, T.TERMINAL_MISMATCH_SCORES_INTERIOR
     )
