@@ -65,19 +65,24 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ["RNA_ALGOS_NUMERICS"] = os.environ.get("BENCH_NUMERICS", "exact")
 
 def _reference_baseline_seqs_per_s():
-    """Measured CPU-reference throughput (see module docstring)."""
+    """Measured CPU-reference throughput per model (see module docstring)."""
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "native", "ref_baseline.json",
     )
     try:
         with open(path) as f:
-            return float(json.load(f)["all_cores_seqs_per_s_est"])
+            d = json.load(f)
+        contra = float(d["all_cores_seqs_per_s_est"])
+        turner = float(d.get("turner_all_cores_seqs_per_s_est", contra))
+        return contra, turner
     except (OSError, KeyError, ValueError):
-        return 800.0  # pre-measurement estimate (BASELINE.md)
+        return 800.0, 800.0  # pre-measurement estimate (BASELINE.md)
 
 
-REFERENCE_EST_SEQS_PER_S = _reference_baseline_seqs_per_s()
+REFERENCE_EST_SEQS_PER_S, REFERENCE_EST_TURNER_SEQS_PER_S = (
+    _reference_baseline_seqs_per_s()
+)
 BATCH = int(os.environ.get("BENCH_BATCH", "192"))
 REPS = int(os.environ.get("BENCH_REPS", "20"))
 TRIALS = int(os.environ.get("BENCH_TRIALS", "10"))
@@ -111,7 +116,7 @@ def hbm_bytes(lengths, N):
     return float(len(lengths)) * (4 * N + 4 * N * N + 8 * 4 * N * N)
 
 
-def measure(batch, N, mode):
+def measure(batch, N, mode, contra=True):
     """Sustained forced-sync seqs/s for one (batch, bucket, numerics) config."""
     import jax.numpy as jnp
 
@@ -127,11 +132,15 @@ def measure(batch, N, mode):
     numerics.set_mode(mode)
     arr = jnp.asarray(pad_seqs(batch, N))
     ns = jnp.asarray(np.array([len(s) for s in batch], dtype=np.int32))
-    tbl = S.contra_table_pytree(build_fold_score_sets())
+    tbl = (
+        S.contra_table_pytree(build_fold_score_sets())
+        if contra
+        else S.turner_table_pytree()
+    )
 
     # compile + warm (force(): block_until_ready does not actually wait on
     # tunneled remote devices — see utils/trace.force)
-    out = mccaskill_bpp_batch(arr, ns, tbl, N=N, contra=True)
+    out = mccaskill_bpp_batch(arr, ns, tbl, N=N, contra=contra)
     force(out)
 
     # sustained throughput: enqueue all reps (dispatch latency overlaps
@@ -142,7 +151,7 @@ def measure(batch, N, mode):
     for _ in range(TRIALS):
         t0 = time.perf_counter()
         outs = [
-            mccaskill_bpp_batch(arr, ns, tbl, N=N, contra=True)
+            mccaskill_bpp_batch(arr, ns, tbl, N=N, contra=contra)
             for _ in range(REPS)
         ]
         # single end-of-pipeline fetch: the device executes in dispatch
@@ -208,6 +217,25 @@ def main():
         flush=True,
     )
     print(json.dumps(roofline_line("trna", batch, N, headline_mode, dt)), flush=True)
+
+    # second headline: the Turner model against its own measured baseline
+    # (VERDICT round 3, item 4 — the reference benches both models,
+    # /root/reference/benches/benches.rs:28-55)
+    dt_t = measure(batch, N, headline_mode, contra=False)
+    turner_seqs_per_s = BATCH / dt_t
+    print(
+        json.dumps(
+            {
+                "metric": "mccaskill_turner_trna_batch_throughput",
+                "value": round(turner_seqs_per_s, 2),
+                "unit": "seqs/s",
+                "vs_baseline": round(
+                    turner_seqs_per_s / REFERENCE_EST_TURNER_SEQS_PER_S, 3
+                ),
+            }
+        ),
+        flush=True,
+    )
 
     if os.environ.get("BENCH_ROOFLINE") == "full":
         others = [m for m in ("exact", "parity") if m != headline_mode]

@@ -1,16 +1,19 @@
-/* Reference-faithful single-threaded CONTRA McCaskill baseline (CPU).
+/* Reference-faithful single-threaded McCaskill baseline (CPU), both models.
  *
  * Purpose: anchor bench.py's `vs_baseline` with a MEASUREMENT instead of an
- * estimate (VERDICT round 2, item 2).  The Rust reference cannot be built
- * here (no cargo), so this is a C implementation of the same recurrences the
- * reference runs (`/root/reference/src/mccaskill_algo.rs:380-516,612-723`)
- * with the same float32 piecewise-cubic log-space numerics
+ * estimate (VERDICT round 2, item 2; Turner model added round 4, VERDICT
+ * round 3 item 4 — the reference benches both models,
+ * `/root/reference/benches/benches.rs:28-55`).  The Rust reference cannot be
+ * built here (no cargo), so this is a C implementation of the same
+ * recurrences the reference runs (`/root/reference/src/mccaskill_algo.rs:
+ * 282-723`) with the same float32 piecewise-cubic log-space numerics
  * (`/root/reference/src/utils.rs:579-655`), scalar span-major loops, one
  * sequence at a time on one core — the per-task work profile of the
  * reference's thread pool (`/root/reference/src/bin/mccaskill_algo.rs:64-93`).
  * It is written against this repo's independent NumPy oracle
  * (tests/oracle/fold_oracle.py), not the Rust sources, and validated against
- * the oracle's BPPs by scripts/ref_baseline.py.
+ * the oracle's BPPs by scripts/ref_baseline.py.  The tables file's magic
+ * selects the model: "RBA1" = CONTRA, "RBT1" = Turner.
  *
  * Design choices are deliberately favorable to the reference so the measured
  * baseline is conservative (the ratio can only be understated): dense f32
@@ -183,6 +186,141 @@ static inline float twoloop_score(const Tables *t, const uint8_t *q, int ci,
   return s + t->bp[a][b];
 }
 
+/* ---- Turner 2004 scoring (mirrors tests/oracle/fold_oracle.py
+ * hairpin/twoloop/multibranch_close/accessible_score_turner; reference
+ * analogs utils.rs:162-411) ---- */
+
+#define N_SPECIAL 22
+#define SPECIAL_LMAX 8
+
+typedef struct {
+  float stack[5][5][5][5];
+  float tm_hairpin[5][5][5][5];
+  float tm_interior[5][5][5][5];
+  float tm_1xmany[5][5][5][5];
+  float tm_2x3[5][5][5][5];
+  float tm_mb[5][5][5][5];
+  float dangle5[5][5][5];
+  float dangle3[5][5][5];
+  float hairpin_init[31];
+  float bulge_init[31];
+  float interior_init[31];
+  float int_1x1[5][5][5][5][5][5];
+  float int_1x2[5][5][5][5][5][5][5];
+  float int_2x2[5][5][5][5][5][5][5][5];
+  float sp_scores[N_SPECIAL];
+  float ninio_coeff, ninio_max, augu, mb_base, coeff_branches, hp_extrap;
+  uint8_t sp_seqs[N_SPECIAL][SPECIAL_LMAX];
+  uint8_t sp_lens[N_SPECIAL];
+} TTables;
+
+static inline int is_augu(int a, int b) {
+  return (a == 0 && b == 3) || (a == 3 && b == 0) || (a == 2 && b == 3) ||
+         (a == 3 && b == 2);
+}
+
+static inline float special_hairpin(const TTables *t, const uint8_t *q, int i,
+                                    int j) {
+  int len = j - i + 1;
+  for (int s = 0; s < N_SPECIAL; s++) {
+    if (t->sp_lens[s] != len) continue;
+    int ok = 1;
+    for (int p = 0; p < len; p++)
+      if (t->sp_seqs[s][p] != q[i + p]) { ok = 0; break; }
+    if (ok) return t->sp_scores[s];
+  }
+  return NEG_INF;
+}
+
+static inline float hairpin_turner(const TTables *t, const uint8_t *q, int i,
+                                   int j) {
+  float sp = special_hairpin(t, q, i, j);
+  if (sp != NEG_INF) return sp;
+  int hlen = j - i - 1;
+  int a = q[i], b = q[j];
+  float score;
+  if (hlen == 3) { /* MIN_HAIRPIN_LEN: init only, no mismatch */
+    score = t->hairpin_init[hlen];
+  } else {
+    float init;
+    if (hlen <= 30) /* MAX_HAIRPIN_LEN_EXTRAPOLATION */
+      init = t->hairpin_init[hlen];
+    else
+      init = t->hairpin_init[30] +
+             t->hp_extrap * logf((float)hlen / 30.0f);
+    score = init + t->tm_hairpin[a][b][q[i + 1]][q[j - 1]];
+  }
+  if (is_augu(a, b)) score = score + t->augu;
+  return score;
+}
+
+#define TM4(tm, a, b, c, d) (tm)[(((a)*5 + (b)) * 5 + (c)) * 5 + (d)]
+
+static inline float twoloop_turner(const TTables *t, const uint8_t *q, int ci,
+                                   int cj, int ai, int aj) {
+  int d1 = ai - ci - 1, d2 = cj - aj - 1;
+  int ca = q[ci], cb = q[cj], aa = q[ai], ab = q[aj];
+  if (d1 == 0 && d2 == 0) return t->stack[ca][cb][aa][ab];
+  if (d1 == 0 || d2 == 0) { /* bulge */
+    int blen = d1 + d2;
+    if (blen == 1) return t->bulge_init[1] + t->stack[ca][cb][aa][ab];
+    float s = t->bulge_init[blen];
+    if (is_augu(ca, cb)) s = s + t->augu;
+    if (is_augu(aa, ab)) s = s + t->augu;
+    return s;
+  }
+  int ilen = d1 + d2;
+  if (d1 == 1 && d2 == 1)
+    return t->int_1x1[ca][cb][q[ci + 1]][q[cj - 1]][aa][ab];
+  if (d1 == 1 && d2 == 2)
+    return t->int_1x2[ca][cb][q[ci + 1]][q[cj - 1]][q[cj - 2]][aa][ab];
+  if (d1 == 2 && d2 == 1)
+    return t->int_1x2[ab][aa][q[cj - 1]][q[ci + 2]][q[ci + 1]][cb][ca];
+  if (d1 == 2 && d2 == 2)
+    return t->int_2x2[ca][cb][q[ci + 1]][q[cj - 1]][q[ci + 2]][q[cj - 2]][aa][ab];
+  /* generic interior: mismatch family chosen by the loop-length pair */
+  const float *tm;
+  if (d1 == 1 || d2 == 1)
+    tm = &t->tm_1xmany[0][0][0][0];
+  else if ((d1 == 2 && d2 == 3) || (d1 == 3 && d2 == 2))
+    tm = &t->tm_2x3[0][0][0][0];
+  else
+    tm = &t->tm_interior[0][0][0][0];
+  float mism = TM4(tm, ca, cb, q[ci + 1], q[cj - 1]) +
+               TM4(tm, ab, aa, q[aj + 1], q[ai - 1]);
+  float nin = t->ninio_coeff * (float)(d1 > d2 ? d1 - d2 : d2 - d1);
+  if (nin < t->ninio_max) nin = t->ninio_max; /* max(coeff*asym, cap) */
+  float s = t->interior_init[ilen] + nin;
+  s = s + mism;
+  if (is_augu(ca, cb)) s = s + t->augu;
+  if (is_augu(aa, ab)) s = s + t->augu;
+  return s;
+}
+
+static inline float mbc_turner(const TTables *t, const uint8_t *q, int i,
+                               int j) {
+  int a = q[i], b = q[j];
+  float s = t->mb_base + t->tm_mb[b][a][q[j - 1]][q[i + 1]];
+  if (is_augu(a, b)) s = s + t->augu;
+  return s;
+}
+
+static inline float acc_turner(const TTables *t, const uint8_t *q, int n,
+                               int i, int j) {
+  int a = q[i], b = q[j];
+  float s;
+  if (i > 0 && j < n - 1)
+    s = t->tm_mb[a][b][q[i - 1]][q[j + 1]];
+  else if (i > 0)
+    s = t->dangle5[a][b][q[i - 1]];
+  else if (j < n - 1)
+    s = t->dangle3[a][b][q[j + 1]];
+  else
+    s = 0.0f;
+  if (is_augu(a, b)) s = s + t->augu;
+  return s;
+}
+
 /* ---- per-sequence workspace (dense states, -inf = absent) ---- */
 
 typedef struct {
@@ -352,6 +490,135 @@ static void outside(const Tables *t, const uint8_t *q, int n, Work *w) {
     w->bpp[k] = w->bpp[k] == NEG_INF ? 0.0f : expf_cubic(w->bpp[k]);
 }
 
+/* Turner inside pass (mccaskill_algo.rs:282-378 semantics; mirrors
+ * tests/oracle/fold_oracle.py::inside_turner).  Differences from CONTRA:
+ * spans start at MIN_SPAN_CLOSE; hairpins have no loop-length cap
+ * (extrapolation); rightmost-basepair sums carry no per-base weights; the
+ * multibranch weighting reuses the external sums + COEFF_NUM_BRANCHES. */
+static void inside_turner(const TTables *t, const uint8_t *q, int n, Work *w) {
+  size_t nn = (size_t)n * n;
+  memset(w->ext, 0, nn * 4);
+  fill_neg_inf(w->rm_ext, nn);
+  fill_neg_inf(w->mb, nn);
+  fill_neg_inf(w->one, nn);
+  fill_neg_inf(w->close, nn);
+  fill_neg_inf(w->acc, nn);
+  for (int span = MIN_SPAN_CLOSE; span <= n; span++) {
+    for (int i = 0; i + span <= n; i++) {
+      int j = i + span - 1;
+      if (is_canonical(q[i], q[j])) {
+        float s = NEG_INF;
+        float hp = hairpin_turner(t, q, i, j);
+        w->hp_memo[IDX(i, j)] = hp;
+        s = lse(s, hp);
+        for (int k = i + 1; k < j - 1; k++) {
+          if (k - i - 1 > MAX_LOOP) break; /* MAX_2LOOP_LEN */
+          for (int l = j - 1; l > k; l--) {
+            if ((j - l - 1) + (k - i - 1) > MAX_LOOP) break;
+            if (w->close[IDX(k, l)] != NEG_INF) {
+              float tl = twoloop_turner(t, q, i, j, k, l);
+              TL(i, j, k - i - 1, j - l - 1) = tl;
+              s = lse(s, w->close[IDX(k, l)] + tl);
+            }
+          }
+        }
+        float mbc = mbc_turner(t, q, i, j);
+        s = lse(s, w->mb[IDX(i + 1, j - 1)] + mbc);
+        float acc_sc = acc_turner(t, q, n, i, j);
+        if (s != NEG_INF) {
+          w->mbc_memo[IDX(i, j)] = mbc;
+          w->acc_memo[IDX(i, j)] = acc_sc;
+          w->close[IDX(i, j)] = s;
+          w->acc[IDX(i, j)] = s + acc_sc;
+        }
+      }
+      /* rightmost-basepair sums (external weighting, no per-base terms) */
+      float s = NEG_INF;
+      for (int k = i + 1; k <= j; k++) {
+        float x = w->acc[IDX(i, k)];
+        if (x != NEG_INF) s = lse(s, x);
+      }
+      w->rm_ext[IDX(i, j)] = s;
+      /* external (empty = 0) */
+      s = 0.0f;
+      for (int k = i; k < j; k++) {
+        float x = w->rm_ext[IDX(k, j)];
+        float y = (i == 0 && k == 0) ? 0.0f : w->ext[IDX(i, k - 1)];
+        s = lse(s, x + y);
+      }
+      w->ext[IDX(i, j)] = s;
+      /* multibranch / one-or-more: external sums + branch coefficient */
+      s = w->rm_ext[IDX(i, j)] + t->coeff_branches;
+      float s2 = NEG_INF;
+      for (int k = i + 1; k < j; k++) {
+        float x = w->rm_ext[IDX(k, j)] + t->coeff_branches;
+        s = lse(s, x);
+        s2 = lse(s2, w->one[IDX(i, k - 1)] + x);
+      }
+      w->mb[IDX(i, j)] = s2;
+      s = lse(s, s2);
+      w->one[IDX(i, j)] = s;
+    }
+  }
+}
+
+/* Turner outside pass -> probability-space BPPs
+ * (mccaskill_algo.rs:518-610 semantics; mirrors fold_oracle._outside with
+ * model="turner": unweighted pm2 accumulation, left+acc+right-global
+ * external term order, COEFF_NUM_BRANCHES multibranch weighting). */
+static void outside_turner(const TTables *t, const uint8_t *q, int n,
+                           Work *w) {
+  (void)q;
+  size_t nn = (size_t)n * n;
+  fill_neg_inf(w->bpp, nn);
+  fill_neg_inf(w->pm, nn);
+  fill_neg_inf(w->pm2, nn);
+  float global = w->ext[IDX(0, n - 1)];
+  for (int span = n; span >= MIN_SPAN_CLOSE; span--) {
+    for (int i = 0; i + span <= n; i++) {
+      int j = i + span - 1;
+      float s = NEG_INF, s2 = NEG_INF;
+      for (int k = j + 1; k < n; k++) {
+        if (w->close[IDX(i, k)] != NEG_INF) {
+          float x = w->bpp[IDX(i, k)] + w->mbc_memo[IDX(i, k)] -
+                    w->close[IDX(i, k)];
+          s = lse(s, x + w->one[IDX(j + 1, k - 1)]);
+          s2 = lse(s2, x);
+        }
+      }
+      w->pm[IDX(i, j)] = s;
+      w->pm2[IDX(i, j)] = s2;
+      if (w->close[IDX(i, j)] == NEG_INF) continue;
+      float sum_close = w->close[IDX(i, j)];
+      float left = i < 1 ? 0.0f : w->ext[IDX(0, i - 1)];
+      float right = j > n - 2 ? 0.0f : w->ext[IDX(j + 1, n - 1)];
+      s = left + w->acc[IDX(i, j)];
+      s = s + right;
+      s = s - global;
+      for (int k = i - 1; k >= 0; k--) {
+        if (i - k - 1 > MAX_LOOP) break;
+        for (int l = j + 1; l < n; l++) {
+          if ((l - j - 1) + (i - k - 1) > MAX_LOOP) break;
+          if (w->close[IDX(k, l)] != NEG_INF)
+            s = lse(s, w->bpp[IDX(k, l)] + sum_close - w->close[IDX(k, l)] +
+                           TL(k, l, i - k - 1, l - j - 1));
+        }
+      }
+      float acc_mb = w->acc[IDX(i, j)] + t->coeff_branches;
+      for (int k = 0; k < i; k++) {
+        float x = w->one[IDX(k + 1, i - 1)];
+        s = lse(s, acc_mb + w->pm2[IDX(k, j)] + x);
+        float y = w->pm[IDX(k, j)];
+        s = lse(s, acc_mb + y);
+        s = lse(s, acc_mb + x + y);
+      }
+      if (s != NEG_INF) w->bpp[IDX(i, j)] = s;
+    }
+  }
+  for (size_t k = 0; k < nn; k++)
+    w->bpp[k] = w->bpp[k] == NEG_INF ? 0.0f : expf_cubic(w->bpp[k]);
+}
+
 /* ---- driver ---- */
 
 static void read_exact(void *p, size_t sz, FILE *f, const char *what) {
@@ -370,13 +637,40 @@ int main(int argc, char **argv) {
   FILE *f = fopen(argv[1], "rb");
   if (!f) { perror(argv[1]); return 2; }
   Tables t;
+  TTables *tt = NULL;
   uint32_t magic;
   read_exact(&magic, 4, f, "magic");
-  if (magic != 0x52424131u) { /* "RBA1" */
+  if (magic == 0x52424131u) { /* "RBA1": CONTRA */
+    read_exact(&t, sizeof(Tables), f, "tables");
+  } else if (magic == 0x52425431u) { /* "RBT1": Turner */
+    tt = malloc(sizeof(TTables));
+    read_exact(tt->stack, sizeof tt->stack, f, "stack");
+    read_exact(tt->tm_hairpin, sizeof tt->tm_hairpin, f, "tm_hairpin");
+    read_exact(tt->tm_interior, sizeof tt->tm_interior, f, "tm_interior");
+    read_exact(tt->tm_1xmany, sizeof tt->tm_1xmany, f, "tm_1xmany");
+    read_exact(tt->tm_2x3, sizeof tt->tm_2x3, f, "tm_2x3");
+    read_exact(tt->tm_mb, sizeof tt->tm_mb, f, "tm_mb");
+    read_exact(tt->dangle5, sizeof tt->dangle5, f, "dangle5");
+    read_exact(tt->dangle3, sizeof tt->dangle3, f, "dangle3");
+    read_exact(tt->hairpin_init, sizeof tt->hairpin_init, f, "hairpin_init");
+    read_exact(tt->bulge_init, sizeof tt->bulge_init, f, "bulge_init");
+    read_exact(tt->interior_init, sizeof tt->interior_init, f, "interior_init");
+    read_exact(tt->int_1x1, sizeof tt->int_1x1, f, "int_1x1");
+    read_exact(tt->int_1x2, sizeof tt->int_1x2, f, "int_1x2");
+    read_exact(tt->int_2x2, sizeof tt->int_2x2, f, "int_2x2");
+    read_exact(tt->sp_scores, sizeof tt->sp_scores, f, "sp_scores");
+    read_exact(&tt->ninio_coeff, 4, f, "ninio_coeff");
+    read_exact(&tt->ninio_max, 4, f, "ninio_max");
+    read_exact(&tt->augu, 4, f, "augu");
+    read_exact(&tt->mb_base, 4, f, "mb_base");
+    read_exact(&tt->coeff_branches, 4, f, "coeff_branches");
+    read_exact(&tt->hp_extrap, 4, f, "hp_extrap");
+    read_exact(tt->sp_seqs, sizeof tt->sp_seqs, f, "sp_seqs");
+    read_exact(tt->sp_lens, sizeof tt->sp_lens, f, "sp_lens");
+  } else {
     fprintf(stderr, "bad tables magic\n");
     return 2;
   }
-  read_exact(&t, sizeof(Tables), f, "tables");
   fclose(f);
 
   f = fopen(argv[2], "rb");
@@ -399,8 +693,13 @@ int main(int argc, char **argv) {
   work_alloc(&w, max_n);
 
   /* warm pass (page in buffers) + optional BPP dump for validation */
-  inside(&t, seqs[0], lens[0], &w);
-  outside(&t, seqs[0], lens[0], &w);
+  if (tt) {
+    inside_turner(tt, seqs[0], lens[0], &w);
+    outside_turner(tt, seqs[0], lens[0], &w);
+  } else {
+    inside(&t, seqs[0], lens[0], &w);
+    outside(&t, seqs[0], lens[0], &w);
+  }
   if (argc > 4) {
     FILE *d = fopen(argv[4], "wb");
     uint32_t n0 = lens[0];
@@ -419,8 +718,13 @@ int main(int argc, char **argv) {
   for (int r = 0; r < reps; r++) {
     for (uint32_t k = 0; k < nseqs; k++) {
       int n = lens[k];
-      inside(&t, seqs[k], n, &w);
-      outside(&t, seqs[k], n, &w);
+      if (tt) {
+        inside_turner(tt, seqs[k], n, &w);
+        outside_turner(tt, seqs[k], n, &w);
+      } else {
+        inside(&t, seqs[k], n, &w);
+        outside(&t, seqs[k], n, &w);
+      }
       for (int i = 0; i < n; i += 7) checksum += w.bpp[IDX(i, n - 1 - i)];
     }
   }

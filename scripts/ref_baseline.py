@@ -1,10 +1,12 @@
-"""Measure the CPU reference baseline (VERDICT round 2, item 2).
+"""Measure the CPU reference baseline (VERDICT round 2 item 2; round 3
+item 4 added the Turner model — the reference benches both,
+/root/reference/benches/benches.rs:28-55).
 
 Builds native/ref_baseline.c (a reference-faithful single-threaded C
-implementation of the CONTRA McCaskill recurrences with the reference's
-piecewise-cubic f32 numerics), validates its BPPs against the independent
-NumPy oracle (tests/oracle/fold_oracle.py), times the reference workloads
-on this host's CPU, and writes the committed measurement to
+implementation of the McCaskill recurrences, both models, with the
+reference's piecewise-cubic f32 numerics), validates its BPPs against the
+independent NumPy oracle (tests/oracle/fold_oracle.py), times the reference
+workloads on this host's CPU, and writes the committed measurement to
 native/ref_baseline.json.  bench.py derives `vs_baseline` from that file:
 baseline seqs/s = measured single-core seqs/s x num_cores (the reference's
 thread pool is embarrassingly parallel over sequences —
@@ -70,6 +72,55 @@ def write_tables(path, fss):
             f.write(np.float32(fss[key]).tobytes())
 
 
+MAGIC_TURNER = 0x52425431  # "RBT1"
+
+# (table key, expected size) in the exact order of the C `TTables` struct.
+TURNER_TABLE_LAYOUT = [
+    ("STACK_SCORES", 625),
+    ("TERMINAL_MISMATCH_SCORES_HAIRPIN", 625),
+    ("TERMINAL_MISMATCH_SCORES_INTERIOR", 625),
+    ("TERMINAL_MISMATCH_SCORES_1XMANY", 625),
+    ("TERMINAL_MISMATCH_SCORES_2X3", 625),
+    ("TERMINAL_MISMATCH_SCORES_MULTIBRANCH", 625),
+    ("DANGLING_SCORES_5PRIME", 125),
+    ("DANGLING_SCORES_3PRIME", 125),
+    ("HAIRPIN_SCORES_INIT", 31),
+    ("BULGE_SCORES_INIT", 31),
+    ("INTERIOR_SCORES_INIT", 31),
+    ("INTERIOR_SCORES_1X1", 5**6),
+    ("INTERIOR_SCORES_1X2", 5**7),
+    ("INTERIOR_SCORES_2X2", 5**8),
+    ("HAIRPIN_SPECIAL_SCORES", 22),
+]
+TURNER_SCALARS = [
+    "NINIO_COEFF",
+    "NINIO_MAX",
+    "HELIX_AUGU_END_PENALTY",
+    "INIT_MULTIBRANCH_BASE",
+    "COEFF_NUM_BRANCHES",
+    "COEFF_HAIRPIN_LEN_EXTRAPOLATION",
+]
+
+
+def write_turner_tables(path):
+    from rna_algos_tpu.params import turner as T
+
+    tabs = T.active_tables()
+    with open(path, "wb") as f:
+        f.write(struct.pack("<I", MAGIC_TURNER))
+        for key, want in TURNER_TABLE_LAYOUT:
+            a = np.asarray(tabs[key], dtype=np.float32).ravel()
+            assert a.size == want, (key, a.size, want)
+            f.write(a.tobytes())
+        for key in TURNER_SCALARS:
+            f.write(np.float32(tabs[key]).tobytes())
+        seqs = np.asarray(tabs["HAIRPIN_SPECIAL_SEQS"])
+        assert seqs.shape == (22, 8), seqs.shape
+        # -1 padding -> 255 (never matches a base 0..4)
+        f.write(seqs.astype(np.int16).clip(-1, 255).astype(np.uint8).tobytes())
+        f.write(np.asarray(tabs["HAIRPIN_SPECIAL_LENS"]).astype(np.uint8).tobytes())
+
+
 def write_seqs(path, seqs):
     with open(path, "wb") as f:
         f.write(struct.pack("<I", len(seqs)))
@@ -89,7 +140,7 @@ def build(exe):
     )
 
 
-def validate(exe, tables_bin, fss, seq):
+def validate(exe, tables_bin, fss, seq, contra=True):
     """Max |BPP| difference vs the NumPy oracle on one tRNA."""
     from tests.oracle.fold_oracle import mccaskill_oracle
 
@@ -105,8 +156,11 @@ def validate(exe, tables_bin, fss, seq):
         c_bpp = np.frombuffer(
             raw[4 : 4 + 4 * n * n], dtype=np.float32
         ).reshape(n, n)
-    fss_np = {k: np.asarray(v) for k, v in fss.items()}
-    bpp_dict, _, _ = mccaskill_oracle(seq, uses_contra_model=True, fss=fss_np)
+    if contra:
+        fss_np = {k: np.asarray(v) for k, v in fss.items()}
+        bpp_dict, _, _ = mccaskill_oracle(seq, uses_contra_model=True, fss=fss_np)
+    else:
+        bpp_dict, _, _ = mccaskill_oracle(seq, uses_contra_model=False)
     py_bpp = np.zeros((n, n), dtype=np.float32)
     for (i, j), p in bpp_dict.items():
         py_bpp[i, j] = p
@@ -122,41 +176,54 @@ def main():
     workdir = tempfile.mkdtemp(prefix="refbase_")
     exe = os.path.join(workdir, "ref_baseline")
     tables_bin = os.path.join(workdir, "tables.bin")
+    turner_bin = os.path.join(workdir, "tables_turner.bin")
     build(exe)
     write_tables(tables_bin, fss)
+    write_turner_tables(turner_bin)
 
     err = validate(exe, tables_bin, fss, trnas[0])
-    print(f"validation vs NumPy oracle: max |dBPP| = {err:.3g}")
+    print(f"CONTRA validation vs NumPy oracle: max |dBPP| = {err:.3g}")
     assert err < 1e-5, err
+    err_t = validate(exe, turner_bin, fss, trnas[0], contra=False)
+    print(f"Turner validation vs NumPy oracle: max |dBPP| = {err_t:.3g}")
+    assert err_t < 1e-5, err_t
 
     results = {}
-    # criterion-equivalent: whole 6-tRNA batch
     six = os.path.join(workdir, "six.bin")
     write_seqs(six, trnas)
-    out = subprocess.run([exe, tables_bin, six, "20"],
-                         check=True, capture_output=True, text=True)
-    results["trna6"] = json.loads(out.stdout)
-    # bench.py headline workload: 192-seq tRNA batch
     b192 = os.path.join(workdir, "b192.bin")
     write_seqs(b192, [trnas[k % len(trnas)] for k in range(192)])
-    out = subprocess.run([exe, tables_bin, b192, "2"],
-                         check=True, capture_output=True, text=True)
-    results["trna192"] = json.loads(out.stdout)
+    for model, tbin in (("contra", tables_bin), ("turner", turner_bin)):
+        # criterion-equivalent: whole 6-tRNA batch
+        out = subprocess.run([exe, tbin, six, "20"],
+                             check=True, capture_output=True, text=True)
+        results[f"trna6_{model}"] = json.loads(out.stdout)
+        # bench.py headline workload: 192-seq tRNA batch
+        out = subprocess.run([exe, tbin, b192, "2"],
+                             check=True, capture_output=True, text=True)
+        results[f"trna192_{model}"] = json.loads(out.stdout)
+    # legacy keys (round-3 consumers)
+    results["trna6"] = results["trna6_contra"]
+    results["trna192"] = results["trna192_contra"]
 
     ncores = os.cpu_count()
-    single = results["trna192"]["seqs_per_s"]
+    single = results["trna192_contra"]["seqs_per_s"]
+    single_t = results["trna192_turner"]["seqs_per_s"]
     report = {
         "description": (
-            "reference-faithful single-threaded C CONTRA McCaskill "
+            "reference-faithful single-threaded C McCaskill, both models "
             "(native/ref_baseline.c), validated vs tests/oracle at <1e-5; "
             "all-cores baseline = single_core x num_cores (linear best case "
             "for the reference's per-sequence thread pool)"
         ),
         "host_cores": ncores,
         "oracle_max_abs_diff": err,
+        "oracle_max_abs_diff_turner": err_t,
         "runs": results,
         "single_core_seqs_per_s": single,
         "all_cores_seqs_per_s_est": single * ncores,
+        "turner_single_core_seqs_per_s": single_t,
+        "turner_all_cores_seqs_per_s_est": single_t * ncores,
     }
     out_path = os.path.join(REPO, "native", "ref_baseline.json")
     with open(out_path, "w") as f:
