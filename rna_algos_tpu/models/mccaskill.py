@@ -533,6 +533,57 @@ def _prob_finish(bppo, ns, N):
     return jax.vmap(finish)(bppo_left, ns)
 
 
+def mccaskill_twoloop_memo(seq, n, tbl, N, contra=False):
+    """On-demand per-sequence ``twoloop_scores`` memo.
+
+    The reference's FoldScores returns the (i, j, k, l)-keyed 2-loop score
+    memo alongside hairpin/multibranch-close/accessible
+    (`/root/reference/src/mccaskill_algo.rs:13-19,279`).  Here it is a dense
+    grid ``TL[d, i, a, b]`` = 2-loop score with outer pair (i, i+d) and
+    inner pair (i+1+a, i+d-1-b), NEG_INF outside the valid window (loop
+    length cap 30 per side / combined, inner span >= 1, j < n) — the same
+    vectorized score assembly the fused kernels consume per span.
+
+    This grid is O(n^2 L^2) floats (~63 MB at N=128), which is why it is an
+    on-demand per-sequence API and deliberately NOT part of the batch
+    ``return_memos`` contract (hairpin/multibranch_close/accessible/presence
+    only) — see docs/API.md "FoldScores memos".  Pinned against the oracle's
+    per-(i,j,k,l) scores by tests/test_mccaskill.py::test_twoloop_memo.
+    """
+    return _twoloop_memo(seq, n, tbl, N=N, contra=bool(contra),
+                         mode=get_mode())
+
+
+@partial(jax.jit, static_argnames=("N", "contra", "mode"))
+def _twoloop_memo(seq, n, tbl, N, contra, mode):
+    with force_mode(mode):
+        pre = (
+            S.precompute_contra(seq, n, N, tbl)
+            if contra
+            else S.precompute_turner(seq, n, N, tbl)
+        )
+
+        i_idx = jnp.arange(N)
+        a = jnp.arange(31)[None, :, None]
+        b = jnp.arange(31)[None, None, :]
+
+        def step(_, d):
+            TL = (
+                S.twoloop_inside_contra(seq, tbl, pre, d, N)
+                if contra
+                else S.twoloop_inside_turner(seq, tbl, pre, d, N)
+            )
+            j = i_idx[:, None, None] + d
+            valid = (
+                (a + b <= jnp.minimum(30, d - 3))
+                & (j < n)
+            )
+            return None, jnp.where(valid, TL, NEG_INF)
+
+        _, TLs = lax.scan(step, None, jnp.arange(N))
+        return TLs
+
+
 @partial(
     jax.jit, static_argnames=("N", "contra", "allows_short_hairpins", "mode")
 )

@@ -101,6 +101,33 @@ def test_mccaskill_batch_matches_single():
         np.testing.assert_allclose(batch[k], np.asarray(single), atol=1e-6)
 
 
+@pytest.mark.parametrize("contra", [False, True])
+def test_twoloop_memo(contra):
+    """The on-demand twoloop_scores memo (VERDICT round 3, item 5) matches
+    the oracle's per-(i, j, k, l) 2-loop scores exactly on every key the
+    reference would memoize, and is NEG_INF outside the valid window."""
+    rng = np.random.default_rng(13)
+    N = 32
+    n = 28
+    seq = rng.integers(0, 4, size=n).astype(np.int32)
+    _, scores, _ = mccaskill_oracle(seq, uses_contra_model=contra, fss=FSS)
+    TL = np.asarray(
+        M.mccaskill_twoloop_memo(
+            _pad(seq, N), jnp.int32(n), CT if contra else TT, N=N,
+            contra=contra,
+        )
+    )
+    assert TL.shape == (N, N, 31, 31)
+    assert scores["twoloop"], "oracle produced no twoloop entries"
+    for (i, j, k, l), v in scores["twoloop"].items():
+        d, a, b = j - i, k - i - 1, j - l - 1
+        got = TL[d, i, a, b]
+        assert abs(got - float(v)) < 1e-5, ((i, j, k, l), got, float(v))
+    # outside the window: inner span < 1 or loop len > 30 or j >= n
+    assert TL[5, 0, 4, 4] == -np.inf      # a+b > d-3
+    assert TL[10, n - 5, 1, 1] == -np.inf  # j >= n
+
+
 def test_batch_return_memos_contract():
     """return_memos=True yields the batched FoldScores grids on the XLA
     path and they match the single-sequence memos (left layout [i, d])."""
