@@ -116,6 +116,58 @@ def test_reference_durbin_probs(tmp_path):
     _diff_triples(ref, got)
 
 
+C_BASELINE_DIR = os.path.join(HERE, "golden", "c_baseline")
+
+# Two independent cubic-f32 implementations (the C baseline streams in the
+# reference's exact loop order; the XLA parity scan re-associates its LSE
+# reductions into trees), so the bound is cubic-amplified float
+# re-association — NOT the 1e-6 a deterministic same-binary Rust drop would
+# get.  Measured worst diff 2.0e-4 at tRNA scale, consistent with the
+# cubics' documented ~2e-3 drift at n=245 (BASELINE.md "Accuracy at long
+# n"); budget matches the 5e-4 golden budget for the numerics tiers.
+C_BASELINE_ATOL = 5e-4
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("model,flag", [("turner", []), ("contra", ["-c"])])
+def test_c_baseline_socket_selftest(tmp_path, model, flag):
+    """Exercise the parity-socket plumbing end to end (VERDICT r3, item 9).
+
+    The real Rust goldens cannot be produced here, so the socket above had
+    never fired.  This self-test runs the SAME parse/diff helpers against
+    goldens produced by the C baseline (scripts/gen_c_golden.py — the
+    reference's recurrences + cubic numerics, oracle-validated bit-exact),
+    proving the socket is known-good for the day real Rust files land.
+    Runs our CLI in-process under parity numerics (the cubic tier the C
+    baseline implements).
+    """
+    ref_file = os.path.join(C_BASELINE_DIR, f"mccaskill_{model}.txt")
+    assert os.path.exists(ref_file), "run scripts/gen_c_golden.py"
+    from rna_algos_tpu import numerics
+    from rna_algos_tpu.cli import mccaskill as mc_cli
+
+    out = tmp_path / "out.txt"
+    prev = numerics.get_mode()
+    try:
+        mc_cli.main(
+            ["-i", FASTA, "-o", str(out), "--numerics", "parity"] + flag
+        )
+    finally:
+        numerics.set_mode(prev)
+    with open(ref_file) as f:
+        ref = _parse_triples(f.read())
+    got = _parse_triples(out.read_text())
+    assert set(ref) == set(got)
+    worst = 0.0
+    for rid in ref:
+        assert set(ref[rid]) == set(got[rid]), (
+            rid, sorted(set(ref[rid]) ^ set(got[rid]))[:10],
+        )
+        for key, p in ref[rid].items():
+            worst = max(worst, abs(p - got[rid][key]))
+    assert worst <= C_BASELINE_ATOL, worst
+
+
 @pytest.mark.parametrize("model,flag", [("turner", []), ("contra", ["-c"])])
 def test_reference_centroid_structures(tmp_path, model, flag):
     ref_dir = os.path.join(REF_DIR, f"centroid_{model}")
