@@ -50,13 +50,96 @@ from . import pallas_fold as PF
 from . import pallas_fold_prob as PP
 from .pallas_fold import LPAD
 
-G = 8
+import os as _os_g
+
+# Sequences stacked per grid step.  8 = one f32 vreg of sublanes per row
+# block (round 1-3).  With the aged lane-major window (see _WINDOW_MODE
+# below) the striped-matmul dilution objection to deeper stacking is gone
+# — the common-kernel matmul just gets wider — so G=16 halves the number
+# of (issue-bound) span steps at 2 vregs per block op.  Must divide into
+# 8-aligned row blocks (Mosaic dynamic multi-row loads).
+G = int(_os_g.environ.get("RNA_ALGOS_G", "8"))
+if G % 8 or G < 8:
+    raise ValueError(f"RNA_ALGOS_G must be a positive multiple of 8, got {G}")
 WB = 33 * G       # window scratch rows: insert block + 32 aged read blocks
 # Turner window scratches carry one extra aged block: the K2 diagonal arm
 # (r = a + 2) reads the window at a +2-block offset, so offset slices of
 # 32 blocks need 34 blocks total (the top block is only ever read with a
 # zero weight).
 WBT = 34 * G
+
+# Round-4 window mode (VERDICT r3, item 1).  "aged" (default): the banded
+# 2-loop window matmul operand lives in a LANE-MAJOR scratch — sequences
+# side by side in (N + 33)-lane segments, window age along sublanes — and
+# is multiplied by sigma^-1 every span, so row r carries sigma^-(r+1)
+# implicitly and the banded kernel is COMMON across sequences: the
+# contraction is an UNDILUTED (32, 32) @ (32, 8*(N+33)) matmul instead of
+# round 3's 8x-striped block-diagonal (256, 256) @ (256, N+33) (12.5%
+# useful MXU work — the profiled ~2/3-of-kernel-time wall, BASELINE.md).
+# The per-span sublane->lane relayout of the inserted close row (the
+# round-3 blocker) is 8 static sublane-slice copies; the 4 special cells
+# keep a 4-block sublane mini-window.  "striped" pins the round-3 kernels.
+import os as _os
+
+_WINDOW_MODE = _os.environ.get("RNA_ALGOS_WINDOW", "aged").lower()
+if _WINDOW_MODE not in ("aged", "striped"):
+    raise ValueError(
+        f"RNA_ALGOS_WINDOW must be 'aged' or 'striped', got {_WINDOW_MODE!r}"
+    )
+
+
+def _seg(N):
+    """Lane-major segment width: N data lanes + 33 pad (skew shifts <= 32
+    stay inside the segment; segment pads hold exact zeros)."""
+    return N + 33
+
+
+def _skew_lane_asc(x):
+    """Lane-major ascending skew-extract: result[q] = sum_a x[a, q+1+a].
+
+    Same log-depth halving as pallas_fold_prob._skew_extract_sum
+    (base_shift=1) but on global lanes: per-segment results land at lane
+    q = g*SW + i with no residual offset; cross-segment mixing stays in
+    the >= N pad lanes (total shift 32 <= 33 pad)."""
+    x = x[:, 1:]
+    h = 16
+    while h >= 1:
+        L = x.shape[1]
+        x = x[:h, : L - h] + x[h:, h:]
+        h //= 2
+    return x
+
+
+def _skew_lane_desc(x):
+    """Lane-major descending skew-extract: result[q] = sum_a x[a, q+31-a]
+    (base_shift=31: the residual global slice of the sublane variant is
+    [0:], i.e. none)."""
+    h = 16
+    while h >= 1:
+        L = x.shape[1]
+        x = x[:h, h:] + x[h:, : L - h]
+        h //= 2
+    return x
+
+
+def _winl_insert(WINL, ins, N, sig, lane_off=0):
+    """Shift the lane-major window one age down — multiplying by the
+    per-segment sigma^-1 row AS rows age, so row r carries sigma^-r with
+    no separate aging pass — and insert ``ins`` (8, N) as row 0 (the
+    sublane->lane relayout is 8 static slice copies).  The matmul result
+    picks up the residual common sigma^-1 (row r needs sigma^-(r+1))."""
+    SW = _seg(N)
+    WINL[pl.ds(1, 31), :] = WINL[pl.ds(0, 31), :] * sig
+    for g in range(G):
+        WINL[pl.ds(0, 1), pl.ds(g * SW + lane_off, N)] = ins[g : g + 1, :]
+
+
+def _lm_to_blk(TWO8, lm, N):
+    """Per-segment result lanes of a lane-major row -> (8, N) scratch."""
+    SW = _seg(N)
+    for g in range(G):
+        TWO8[pl.ds(g, 1), :] = lm[0:1, g * SW : g * SW + N]
+    return TWO8[:]
 
 
 # ---------------------------------------------------------------------------
@@ -311,6 +394,117 @@ def _inside8_kernel(
     )
 
 
+def _inside8a_kernel(
+    SCAL,                                    # (1, 1, 8) SMEM: [7] = max n
+    VEC,                                     # (1, 40, N): eu1 ebp mbu1 mbbp logmbu
+    H, MBC, ACC, JS, STK, I11, B0R, B0L, JB,  # (1, N*8, N) merged [d*8+g, i]
+    KC,                                      # (1, 32, 32) common banded kernel
+    SIGL,                                    # (1, 8, 8*SW) sigma^-1 lane rows
+    close_out, ext_out, one_out,             # (1, N*8, N)
+    CJS, WINL, TWO8, FQ2, EO, mbS, S1SC,
+    *, N,
+):
+    """Aged lane-major window variant of :func:`_inside8_kernel`.
+
+    Identical span recurrences; only the banded 2-loop window path
+    changes: the matmul operand is the lane-major aged scratch ``WINL``
+    (see the module-level ``_WINDOW_MODE`` note), the kernel ``KC`` is
+    common across sequences, and the 4 explicit special cells read the
+    4-block sublane mini-window ``CJS``."""
+    n_i = SCAL[0, 0, 7].astype(jnp.int32)
+    EU1 = VEC[0, pl.ds(0, G), :]
+    EBP = VEC[0, pl.ds(G, G), :]
+    MBU1 = VEC[0, pl.ds(2 * G, G), :]
+    MBBP = VEC[0, pl.ds(3 * G, G), :]
+    SIG1 = VEC[0, pl.ds(5 * G, G), :]   # exp(-ln_sigma) per sequence
+
+    for buf in (CJS, WINL, FQ2, EO, mbS):
+        buf[:] = jnp.zeros_like(buf[:])
+    EO[pl.ds(0, G), :] = jnp.ones((G, N), jnp.float32)  # ext(i, i-1) = 1
+    close_out[0] = jnp.zeros_like(close_out[0])
+    ext_out[0] = jnp.zeros_like(ext_out[0])
+    one_out[0] = jnp.zeros_like(one_out[0])
+    S1SC[:] = jnp.zeros_like(S1SC[:])
+
+    G2 = 2 * G
+    NG = N * G
+    sub2 = jax.lax.broadcasted_iota(jnp.int32, (2 * NG, 1), 0)
+    tb2_full = sub2 // G2
+    fam0_full = (sub2 // G) % 2 == 0
+    zero_blk = jnp.zeros((G, N), jnp.float32)
+    kw = KC[0, pl.ds(0, 32), pl.ds(0, 32)]
+    sig = SIGL[0, pl.ds(0, 1), :]
+
+    def span_step(d, carry):
+        rm_prev, rmmb_prev, epow_prev = carry
+
+        js_blk = _blk(JS, d)
+        OUT = PP._mm_prec(kw, WINL[pl.ds(0, 32), :])
+        two = (js_blk * SIG1) * _lm_to_blk(TWO8, _skew_lane_asc(OUT), N)
+        two = two + _blk(STK, d) * CJS[pl.ds(G, G), pl.ds(1, N)]
+        two = two + _blk(B0R, d) * CJS[pl.ds(2 * G, G), pl.ds(1, N)]
+        two = two + _blk(B0L, d) * CJS[pl.ds(2 * G, G), pl.ds(2, N)]
+        two = two + _blk(I11, d) * CJS[pl.ds(3 * G, G), pl.ds(2, N)]
+        mb_in = mbS[pl.ds(G, G), pl.ds(1, N)]
+        mb_term = jnp.where(d >= 2, mb_in * _blk(MBC, d), 0.0)
+        close_new = _blk(H, d) + two + mb_term
+        close_new = jnp.where(
+            d + 1 >= MIN_SPAN_HAIRPIN_CLOSE, close_new, 0.0
+        )
+        close_out[0, pl.ds(d * G, G), :] = close_new
+        acc_new = close_new * _blk(ACC, d)
+
+        rm_new = rm_prev * EU1 + acc_new * EBP
+        rmmb_new = rmmb_prev * MBU1 + acc_new * MBBP
+        epow = epow_prev * EU1
+
+        def tail(ht):
+            h2 = ht * G2
+            tb = tb2_full[:h2]
+            fam0 = fam0_full[:h2]
+            shifted = FQ2[pl.ds(0, h2 - G2), pl.ds(1, N + 7)]
+            FQ2[pl.ds(G2, h2 - G2), pl.ds(0, N + 7)] = shifted
+            FQ2[pl.ds(0, G), pl.ds(0, N)] = rm_new
+            FQ2[pl.ds(G, G), pl.ds(0, N)] = rmmb_new
+
+            terms = jnp.where(
+                (tb <= d - 1) & (fam0 | (tb >= 1)),
+                FQ2[pl.ds(0, h2), pl.ds(0, N)] * EO[pl.ds(0, h2), :],
+                0.0,
+            )
+            red = _tree_to(terms, G2)    # (2G, N): [ext(G); mb(G)]
+            ext_new = epow + red[:G]
+            s2 = red[G:]
+            ext_out[0, pl.ds(d * G, G), :] = ext_new
+
+            s1v = MBU1 * (
+                FQ2[pl.ds(3 * G, G), pl.ds(0, N)]
+                + S1SC[pl.ds(0, G), pl.ds(1, N)]
+            )
+            S1SC[pl.ds(0, G), pl.ds(0, N)] = s1v
+            one_new = rmmb_new + s1v + s2
+            mbS[pl.ds(G, G), :] = mbS[pl.ds(0, G), :]
+            mbS[pl.ds(0, G), pl.ds(0, N)] = s2
+            one_out[0, pl.ds(d * G, G), :] = one_new
+            EO[pl.ds((d + 1) * G2, G), :] = ext_new
+            EO[pl.ds((d + 1) * G2 + G, G), :] = one_new
+
+        prev = 0
+        for ht in PF._live_heights(N):
+            cond = d < ht if prev == 0 else (d >= prev) & (d < ht)
+            pl.when(cond)(functools.partial(tail, ht))
+            prev = ht
+
+        ins = close_new * _blk(JB, d)
+        _shift_insert8(CJS, ins)
+        _winl_insert(WINL, ins, N, sig)
+        return (rm_new, rmmb_new, epow)
+
+    lax.fori_loop(
+        0, n_i, span_step, (zero_blk, zero_blk, jnp.ones((G, N), jnp.float32))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Outside kernel (stacked)
 # ---------------------------------------------------------------------------
@@ -443,6 +637,137 @@ def _outside8_kernel(
     lax.fori_loop(N - n_i, N, span_step, 0)
 
 
+def _outside8a_kernel(
+    SCAL,                                    # (1, 1, 8) SMEM: [7] = max n
+    VEC,                                     # (1, 16, N): logmbu, b0lo'
+    CLOSE, MBC, ACCB, ACCMB, STKO, I11O, B0RO, JRB, JSN,  # (1, N*8, N)
+    ONEP,                                    # (1, N*8, 2N) pre-rotated
+    QONE,                                    # (1, N*8, N)
+    EXTR,                                    # (1, 8, 2N) pre-rotated
+    KC,                                      # (1, 32, 32) common banded kernel
+    SIGL,                                    # (1, 8, 8*SW)
+    bppo_out,                                # (1, N*8, N)
+    OGS, WINL, TWO8, XS, RP2, SONEF, REXT, P2SC, QASC,
+    *, N, min_span,
+):
+    """Aged lane-major window variant of :func:`_outside8_kernel` (see
+    :func:`_inside8a_kernel`); the outside window geometry inserts at a
+    +32 per-segment lane offset and extracts descending (base 31).
+    VEC layout (aged): [logmbu; sig1; b0lo']."""
+    n_i = SCAL[0, 0, 7].astype(jnp.int32)
+    LOGMBU = VEC[0, pl.ds(0, G), :]
+    SIG1 = VEC[0, pl.ds(G, G), :]
+    B0LOv = VEC[0, pl.ds(2 * G, G), :]
+
+    for buf in (OGS, WINL, XS, RP2):
+        buf[:] = jnp.zeros_like(buf[:])
+    bppo_out[0] = jnp.zeros_like(bppo_out[0])
+    G2 = 2 * G
+    NG = N * G
+    SONEF[pl.ds(0, NG), :] = ONEP[0, pl.ds(0, NG), :]
+    REXT[pl.ds(0, G), :] = EXTR[0, pl.ds(0, G), :]
+    P2SC[:] = jnp.zeros_like(P2SC[:])
+    QASC[:] = jnp.zeros_like(QASC[:])
+    MBU1 = jnp.exp(LOGMBU)
+
+    sub2 = jax.lax.broadcasted_iota(jnp.int32, (2 * NG, 1), 0)
+    tb2_full = sub2 // G2
+    C2 = SONEF.shape[1]
+    kw = KC[0, pl.ds(0, 32), pl.ds(0, 32)]
+    sig = SIGL[0, pl.ds(0, 1), :]
+
+    def span_step(step, carry):
+        d = N - 1 - step
+        k = step - (N - n_i)
+        span_ok = (d + 1) >= min_span
+
+        close_blk = _blk(CLOSE, d)
+        pos = close_blk > 0.0
+        inv_close = jnp.where(
+            pos, 1.0 / jnp.where(pos, close_blk, 1.0), 0.0
+        )
+        rt = REXT[pl.ds(0, G), pl.ds(0, N)]
+        base = close_blk * _blk(ACCB, d) * rt
+
+        jrb_blk = _blk(JRB, d)
+        OUT = PP._mm_prec(kw, WINL[pl.ds(0, 32), :])
+        two = (jrb_blk * SIG1) * _lm_to_blk(TWO8, _skew_lane_desc(OUT), N)
+        two = two + _blk(STKO, d) * OGS[pl.ds(G, G), pl.ds(31, N)]
+        two = two + _blk(B0RO, d) * OGS[pl.ds(2 * G, G), pl.ds(31, N)]
+        two = two + jrb_blk * B0LOv * OGS[pl.ds(2 * G, G), pl.ds(30, N)]
+        two = two + _blk(I11O, d) * OGS[pl.ds(3 * G, G), pl.ds(30, N)]
+        two = two * close_blk
+        acc_mb = close_blk * _blk(ACCMB, d)
+        jsn_blk = _blk(JSN, d)
+        mbc_blk = _blk(MBC, d)
+
+        def tail(ht):
+            hg = ht * G
+            Xr = XS[pl.ds(0, hg), :]
+            s_one = SONEF[pl.ds(0, hg), pl.ds(0, N)]
+            pm_new = jnp.where(span_ok, _tree8(Xr * s_one), 0.0)
+            pm2_raw = (
+                XS[pl.ds(0, G), pl.ds(0, N)]
+                + MBU1 * P2SC[pl.ds(0, G), pl.ds(0, N)]
+            )
+            P2SC[pl.ds(0, G), pl.ds(0, N)] = pm2_raw
+            pm2_new = jnp.where(span_ok, pm2_raw, 0.0)
+            h2 = ht * G2
+            tb2 = tb2_full[:h2]
+            shifted = RP2[pl.ds(0, h2 - G2), pl.ds(0, N - 1)]
+            RP2[pl.ds(G2, h2 - G2), pl.ds(1, N - 1)] = shifted
+            RP2[pl.ds(G2, h2 - G2), pl.ds(0, 1)] = jnp.zeros(
+                (h2 - G2, 1), jnp.float32
+            )
+            RP2[pl.ds(0, G), pl.ds(0, N)] = pm_new
+            RP2[pl.ds(G, G), pl.ds(0, N)] = pm2_new
+
+            qa_raw = (
+                RP2[pl.ds(G2, G), pl.ds(0, N)]
+                + MBU1 * QASC[pl.ds(0, G), pl.ds(0, N)]
+            )
+            QASC[pl.ds(0, G), pl.ds(1, N)] = qa_raw
+            terms2 = jnp.where(
+                tb2 >= 1,
+                RP2[pl.ds(0, h2), pl.ds(0, N)] * QONE[0, pl.ds(0, h2), :],
+                0.0,
+            )
+            red2 = _tree_to(terms2, G2)   # [pm-family(G); pm2-family(G)]
+            mb_ctx = acc_mb * (red2[G:] + red2[:G] + qa_raw)
+
+            bppo_new = base + two + mb_ctx
+            bppo_new = jnp.where(pos & span_ok, bppo_new, 0.0)
+            bppo_out[0, pl.ds(d * G, G), :] = bppo_new
+
+            g2 = bppo_new * jsn_blk * inv_close
+            _shift_insert8(OGS, g2, lane_off=32)
+            _winl_insert(WINL, g2, N, sig, lane_off=32)
+            g_row = bppo_new * mbc_blk * inv_close
+            shifted = XS[pl.ds(0, hg - G), :]
+            XS[pl.ds(G, hg - G), :] = shifted
+            XS[pl.ds(0, G), :] = g_row
+            PF._rotate_right(SONEF, hg)
+            PF._rotate_right(REXT, G)
+
+        prev = 0
+        for ht in PF._live_heights(N):
+            if prev:
+                def bulk(lo=prev, hi=ht):
+                    rows = (hi - lo) * G
+                    wrap = SONEF[pl.ds(lo * G, rows), pl.ds(C2 - lo, lo)]
+                    body = SONEF[pl.ds(lo * G, rows), pl.ds(0, C2 - lo)]
+                    SONEF[pl.ds(lo * G, rows), pl.ds(lo, C2 - lo)] = body
+                    SONEF[pl.ds(lo * G, rows), pl.ds(0, lo)] = wrap
+
+                pl.when(k == prev)(bulk)
+            cond = k < ht if prev == 0 else (k >= prev) & (k < ht)
+            pl.when(cond)(functools.partial(tail, ht))
+            prev = ht
+        return carry
+
+    lax.fori_loop(N - n_i, N, span_step, 0)
+
+
 # ---------------------------------------------------------------------------
 # Host-side table merging + call wrappers
 # ---------------------------------------------------------------------------
@@ -523,9 +848,19 @@ def _prob8_run_body(seqs, ns, ct, ln_sigma, N, allows_short_hairpins,
     B = seqs.shape[0]
     K = B // G
     NG = N * G
+    aged = _WINDOW_MODE == "aged"
     pmats = PP.contra_prob_mats(seqs, ns, ct, ln_sigma, N)
     LENp = PP._contra_len_prob(ct, ln_sigma)
-    KBIG = _kbig(PP._banded_window_kernel(LENp))
+    if aged:
+        SW = _seg(N)
+        # common (sigma-free) banded kernel + per-segment sigma^-1 lane rows
+        LENc = jnp.exp(PF._contra_len_di(ct))[None]
+        KBIG = PP._banded_window_kernel(LENc)
+        SIGL = jnp.broadcast_to(
+            jnp.exp(-ln_sigma).reshape(K, G, 1), (K, G, SW)
+        ).reshape(K, 1, G * SW)
+    else:
+        KBIG = _kbig(PP._banded_window_kernel(LENp))
     scal, n_max = _group_scal(ns, B)
 
     eu1 = jnp.exp(ct["external_score_unpair"] - ln_sigma)
@@ -537,40 +872,77 @@ def _prob8_run_body(seqs, ns, ct, ln_sigma, N, allows_short_hairpins,
     logmbu = jnp.broadcast_to(
         ct["multibranch_score_unpair"] - ln_sigma, (B,)
     )
-    vec_i = _bcast_rows(N, eu1, ebp, mbu1, mbbp, logmbu)
+    sig1 = jnp.exp(-ln_sigma)
+    if aged:
+        vec_i = _bcast_rows(N, eu1, ebp, mbu1, mbbp, logmbu, sig1)
+    else:
+        vec_i = _bcast_rows(N, eu1, ebp, mbu1, mbbp, logmbu)
 
     mi = {k: ilv(v) for k, v in _merge_inside(pmats, LENp).items()}
     if upto == "iprep":
         return mi, KBIG, vec_i
 
-    kernel = functools.partial(_inside8_kernel, N=N)
     out_shape = tuple(
         jax.ShapeDtypeStruct((K, NG, N), jnp.float32) for _ in range(3)
     )
-    close8, ext8, one8 = pl.pallas_call(
-        kernel,
-        grid=(K,),
-        in_specs=[
-            _SMEM_SPEC,
-            _nn(5 * G, N),
-            *(_nn(NG, N) for _ in range(9)),
-            _nn(32 * G, 32 * G),
-        ],
-        out_specs=(_nn(NG, N), _nn(NG, N), _nn(NG, N)),
-        out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((WB, N + LPAD), jnp.float32),        # CJW
-            pltpu.VMEM((2 * NG, N + 8), jnp.float32),       # FQ2 (rm|rmmb)
-            pltpu.VMEM((2 * NG + 2 * G, N), jnp.float32),   # EO (ext|one)
-            pltpu.VMEM((2 * G, N + 8), jnp.float32),        # mbS
-            pltpu.VMEM((G, N + 8), jnp.float32),            # S1SC
-        ],
-        interpret=interpret,
-    )(
-        scal, vec_i,
-        mi["H"], mi["MBC"], mi["ACC"], mi["JS"], mi["STK"],
-        mi["I11"], mi["B0R"], mi["B0L"], mi["JB"], KBIG,
-    )
+    if aged:
+        kernel = functools.partial(_inside8a_kernel, N=N)
+        close8, ext8, one8 = pl.pallas_call(
+            kernel,
+            grid=(K,),
+            in_specs=[
+                _SMEM_SPEC,
+                _nn(6 * G, N),
+                *(_nn(NG, N) for _ in range(9)),
+                pl.BlockSpec(
+                    (1, 32, 32), lambda b: (0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                _nn(1, G * SW),
+            ],
+            out_specs=(_nn(NG, N), _nn(NG, N), _nn(NG, N)),
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((4 * G, N + LPAD), jnp.float32),     # CJS (mini)
+                pltpu.VMEM((40, G * SW), jnp.float32),          # WINL
+                pltpu.VMEM((G, N), jnp.float32),                # TWO8
+                pltpu.VMEM((2 * NG, N + 8), jnp.float32),       # FQ2
+                pltpu.VMEM((2 * NG + 2 * G, N), jnp.float32),   # EO
+                pltpu.VMEM((2 * G, N + 8), jnp.float32),        # mbS
+                pltpu.VMEM((G, N + 8), jnp.float32),            # S1SC
+            ],
+            interpret=interpret,
+        )(
+            scal, vec_i,
+            mi["H"], mi["MBC"], mi["ACC"], mi["JS"], mi["STK"],
+            mi["I11"], mi["B0R"], mi["B0L"], mi["JB"], KBIG, SIGL,
+        )
+    else:
+        kernel = functools.partial(_inside8_kernel, N=N)
+        close8, ext8, one8 = pl.pallas_call(
+            kernel,
+            grid=(K,),
+            in_specs=[
+                _SMEM_SPEC,
+                _nn(5 * G, N),
+                *(_nn(NG, N) for _ in range(9)),
+                _nn(32 * G, 32 * G),
+            ],
+            out_specs=(_nn(NG, N), _nn(NG, N), _nn(NG, N)),
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((WB, N + LPAD), jnp.float32),        # CJW
+                pltpu.VMEM((2 * NG, N + 8), jnp.float32),       # FQ2 (rm|rmmb)
+                pltpu.VMEM((2 * NG + 2 * G, N), jnp.float32),   # EO (ext|one)
+                pltpu.VMEM((2 * G, N + 8), jnp.float32),        # mbS
+                pltpu.VMEM((G, N + 8), jnp.float32),            # S1SC
+            ],
+            interpret=interpret,
+        )(
+            scal, vec_i,
+            mi["H"], mi["MBC"], mi["ACC"], mi["JS"], mi["STK"],
+            mi["I11"], mi["B0R"], mi["B0L"], mi["JB"], KBIG,
+        )
 
     if upto == "inside":
         return close8, ext8, one8
@@ -591,9 +963,14 @@ def _prob8_run_body(seqs, ns, ct, ln_sigma, N, allows_short_hairpins,
 
     mo, b0lo = _merge_outside(close, pmats, LENp, extL, glob, ebp, mbbp)
     mo8 = {k: ilv(v) for k, v in mo.items()}
-    vec_o = jnp.concatenate(
-        [_bcast_rows(N, logmbu), ilv(b0lo[:, None, :])], axis=1
-    )
+    if aged:
+        vec_o = jnp.concatenate(
+            [_bcast_rows(N, logmbu, sig1), ilv(b0lo[:, None, :])], axis=1
+        )
+    else:
+        vec_o = jnp.concatenate(
+            [_bcast_rows(N, logmbu), ilv(b0lo[:, None, :])], axis=1
+        )
     ONEP8 = ilv(ONEP)
     QONE8 = dup2(ilv(QONE))
     EXTR8 = ilv(extR[:, None, :])
@@ -601,6 +978,47 @@ def _prob8_run_body(seqs, ns, ct, ln_sigma, N, allows_short_hairpins,
         return mo8, ONEP8, QONE8, EXTR8, vec_o
 
     min_span = 2 if allows_short_hairpins else MIN_SPAN_HAIRPIN_CLOSE
+    if aged:
+        kernel_o = functools.partial(
+            _outside8a_kernel, N=N, min_span=min_span
+        )
+        bppo8 = pl.pallas_call(
+            kernel_o,
+            grid=(K,),
+            in_specs=[
+                _SMEM_SPEC,
+                _nn(3 * G, N),
+                *(_nn(NG, N) for _ in range(9)),
+                _nn(NG, 2 * N),                    # ONEP
+                _nn(2 * NG, N),                    # QONE (fam-duplicated)
+                _nn(G, 2 * N),                     # EXTR
+                pl.BlockSpec(
+                    (1, 32, 32), lambda b: (0, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                _nn(1, G * SW),
+            ],
+            out_specs=_nn(NG, N),
+            out_shape=jax.ShapeDtypeStruct((K, NG, N), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((4 * G, N + LPAD), jnp.float32),     # OGS (mini)
+                pltpu.VMEM((40, G * SW), jnp.float32),          # WINL
+                pltpu.VMEM((G, N), jnp.float32),                # TWO8
+                pltpu.VMEM((NG, N), jnp.float32),               # XS
+                pltpu.VMEM((2 * NG, N), jnp.float32),           # RP2
+                pltpu.VMEM((NG, 2 * N), jnp.float32),           # SONEF
+                pltpu.VMEM((G, 2 * N), jnp.float32),            # REXT
+                pltpu.VMEM((G, N), jnp.float32),                # P2SC
+                pltpu.VMEM((G, N + 8), jnp.float32),            # QASC
+            ],
+            interpret=interpret,
+        )(
+            scal, vec_o,
+            mo8["CLOSE"], mo8["MBC"], mo8["ACCB"], mo8["ACCMB"], mo8["STKO"],
+            mo8["I11O"], mo8["B0RO"], mo8["JRB"], mo8["JSN"],
+            ONEP8, QONE8, EXTR8, KBIG, SIGL,
+        )
+        return dilv(bppo8), glob
     kernel_o = functools.partial(_outside8_kernel, N=N, min_span=min_span)
     bppo8 = pl.pallas_call(
         kernel_o,
@@ -665,11 +1083,10 @@ def _turner_inside8_kernel(
     H, MBC, ACC, AUGC, TMO1C, TMO2C, TMO3C,  # (1, N*8, N) merged
     SP00, SP01, SP10, SP11, SP12, SP21, SP22,
     AUGT, TMI1, TMI2, TMI3,
-    KI,                                      # (1, 256, 256)
+    KI,                                      # (1, 256, 256) / (1, 32, 32) aged
     WCOLS,                                   # (1, 4*32*G, 8) weight columns
-    close_out, ext_out, one_out,
-    CAW, GW1, GW2, GW3, FQ2, EO, mbS, S1SC,
-    *, N,
+    *rest,
+    N, aged=False,
 ):
     """Paired-history-buffer tail as in :func:`_inside8_kernel` (round 3):
     rm|rmmb ride ``FQ2`` and ext|one ride ``EO`` at 2G striping.
@@ -682,7 +1099,19 @@ def _turner_inside8_kernel(
     over a +c-block offset slice (diagonal arm), with the per-sequence
     weights delivered as interleaved columns in ``WCOLS``
     [kb_col; kb_diag; k2_col; k2_diag].  Only the genuinely 2-D generic
-    interior region (KI) keeps its matmul."""
+    interior region (KI) keeps its matmul.
+
+    Round-4 ``aged`` variant: GW1 (the KI matmul window) moves to the
+    lane-major aged layout (see ``_WINDOW_MODE``); KI is common across
+    sequences; the residual sigma^-1 on the matmul result reuses EU1
+    (Turner external_unpair = 0, so EU1 == exp(-ln_sigma))."""
+    if aged:
+        (SIGL, close_out, ext_out, one_out,
+         CAW, GW1, GW2, GW3, FQ2, EO, mbS, S1SC, TWO8) = rest
+        sig = SIGL[0, pl.ds(0, 1), :]
+    else:
+        (close_out, ext_out, one_out,
+         CAW, GW1, GW2, GW3, FQ2, EO, mbS, S1SC) = rest
     n_i = SCAL[0, 0, 7].astype(jnp.int32)
     EU1 = VEC[0, pl.ds(0, G), :]
     EBP = VEC[0, pl.ds(G, G), :]
@@ -720,9 +1149,16 @@ def _turner_inside8_kernel(
             CAW[pl.ds(G, W32), :] * wdb, N, 1
         )
         two = _blk(AUGC, d) * kb_sum
-        two = two + _blk(TMO1C, d) * _skew_extract_sum8(
-            _band_mm8(KI, GW1), N, 1
-        )
+        if aged:
+            kiw = KI[0, pl.ds(0, 32), pl.ds(0, 32)]
+            ki_term = EU1 * _lm_to_blk(
+                TWO8,
+                _skew_lane_asc(PP._mm_prec(kiw, GW1[pl.ds(0, 32), :])),
+                N,
+            )
+        else:
+            ki_term = _skew_extract_sum8(_band_mm8(KI, GW1), N, 1)
+        two = two + _blk(TMO1C, d) * ki_term
         k2_sum = _tree8(GW2[pl.ds(0, W32), :] * wc2)[:, 2:2 + N]
         k2_sum = k2_sum + _skew_extract_sum8(
             GW2[pl.ds(2 * G, W32), :] * wd2, N, 1
@@ -794,7 +1230,10 @@ def _turner_inside8_kernel(
 
         g = close_new * _blk(AUGT, d)
         _shift_insert8(CAW, g)
-        _shift_insert8(GW1, g * _blk(TMI1, d))
+        if aged:
+            _winl_insert(GW1, g * _blk(TMI1, d), N, sig)
+        else:
+            _shift_insert8(GW1, g * _blk(TMI1, d))
         _shift_insert8(GW2, g * _blk(TMI2, d))
         _shift_insert8(GW3, g * _blk(TMI3, d))
         return (rm_new, rmmb_new, epow)
@@ -813,15 +1252,23 @@ def _turner_outside8_kernel(
     ONEP, QONE, EXTR,
     KI,
     WCOLS,
-    bppo_out,
-    OG, GW1, GW2, GW3, XS, RP2, SONEF, REXT, P2SC, QASC,
-    *, N, min_span,
+    *rest,
+    N, min_span, aged=False,
 ):
     """pm|pm2 history rides one 2G-striped buffer RP2 (see
     :func:`_inside8_kernel`); QONE arrives fam-duplicated at 2G striping;
     the KB/K2 window matmuls are decomposed into column + diagonal arms
     (see :func:`_turner_inside8_kernel`), here with the descending lane
-    direction of the outside windows."""
+    direction of the outside windows.  ``aged``: GW1 is the lane-major
+    aged KI window; the residual sigma^-1 reuses MBU1 = exp(-ln_sigma)
+    (Turner multibranch_unpair = 0)."""
+    if aged:
+        (SIGL, bppo_out,
+         OG, GW1, GW2, GW3, XS, RP2, SONEF, REXT, P2SC, QASC, TWO8) = rest
+        sig = SIGL[0, pl.ds(0, 1), :]
+    else:
+        (bppo_out,
+         OG, GW1, GW2, GW3, XS, RP2, SONEF, REXT, P2SC, QASC) = rest
     n_i = SCAL[0, 0, 7].astype(jnp.int32)
     LOGMBU = VEC[0, pl.ds(0, G), :]
     LENI32 = VEC[0, pl.ds(G, G), :]
@@ -865,9 +1312,18 @@ def _turner_outside8_kernel(
             OG[pl.ds(G, W32), :] * wdb, N, 31, descending=True
         )
         two = _blk(AUGT, d) * kb_sum
-        two = two + _blk(TMI1C, d) * _skew_extract_sum8(
-            _band_mm8(KI, GW1), N, 31, descending=True
-        )
+        if aged:
+            kiw = KI[0, pl.ds(0, 32), pl.ds(0, 32)]
+            ki_term = MBU1 * _lm_to_blk(
+                TWO8,
+                _skew_lane_desc(PP._mm_prec(kiw, GW1[pl.ds(0, 32), :])),
+                N,
+            )
+        else:
+            ki_term = _skew_extract_sum8(
+                _band_mm8(KI, GW1), N, 31, descending=True
+            )
+        two = two + _blk(TMI1C, d) * ki_term
         k2_sum = _tree8(GW2[pl.ds(0, W32), :] * wc2)[:, 30:30 + N]
         k2_sum = k2_sum + _skew_extract_sum8(
             GW2[pl.ds(2 * G, W32), :] * wd2, N, 31, descending=True
@@ -931,7 +1387,10 @@ def _turner_outside8_kernel(
 
             g2 = bppo_new * _blk(AUGT, d) * inv_close
             _shift_insert8(OG, g2, lane_off=32)
-            _shift_insert8(GW1, g2 * _blk(TMO1, d), lane_off=32)
+            if aged:
+                _winl_insert(GW1, g2 * _blk(TMO1, d), N, sig, lane_off=32)
+            else:
+                _shift_insert8(GW1, g2 * _blk(TMO1, d), lane_off=32)
             _shift_insert8(GW2, g2 * _blk(TMO2, d), lane_off=32)
             _shift_insert8(GW3, g2 * _blk(TMO3, d), lane_off=32)
             g_row = bppo_new * _blk(MBC, d) * inv_close
@@ -1030,10 +1489,21 @@ def _turner_prob8_run_body(seqs, ns, tt, ln_sigma, N, interpret):
     B = seqs.shape[0]
     K = B // G
     NG = N * G
+    aged = _WINDOW_MODE == "aged"
     pmats = PP.turner_prob_mats(seqs, ns, tt, ln_sigma, N)
     LENBp, LENIp = PP._turner_len_prob(tt, ln_sigma)
     KBb, K2b, KIb = PP._turner_banded_kernels(LENBp, LENIp)
-    KI8 = _kbig(KIb)
+    if aged:
+        SW = _seg(N)
+        LENB_log, LENI_log = PF._turner_len_di(tt)
+        _, _, KI8 = PP._turner_banded_kernels(
+            jnp.exp(LENB_log)[None], jnp.exp(LENI_log)[None]
+        )
+        SIGL = jnp.broadcast_to(
+            jnp.exp(-ln_sigma).reshape(K, G, 1), (K, G, SW)
+        ).reshape(K, 1, G * SW)
+    else:
+        KI8 = _kbig(KIb)
     WCOLS8 = _wcols8(KBb, K2b)
     scal, n_max = _group_scal(ns, B)
 
@@ -1047,10 +1517,23 @@ def _turner_prob8_run_body(seqs, ns, tt, ln_sigma, N, interpret):
 
     mi = {k: ilv(v) for k, v in _turner_merge_inside(pmats).items()}
 
-    kernel = functools.partial(_turner_inside8_kernel, N=N)
+    kernel = functools.partial(_turner_inside8_kernel, N=N, aged=aged)
     out_shape = tuple(
         jax.ShapeDtypeStruct((K, NG, N), jnp.float32) for _ in range(3)
     )
+    if aged:
+        ki_spec = pl.BlockSpec(
+            (1, 32, 32), lambda b: (0, 0, 0), memory_space=pltpu.VMEM
+        )
+        extra_in_specs = [ki_spec, _nn(4 * 32 * G, 8), _nn(1, G * SW)]
+        extra_inputs = (KI8, WCOLS8, SIGL)
+        gw1_scratch = pltpu.VMEM((40, G * SW), jnp.float32)
+        extra_scratch = [pltpu.VMEM((G, N), jnp.float32)]     # TWO8
+    else:
+        extra_in_specs = [_nn(32 * G, 32 * G), _nn(4 * 32 * G, 8)]
+        extra_inputs = (KI8, WCOLS8)
+        gw1_scratch = pltpu.VMEM((WBT, N + LPAD), jnp.float32)
+        extra_scratch = []
     close8, ext8, one8 = pl.pallas_call(
         kernel,
         grid=(K,),
@@ -1058,20 +1541,20 @@ def _turner_prob8_run_body(seqs, ns, tt, ln_sigma, N, interpret):
             _SMEM_SPEC,
             _nn(7 * G, N),
             *(_nn(NG, N) for _ in range(18)),
-            _nn(32 * G, 32 * G),
-            _nn(4 * 32 * G, 8),
+            *extra_in_specs,
         ],
         out_specs=(_nn(NG, N), _nn(NG, N), _nn(NG, N)),
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((WBT, N + LPAD), jnp.float32),       # CAW
-            pltpu.VMEM((WBT, N + LPAD), jnp.float32),       # GW1
+            gw1_scratch,                                    # GW1
             pltpu.VMEM((WBT, N + LPAD), jnp.float32),       # GW2
             pltpu.VMEM((WBT, N + LPAD), jnp.float32),       # GW3
             pltpu.VMEM((2 * NG, N + 8), jnp.float32),       # FQ2 (rm|rmmb)
             pltpu.VMEM((2 * NG + 2 * G, N), jnp.float32),   # EO (ext|one)
             pltpu.VMEM((2 * G, N + 8), jnp.float32),        # mbS
             pltpu.VMEM((G, N + 8), jnp.float32),            # S1SC
+            *extra_scratch,
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -1080,7 +1563,7 @@ def _turner_prob8_run_body(seqs, ns, tt, ln_sigma, N, interpret):
     )(
         scal, vec_i,
         *(mi[k] for k in _TI_NAMES),
-        KI8, WCOLS8,
+        *extra_inputs,
     )
 
     close, ext, one = dilv(close8), dilv(ext8), dilv(one8)
@@ -1101,7 +1584,8 @@ def _turner_prob8_run_body(seqs, ns, tt, ln_sigma, N, interpret):
     EXTR8 = ilv(extR[:, None, :])
 
     kernel_o = functools.partial(
-        _turner_outside8_kernel, N=N, min_span=MIN_SPAN_HAIRPIN_CLOSE
+        _turner_outside8_kernel, N=N, min_span=MIN_SPAN_HAIRPIN_CLOSE,
+        aged=aged,
     )
     bppo8 = pl.pallas_call(
         kernel_o,
@@ -1113,14 +1597,13 @@ def _turner_prob8_run_body(seqs, ns, tt, ln_sigma, N, interpret):
             _nn(NG, 2 * N),                    # ONEP
             _nn(2 * NG, N),                    # QONE (fam-duplicated)
             _nn(G, 2 * N),                     # EXTR
-            _nn(32 * G, 32 * G),
-            _nn(4 * 32 * G, 8),
+            *extra_in_specs,
         ],
         out_specs=_nn(NG, N),
         out_shape=jax.ShapeDtypeStruct((K, NG, N), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((WBT, N + LPAD), jnp.float32),       # OG
-            pltpu.VMEM((WBT, N + LPAD), jnp.float32),       # GW1
+            gw1_scratch,                                    # GW1
             pltpu.VMEM((WBT, N + LPAD), jnp.float32),       # GW2
             pltpu.VMEM((WBT, N + LPAD), jnp.float32),       # GW3
             pltpu.VMEM((NG, N), jnp.float32),               # XS
@@ -1129,6 +1612,7 @@ def _turner_prob8_run_body(seqs, ns, tt, ln_sigma, N, interpret):
             pltpu.VMEM((G, 2 * N), jnp.float32),            # REXT
             pltpu.VMEM((G, N), jnp.float32),                # P2SC
             pltpu.VMEM((G, N + 8), jnp.float32),            # QASC
+            *extra_scratch,
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -1138,7 +1622,7 @@ def _turner_prob8_run_body(seqs, ns, tt, ln_sigma, N, interpret):
         scal, vec_o,
         *(mo8[k] for k in _TO_NAMES),
         ONEP8, QONE8, EXTR8,
-        KI8, WCOLS8,
+        *extra_inputs,
     )
     return dilv(bppo8), glob
 
