@@ -489,20 +489,11 @@ def _contra_outside_kernel(
 # Host-side preparation
 # ---------------------------------------------------------------------------
 
-def contra_precompute_di(seqs, ns, ct, N):
-    """Per-sequence [d, i]-layout score matrices for BOTH kernels (one pass:
-    the outside pass reuses MBC/ACC/JS/JB and only adds the mirrored
-    stack/0x1/1x1 grids).
-
-    Three phases (see turner_precompute_di): vmapped position-separable
-    one-hot MXU contractions in [p, q] (ops.lut.sep_lookup), ONE fused
-    Pallas diagonal re-layout (ops.pallas_skew.skew_pq_batch), then batched
-    [d, i] assembly.  Cells past the matrix edge (i + d >= N) take the skew
-    fill (0.0, finite) instead of the PSEUDO-row table value; every such
-    cell is killed by the CANON / close = -inf masks in the kernels, and
-    the fill keeps the finite-or-(-inf) lse_pair operand contract."""
-    from .pallas_skew import skew_pq_batch
-
+def contra_pq_tables(seqs, ns, ct, N):
+    """Vmapped [p, q]-layout log score tables (phase 1 of
+    contra_precompute_di): (pq dict, vb0_m1, vb0_x1).  Exposed so the
+    merged probability-space precompute (pallas_fold_prob8) can fold its
+    merges into pq space BEFORE the skew."""
     hc = ct["helix_close_scores"]
     tm = ct["terminal_mismatch_scores"]
     dl = ct["dangling_scores_left"]
@@ -569,7 +560,26 @@ def contra_precompute_di(seqs, ns, ct, N):
         }
         return pq, vb0_m1, vb0_x1
 
-    pq, vb0_m1, vb0_x1 = jax.vmap(one_pq)(seqs, ns)
+    return jax.vmap(one_pq)(seqs, ns)
+
+
+def contra_precompute_di(seqs, ns, ct, N):
+    """Per-sequence [d, i]-layout score matrices for BOTH kernels (one pass:
+    the outside pass reuses MBC/ACC/JS/JB and only adds the mirrored
+    stack/0x1/1x1 grids).
+
+    Three phases (see turner_precompute_di): vmapped position-separable
+    one-hot MXU contractions in [p, q] (ops.lut.sep_lookup,
+    contra_pq_tables), ONE fused Pallas diagonal re-layout
+    (ops.pallas_skew.skew_pq_batch), then batched [d, i] assembly.  Cells
+    past the matrix edge (i + d >= N) take the skew fill (0.0, finite)
+    instead of the PSEUDO-row table value; every such cell is killed by
+    the CANON / close = -inf masks in the kernels, and the fill keeps the
+    finite-or-(-inf) lse_pair operand contract."""
+    from .pallas_skew import skew_pq_batch
+
+    B = seqs.shape[0]
+    pq, vb0_m1, vb0_x1 = contra_pq_tables(seqs, ns, ct, N)
     names = sorted(pq)
     skewed = skew_pq_batch([pq[k] for k in names])       # [p, d] each
     sk = {

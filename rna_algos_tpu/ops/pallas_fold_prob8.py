@@ -55,10 +55,15 @@ import os as _os_g
 # Sequences stacked per grid step.  8 = one f32 vreg of sublanes per row
 # block (round 1-3).  With the aged lane-major window (see _WINDOW_MODE
 # below) the striped-matmul dilution objection to deeper stacking is gone
-# — the common-kernel matmul just gets wider — so G=16 halves the number
-# of (issue-bound) span steps at 2 vregs per block op.  Must divide into
-# 8-aligned row blocks (Mosaic dynamic multi-row loads).
-G = int(_os_g.environ.get("RNA_ALGOS_G", "8"))
+# — the common-kernel matmul just gets wider — and with the span-chunked
+# table streaming plus vmem_limit_bytes raised past the ~16 MB scoped
+# default, deeper stacking fits: measured tRNA-headline CONTRA seqs/s
+# 18.6k (G=8) / 21.6k (16) / 22.5k (32, default) / 22.6k (64 — saturated),
+# Turner 11.2k / 11.7k / 12.5k, all bit-identical across G.  Outputs are
+# exactly G-invariant because every reduction pairs rows of equal
+# (family, sequence).  Must be a multiple of 8 (Mosaic dynamic multi-row
+# loads are 8-aligned); batches pad to a multiple of G at dispatch.
+G = int(_os_g.environ.get("RNA_ALGOS_G", "32"))
 if G % 8 or G < 8:
     raise ValueError(f"RNA_ALGOS_G must be a positive multiple of 8, got {G}")
 WB = 33 * G       # window scratch rows: insert block + 32 aged read blocks
@@ -396,21 +401,27 @@ def _inside8_kernel(
 
 def _inside8a_kernel(
     SCAL,                                    # (1, 1, 8) SMEM: [7] = max n
-    VEC,                                     # (1, 40, N): eu1 ebp mbu1 mbbp logmbu
-    H, MBC, ACC, JS, STK, I11, B0R, B0L, JB,  # (1, N*8, N) merged [d*8+g, i]
+    VEC,                                     # (1, 6G, N): eu1 ebp mbu1 mbbp logmbu sig1
+    H, MBC, ACC, JS, STK, I11, B0R, B0L, JB,  # (1, R*G, N) chunk blocks
     KC,                                      # (1, 32, 32) common banded kernel
-    SIGL,                                    # (1, 8, 8*SW) sigma^-1 lane rows
-    close_out, ext_out, one_out,             # (1, N*8, N)
-    CJS, WINL, TWO8, FQ2, EO, mbS, S1SC,
-    *, N,
+    SIGL,                                    # (1, 1, G*SW) sigma^-1 lane row
+    close_out, ext_out, one_out,             # (1, R*G, N) chunk blocks
+    CJS, WINL, TWO8, FQ2, EO, mbS, S1SC, CARRY,
+    *, N, R,
 ):
     """Aged lane-major window variant of :func:`_inside8_kernel`.
 
-    Identical span recurrences; only the banded 2-loop window path
-    changes: the matmul operand is the lane-major aged scratch ``WINL``
-    (see the module-level ``_WINDOW_MODE`` note), the kernel ``KC`` is
-    common across sequences, and the 4 explicit special cells read the
-    4-block sublane mini-window ``CJS``."""
+    Identical span recurrences; the banded 2-loop window path changes:
+    the matmul operand is the lane-major aged scratch ``WINL`` (see the
+    module-level ``_WINDOW_MODE`` note), the kernel ``KC`` is common
+    across sequences, and the 4 explicit special cells read the 4-block
+    sublane mini-window ``CJS``.  The grid is (K, N // R): score tables
+    and outputs stream per R-span chunk (the chunked-tier pattern,
+    pallas_fold_prob._contra_inside_prob_kernel_chunked) while the DP
+    state scratches persist across grid steps — which caps the VMEM
+    working set and admits G = 16 stacking."""
+    c = pl.program_id(1)
+    base = c * R
     n_i = SCAL[0, 0, 7].astype(jnp.int32)
     EU1 = VEC[0, pl.ds(0, G), :]
     EBP = VEC[0, pl.ds(G, G), :]
@@ -418,41 +429,48 @@ def _inside8a_kernel(
     MBBP = VEC[0, pl.ds(3 * G, G), :]
     SIG1 = VEC[0, pl.ds(5 * G, G), :]   # exp(-ln_sigma) per sequence
 
-    for buf in (CJS, WINL, FQ2, EO, mbS):
-        buf[:] = jnp.zeros_like(buf[:])
-    EO[pl.ds(0, G), :] = jnp.ones((G, N), jnp.float32)  # ext(i, i-1) = 1
+    @pl.when(c == 0)
+    def _init():
+        for buf in (CJS, WINL, FQ2, EO, mbS, S1SC):
+            buf[:] = jnp.zeros_like(buf[:])
+        EO[pl.ds(0, G), :] = jnp.ones((G, N), jnp.float32)  # ext(i,i-1)=1
+
+    # dead spans must still produce deterministic (zero) output rows
     close_out[0] = jnp.zeros_like(close_out[0])
     ext_out[0] = jnp.zeros_like(ext_out[0])
     one_out[0] = jnp.zeros_like(one_out[0])
-    S1SC[:] = jnp.zeros_like(S1SC[:])
 
     G2 = 2 * G
     NG = N * G
     sub2 = jax.lax.broadcasted_iota(jnp.int32, (2 * NG, 1), 0)
     tb2_full = sub2 // G2
     fam0_full = (sub2 // G) % 2 == 0
-    zero_blk = jnp.zeros((G, N), jnp.float32)
     kw = KC[0, pl.ds(0, 32), pl.ds(0, 32)]
     sig = SIGL[0, pl.ds(0, 1), :]
+    first = c == 0
+    rm0 = jnp.where(first, 0.0, CARRY[pl.ds(0, G), :])
+    rmmb0 = jnp.where(first, 0.0, CARRY[pl.ds(G, G), :])
+    epow0 = jnp.where(first, 1.0, CARRY[pl.ds(2 * G, G), :])
 
     def span_step(d, carry):
         rm_prev, rmmb_prev, epow_prev = carry
+        dl = d - base
 
-        js_blk = _blk(JS, d)
+        js_blk = _blk(JS, dl)
         OUT = PP._mm_prec(kw, WINL[pl.ds(0, 32), :])
         two = (js_blk * SIG1) * _lm_to_blk(TWO8, _skew_lane_asc(OUT), N)
-        two = two + _blk(STK, d) * CJS[pl.ds(G, G), pl.ds(1, N)]
-        two = two + _blk(B0R, d) * CJS[pl.ds(2 * G, G), pl.ds(1, N)]
-        two = two + _blk(B0L, d) * CJS[pl.ds(2 * G, G), pl.ds(2, N)]
-        two = two + _blk(I11, d) * CJS[pl.ds(3 * G, G), pl.ds(2, N)]
+        two = two + _blk(STK, dl) * CJS[pl.ds(G, G), pl.ds(1, N)]
+        two = two + _blk(B0R, dl) * CJS[pl.ds(2 * G, G), pl.ds(1, N)]
+        two = two + _blk(B0L, dl) * CJS[pl.ds(2 * G, G), pl.ds(2, N)]
+        two = two + _blk(I11, dl) * CJS[pl.ds(3 * G, G), pl.ds(2, N)]
         mb_in = mbS[pl.ds(G, G), pl.ds(1, N)]
-        mb_term = jnp.where(d >= 2, mb_in * _blk(MBC, d), 0.0)
-        close_new = _blk(H, d) + two + mb_term
+        mb_term = jnp.where(d >= 2, mb_in * _blk(MBC, dl), 0.0)
+        close_new = _blk(H, dl) + two + mb_term
         close_new = jnp.where(
             d + 1 >= MIN_SPAN_HAIRPIN_CLOSE, close_new, 0.0
         )
-        close_out[0, pl.ds(d * G, G), :] = close_new
-        acc_new = close_new * _blk(ACC, d)
+        close_out[0, pl.ds(dl * G, G), :] = close_new
+        acc_new = close_new * _blk(ACC, dl)
 
         rm_new = rm_prev * EU1 + acc_new * EBP
         rmmb_new = rmmb_prev * MBU1 + acc_new * MBBP
@@ -462,8 +480,11 @@ def _inside8a_kernel(
             h2 = ht * G2
             tb = tb2_full[:h2]
             fam0 = fam0_full[:h2]
-            shifted = FQ2[pl.ds(0, h2 - G2), pl.ds(1, N + 7)]
-            FQ2[pl.ds(G2, h2 - G2), pl.ds(0, N + 7)] = shifted
+            shifted = FQ2[pl.ds(0, h2 - G2), pl.ds(1, N - 1)]
+            FQ2[pl.ds(G2, h2 - G2), pl.ds(0, N - 1)] = shifted
+            FQ2[pl.ds(G2, h2 - G2), pl.ds(N - 1, 1)] = jnp.zeros(
+                (h2 - G2, 1), jnp.float32
+            )
             FQ2[pl.ds(0, G), pl.ds(0, N)] = rm_new
             FQ2[pl.ds(G, G), pl.ds(0, N)] = rmmb_new
 
@@ -475,7 +496,7 @@ def _inside8a_kernel(
             red = _tree_to(terms, G2)    # (2G, N): [ext(G); mb(G)]
             ext_new = epow + red[:G]
             s2 = red[G:]
-            ext_out[0, pl.ds(d * G, G), :] = ext_new
+            ext_out[0, pl.ds(dl * G, G), :] = ext_new
 
             s1v = MBU1 * (
                 FQ2[pl.ds(3 * G, G), pl.ds(0, N)]
@@ -485,7 +506,7 @@ def _inside8a_kernel(
             one_new = rmmb_new + s1v + s2
             mbS[pl.ds(G, G), :] = mbS[pl.ds(0, G), :]
             mbS[pl.ds(0, G), pl.ds(0, N)] = s2
-            one_out[0, pl.ds(d * G, G), :] = one_new
+            one_out[0, pl.ds(dl * G, G), :] = one_new
             EO[pl.ds((d + 1) * G2, G), :] = ext_new
             EO[pl.ds((d + 1) * G2 + G, G), :] = one_new
 
@@ -495,14 +516,17 @@ def _inside8a_kernel(
             pl.when(cond)(functools.partial(tail, ht))
             prev = ht
 
-        ins = close_new * _blk(JB, d)
+        ins = close_new * _blk(JB, dl)
         _shift_insert8(CJS, ins)
         _winl_insert(WINL, ins, N, sig)
         return (rm_new, rmmb_new, epow)
 
-    lax.fori_loop(
-        0, n_i, span_step, (zero_blk, zero_blk, jnp.ones((G, N), jnp.float32))
+    rm, rmmb, epow = lax.fori_loop(
+        base, jnp.minimum(base + R, n_i), span_step, (rm0, rmmb0, epow0)
     )
+    CARRY[pl.ds(0, G), :] = rm
+    CARRY[pl.ds(G, G), :] = rmmb
+    CARRY[pl.ds(2 * G, G), :] = epow
 
 
 # ---------------------------------------------------------------------------
@@ -639,36 +663,41 @@ def _outside8_kernel(
 
 def _outside8a_kernel(
     SCAL,                                    # (1, 1, 8) SMEM: [7] = max n
-    VEC,                                     # (1, 16, N): logmbu, b0lo'
-    CLOSE, MBC, ACCB, ACCMB, STKO, I11O, B0RO, JRB, JSN,  # (1, N*8, N)
+    VEC,                                     # (1, 3G, N): logmbu, sig1, b0lo'
+    CLOSE, MBC, ACCB, ACCMB, STKO, I11O, B0RO, JRB, JSN,  # (1, R*G, N)
     ONEP,                                    # (1, N*8, 2N) pre-rotated
     QONE,                                    # (1, N*8, N)
     EXTR,                                    # (1, 8, 2N) pre-rotated
     KC,                                      # (1, 32, 32) common banded kernel
-    SIGL,                                    # (1, 8, 8*SW)
-    bppo_out,                                # (1, N*8, N)
+    SIGL,                                    # (1, 1, G*SW)
+    bppo_out,                                # (1, R*G, N) chunk blocks
     OGS, WINL, TWO8, XS, RP2, SONEF, REXT, P2SC, QASC,
-    *, N, min_span,
+    *, N, R, min_span,
 ):
     """Aged lane-major window variant of :func:`_outside8_kernel` (see
     :func:`_inside8a_kernel`); the outside window geometry inserts at a
     +32 per-segment lane offset and extracts descending (base 31).
-    VEC layout (aged): [logmbu; sig1; b0lo']."""
+    Grid (K, N // R): chunk c covers steps [c*R, (c+1)*R), i.e. spans
+    DECREASE across chunks, so the span-indexed table blocks arrive in
+    reverse chunk order (index map C-1-c).  VEC: [logmbu; sig1; b0lo']."""
+    c = pl.program_id(1)
     n_i = SCAL[0, 0, 7].astype(jnp.int32)
     LOGMBU = VEC[0, pl.ds(0, G), :]
     SIG1 = VEC[0, pl.ds(G, G), :]
     B0LOv = VEC[0, pl.ds(2 * G, G), :]
-
-    for buf in (OGS, WINL, XS, RP2):
-        buf[:] = jnp.zeros_like(buf[:])
-    bppo_out[0] = jnp.zeros_like(bppo_out[0])
     G2 = 2 * G
     NG = N * G
-    SONEF[pl.ds(0, NG), :] = ONEP[0, pl.ds(0, NG), :]
-    REXT[pl.ds(0, G), :] = EXTR[0, pl.ds(0, G), :]
-    P2SC[:] = jnp.zeros_like(P2SC[:])
-    QASC[:] = jnp.zeros_like(QASC[:])
+
+    @pl.when(c == 0)
+    def _init():
+        for buf in (OGS, WINL, XS, RP2, P2SC, QASC):
+            buf[:] = jnp.zeros_like(buf[:])
+        SONEF[pl.ds(0, NG), :] = ONEP[0, pl.ds(0, NG), :]
+        REXT[pl.ds(0, G), :] = EXTR[0, pl.ds(0, G), :]
+
+    bppo_out[0] = jnp.zeros_like(bppo_out[0])
     MBU1 = jnp.exp(LOGMBU)
+    baseo = N - (c + 1) * R   # d offset of this chunk's table blocks
 
     sub2 = jax.lax.broadcasted_iota(jnp.int32, (2 * NG, 1), 0)
     tb2_full = sub2 // G2
@@ -679,27 +708,28 @@ def _outside8a_kernel(
     def span_step(step, carry):
         d = N - 1 - step
         k = step - (N - n_i)
+        dl = d - baseo
         span_ok = (d + 1) >= min_span
 
-        close_blk = _blk(CLOSE, d)
+        close_blk = _blk(CLOSE, dl)
         pos = close_blk > 0.0
         inv_close = jnp.where(
             pos, 1.0 / jnp.where(pos, close_blk, 1.0), 0.0
         )
         rt = REXT[pl.ds(0, G), pl.ds(0, N)]
-        base = close_blk * _blk(ACCB, d) * rt
+        base = close_blk * _blk(ACCB, dl) * rt
 
-        jrb_blk = _blk(JRB, d)
+        jrb_blk = _blk(JRB, dl)
         OUT = PP._mm_prec(kw, WINL[pl.ds(0, 32), :])
         two = (jrb_blk * SIG1) * _lm_to_blk(TWO8, _skew_lane_desc(OUT), N)
-        two = two + _blk(STKO, d) * OGS[pl.ds(G, G), pl.ds(31, N)]
-        two = two + _blk(B0RO, d) * OGS[pl.ds(2 * G, G), pl.ds(31, N)]
+        two = two + _blk(STKO, dl) * OGS[pl.ds(G, G), pl.ds(31, N)]
+        two = two + _blk(B0RO, dl) * OGS[pl.ds(2 * G, G), pl.ds(31, N)]
         two = two + jrb_blk * B0LOv * OGS[pl.ds(2 * G, G), pl.ds(30, N)]
-        two = two + _blk(I11O, d) * OGS[pl.ds(3 * G, G), pl.ds(30, N)]
+        two = two + _blk(I11O, dl) * OGS[pl.ds(3 * G, G), pl.ds(30, N)]
         two = two * close_blk
-        acc_mb = close_blk * _blk(ACCMB, d)
-        jsn_blk = _blk(JSN, d)
-        mbc_blk = _blk(MBC, d)
+        acc_mb = close_blk * _blk(ACCMB, dl)
+        jsn_blk = _blk(JSN, dl)
+        mbc_blk = _blk(MBC, dl)
 
         def tail(ht):
             hg = ht * G
@@ -737,7 +767,7 @@ def _outside8a_kernel(
 
             bppo_new = base + two + mb_ctx
             bppo_new = jnp.where(pos & span_ok, bppo_new, 0.0)
-            bppo_out[0, pl.ds(d * G, G), :] = bppo_new
+            bppo_out[0, pl.ds(dl * G, G), :] = bppo_new
 
             g2 = bppo_new * jsn_blk * inv_close
             _shift_insert8(OGS, g2, lane_off=32)
@@ -765,7 +795,9 @@ def _outside8a_kernel(
             prev = ht
         return carry
 
-    lax.fori_loop(N - n_i, N, span_step, 0)
+    lax.fori_loop(
+        jnp.maximum(c * R, N - n_i), (c + 1) * R, span_step, 0
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -837,6 +869,108 @@ def _merge_outside(close, pmats, LENp, extL, glob, ebp, mbbp):
     }, len01[:, 0] * pmats["B0LO"]
 
 
+def contra_prob_mats_merged(seqs, ns, ct, ln_sigma, N, interpret=False):
+    """Merged probability-space precompute for the stacked aged kernels.
+
+    Folds every _merge_inside / _merge_outside product (and the sigma-span
+    powers, LEN specials and CANON masks) into [p, q] LOG space BEFORE the
+    diagonal re-layout, so the whole table pipeline is: pq assembly (SEP
+    sums + iota sigma terms, one fused XLA pass per table) -> exp -> ONE
+    fused Pallas skew of the 11 distinct merged tables -> transpose.  The
+    round-3 pipeline ran skew(8 log tables) -> transpose -> exp(13) ->
+    merge(9 products) -> interleave, each a separate HBM round trip —
+    profiled at ~5.6 ms of the 14 ms stage-split batch (the largest stage
+    after the aged-window kernels).
+
+    Returns (mi, mo_pre, ACC_di, b0lo): the inside merged [d, i] tables,
+    the precompute-only outside merged tables (ACCB and CLOSE need the
+    inside DP results and are assembled by the caller), the raw
+    probability-space ACC grid, and the outside b0lo lane vector.
+    Validated against the round-3 pipeline in interpret mode (identical
+    kernel outputs) and by the hardware goldens."""
+    from .pallas_skew import skew_pq_batch
+
+    pq, vb0_m1, vb0_x1 = PF.contra_pq_tables(seqs, ns, ct, N)
+    LENlog = PF._contra_len_di(ct)  # (W2, W) [b, a] log constants
+    len11_log = LENlog[1, 1]
+    len10_log = LENlog[1, 0]
+    len01_log = LENlog[0, 1]
+    hp_cum = ct["hairpin_scores_len_cumulative"]
+    MAXL = hp_cum.shape[0] - 1
+
+    def one(pqd, v_m1, v_x1, ls):
+        p = jnp.arange(N)[:, None]
+        q = jnp.arange(N)[None, :]
+        span = (q - p + 1).astype(jnp.float32)
+        canon = pqd["CANON"]
+        JS, JB = pqd["JS"], pqd["JB"]
+        STK, I11 = pqd["STK"], pqd["I11"]
+        hlen = q - p - 1
+
+        def sh(M, dp, dq):
+            """M[p+dp, q+dq], 0.0 (log) fill — matches shift_b semantics."""
+            r = jnp.roll(M, (-dp, -dq), axis=(0, 1))
+            ok = (
+                (p + dp >= 0) & (p + dp < N) & (q + dq >= 0) & (q + dq < N)
+            )
+            return jnp.where(ok, r, 0.0)
+
+        e = jnp.exp
+        qi = jnp.arange(N)
+        vq2 = jnp.where(qi + 2 < N, jnp.roll(v_m1, -2), 0.0)
+        tabs = {
+            "H": canon * jnp.where(
+                (hlen >= 0) & (hlen <= MAXL),
+                e(hp_cum[jnp.clip(hlen, 0, MAXL)] + JS - span * ls),
+                0.0,
+            ),
+            "MBC": canon * e(pqd["MBC"] - 2.0 * ls),
+            "ACC": e(pqd["ACC"]),
+            "JS": canon * e(JS),
+            "STK": canon * e(STK - sh(JB, 1, -1) - 2.0 * ls),
+            "I11": canon * e(JS + I11 + len11_log - 4.0 * ls),
+            "B0R": canon * e(JS + v_m1[None, :] + len10_log - 3.0 * ls),
+            "JB": e(JB),
+            "STKO": e(sh(STK, -1, 1) - sh(JS, -1, 1) - 2.0 * ls),
+            "I11O": e(JB + sh(I11, -2, 2) + len11_log - 4.0 * ls),
+            "B0RO": e(JB + vq2[None, :] + len10_log - 3.0 * ls),
+        }
+        vecs = (
+            e(v_x1 + len01_log - 3.0 * ls),   # B0L'm lane factor
+            e(v_m1 + len01_log - 3.0 * ls),   # b0lo (outside)
+        )
+        return tabs, vecs
+
+    tabs, (b0l_vec, b0lo) = jax.vmap(one)(pq, vb0_m1, vb0_x1, ln_sigma)
+    names = sorted(tabs)
+    skewed = skew_pq_batch([tabs[k] for k in names], interpret=interpret)
+    di = {
+        k: jnp.transpose(v, (0, 2, 1)) for k, v in zip(names, skewed)
+    }
+    mbbp = jnp.exp(ct["multibranch_score_basepair"])
+    mi = {
+        "H": di["H"],
+        "MBC": di["MBC"],
+        "ACC": di["ACC"],
+        "JS": di["JS"],
+        "STK": di["STK"],
+        "I11": di["I11"],
+        "B0R": di["B0R"],
+        "B0L": di["JS"] * b0l_vec[:, None, :],
+        "JB": di["JB"],
+    }
+    mo_pre = {
+        "MBC": di["MBC"],
+        "ACCMB": di["ACC"] * mbbp,
+        "STKO": di["STKO"],
+        "I11O": di["I11O"],
+        "B0RO": di["B0RO"],
+        "JRB": di["JB"],
+        "JSN": di["JS"],
+    }
+    return mi, mo_pre, di["ACC"], b0lo
+
+
 def _prob8_run_body(seqs, ns, ct, ln_sigma, N, allows_short_hairpins,
                     interpret, upto=None):
     """Fixed-``ln_sigma`` body of the stacked CONTRA path.
@@ -849,8 +983,6 @@ def _prob8_run_body(seqs, ns, ct, ln_sigma, N, allows_short_hairpins,
     K = B // G
     NG = N * G
     aged = _WINDOW_MODE == "aged"
-    pmats = PP.contra_prob_mats(seqs, ns, ct, ln_sigma, N)
-    LENp = PP._contra_len_prob(ct, ln_sigma)
     if aged:
         SW = _seg(N)
         # common (sigma-free) banded kernel + per-segment sigma^-1 lane rows
@@ -859,7 +991,12 @@ def _prob8_run_body(seqs, ns, ct, ln_sigma, N, allows_short_hairpins,
         SIGL = jnp.broadcast_to(
             jnp.exp(-ln_sigma).reshape(K, G, 1), (K, G, SW)
         ).reshape(K, 1, G * SW)
+        mim, mo_pre, ACC_di, b0lo = contra_prob_mats_merged(
+            seqs, ns, ct, ln_sigma, N, interpret=interpret
+        )
     else:
+        pmats = PP.contra_prob_mats(seqs, ns, ct, ln_sigma, N)
+        LENp = PP._contra_len_prob(ct, ln_sigma)
         KBIG = _kbig(PP._banded_window_kernel(LENp))
     scal, n_max = _group_scal(ns, B)
 
@@ -875,10 +1012,10 @@ def _prob8_run_body(seqs, ns, ct, ln_sigma, N, allows_short_hairpins,
     sig1 = jnp.exp(-ln_sigma)
     if aged:
         vec_i = _bcast_rows(N, eu1, ebp, mbu1, mbbp, logmbu, sig1)
+        mi = {k: ilv(v) for k, v in mim.items()}
     else:
         vec_i = _bcast_rows(N, eu1, ebp, mbu1, mbbp, logmbu)
-
-    mi = {k: ilv(v) for k, v in _merge_inside(pmats, LENp).items()}
+        mi = {k: ilv(v) for k, v in _merge_inside(pmats, LENp).items()}
     if upto == "iprep":
         return mi, KBIG, vec_i
 
@@ -886,32 +1023,51 @@ def _prob8_run_body(seqs, ns, ct, ln_sigma, N, allows_short_hairpins,
         jax.ShapeDtypeStruct((K, NG, N), jnp.float32) for _ in range(3)
     )
     if aged:
-        kernel = functools.partial(_inside8a_kernel, N=N)
+        R = min(32, N)
+        C = N // R
+        kernel = functools.partial(_inside8a_kernel, N=N, R=R)
+
+        def _kc(*shape):
+            return pl.BlockSpec(
+                (1,) + shape, lambda k, c: (k, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+
+        chunk = pl.BlockSpec(
+            (1, R * G, N), lambda k, c: (k, c, 0), memory_space=pltpu.VMEM
+        )
         close8, ext8, one8 = pl.pallas_call(
             kernel,
-            grid=(K,),
+            grid=(K, C),
             in_specs=[
-                _SMEM_SPEC,
-                _nn(6 * G, N),
-                *(_nn(NG, N) for _ in range(9)),
                 pl.BlockSpec(
-                    (1, 32, 32), lambda b: (0, 0, 0),
+                    (1, 1, 8), lambda k, c: (k, 0, 0),
+                    memory_space=pltpu.SMEM,
+                ),
+                _kc(6 * G, N),
+                *(chunk for _ in range(9)),
+                pl.BlockSpec(
+                    (1, 32, 32), lambda k, c: (0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
-                _nn(1, G * SW),
+                _kc(1, G * SW),
             ],
-            out_specs=(_nn(NG, N), _nn(NG, N), _nn(NG, N)),
+            out_specs=(chunk, chunk, chunk),
             out_shape=out_shape,
             scratch_shapes=[
                 pltpu.VMEM((4 * G, N + LPAD), jnp.float32),     # CJS (mini)
                 pltpu.VMEM((40, G * SW), jnp.float32),          # WINL
                 pltpu.VMEM((G, N), jnp.float32),                # TWO8
-                pltpu.VMEM((2 * NG, N + 8), jnp.float32),       # FQ2
+                pltpu.VMEM((2 * NG, N), jnp.float32),           # FQ2
                 pltpu.VMEM((2 * NG + 2 * G, N), jnp.float32),   # EO
                 pltpu.VMEM((2 * G, N + 8), jnp.float32),        # mbS
                 pltpu.VMEM((G, N + 8), jnp.float32),            # S1SC
+                pltpu.VMEM((3 * G, N), jnp.float32),            # CARRY
             ],
             interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
         )(
             scal, vec_i,
             mi["H"], mi["MBC"], mi["ACC"], mi["JS"], mi["STK"],
@@ -947,7 +1103,7 @@ def _prob8_run_body(seqs, ns, ct, ln_sigma, N, allows_short_hairpins,
     if upto == "inside":
         return close8, ext8, one8
 
-    close, ext, one = dilv(close8), dilv(ext8), dilv(one8)
+    ext, one = dilv(ext8), dilv(one8)
     # re-mask rows past each sequence's own length: the group loop runs to
     # the group max, and the outside auxiliaries index rows by per-seq n
     live = jnp.arange(N)[None, :, None] < ns[:, None, None]
@@ -961,13 +1117,24 @@ def _prob8_run_body(seqs, ns, ct, ln_sigma, N, allows_short_hairpins,
     if upto == "aux":
         return ONEP, QONE, extL, extR, glob
 
-    mo, b0lo = _merge_outside(close, pmats, LENp, extL, glob, ebp, mbbp)
-    mo8 = {k: ilv(v) for k, v in mo.items()}
     if aged:
+        # precompute-only outside tables were merged pre-skew; only ACCB
+        # (needs extL + 1/Z) and CLOSE (the inside DP output, reused in
+        # its interleaved form — no dilv/re-ilv round trip) remain
+        accb = (
+            ACC_di * extL[:, None, :] * (1.0 / glob)[:, None, None]
+            * ebp[:, None, None]
+        )
+        mo8 = {k: ilv(v) for k, v in mo_pre.items()}
+        mo8["ACCB"] = ilv(accb)
+        mo8["CLOSE"] = close8
         vec_o = jnp.concatenate(
             [_bcast_rows(N, logmbu, sig1), ilv(b0lo[:, None, :])], axis=1
         )
     else:
+        close = dilv(close8)
+        mo, b0lo = _merge_outside(close, pmats, LENp, extL, glob, ebp, mbbp)
+        mo8 = {k: ilv(v) for k, v in mo.items()}
         vec_o = jnp.concatenate(
             [_bcast_rows(N, logmbu), ilv(b0lo[:, None, :])], axis=1
         )
@@ -980,25 +1147,32 @@ def _prob8_run_body(seqs, ns, ct, ln_sigma, N, allows_short_hairpins,
     min_span = 2 if allows_short_hairpins else MIN_SPAN_HAIRPIN_CLOSE
     if aged:
         kernel_o = functools.partial(
-            _outside8a_kernel, N=N, min_span=min_span
+            _outside8a_kernel, N=N, R=R, min_span=min_span
+        )
+        chunk_desc = pl.BlockSpec(
+            (1, R * G, N), lambda k, c: (k, C - 1 - c, 0),
+            memory_space=pltpu.VMEM,
         )
         bppo8 = pl.pallas_call(
             kernel_o,
-            grid=(K,),
+            grid=(K, C),
             in_specs=[
-                _SMEM_SPEC,
-                _nn(3 * G, N),
-                *(_nn(NG, N) for _ in range(9)),
-                _nn(NG, 2 * N),                    # ONEP
-                _nn(2 * NG, N),                    # QONE (fam-duplicated)
-                _nn(G, 2 * N),                     # EXTR
                 pl.BlockSpec(
-                    (1, 32, 32), lambda b: (0, 0, 0),
+                    (1, 1, 8), lambda k, c: (k, 0, 0),
+                    memory_space=pltpu.SMEM,
+                ),
+                _kc(3 * G, N),
+                *(chunk_desc for _ in range(9)),
+                _kc(NG, 2 * N),                    # ONEP
+                _kc(2 * NG, N),                    # QONE (fam-duplicated)
+                _kc(G, 2 * N),                     # EXTR
+                pl.BlockSpec(
+                    (1, 32, 32), lambda k, c: (0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
-                _nn(1, G * SW),
+                _kc(1, G * SW),
             ],
-            out_specs=_nn(NG, N),
+            out_specs=chunk_desc,
             out_shape=jax.ShapeDtypeStruct((K, NG, N), jnp.float32),
             scratch_shapes=[
                 pltpu.VMEM((4 * G, N + LPAD), jnp.float32),     # OGS (mini)
@@ -1012,6 +1186,9 @@ def _prob8_run_body(seqs, ns, ct, ln_sigma, N, allows_short_hairpins,
                 pltpu.VMEM((G, N + 8), jnp.float32),            # QASC
             ],
             interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
         )(
             scal, vec_o,
             mo8["CLOSE"], mo8["MBC"], mo8["ACCB"], mo8["ACCMB"], mo8["STKO"],
@@ -1086,7 +1263,7 @@ def _turner_inside8_kernel(
     KI,                                      # (1, 256, 256) / (1, 32, 32) aged
     WCOLS,                                   # (1, 4*32*G, 8) weight columns
     *rest,
-    N, aged=False,
+    N, R=None, aged=False,
 ):
     """Paired-history-buffer tail as in :func:`_inside8_kernel` (round 3):
     rm|rmmb ride ``FQ2`` and ext|one ride ``EO`` at 2G striping.
@@ -1104,14 +1281,21 @@ def _turner_inside8_kernel(
     Round-4 ``aged`` variant: GW1 (the KI matmul window) moves to the
     lane-major aged layout (see ``_WINDOW_MODE``); KI is common across
     sequences; the residual sigma^-1 on the matmul result reuses EU1
-    (Turner external_unpair = 0, so EU1 == exp(-ln_sigma))."""
+    (Turner external_unpair = 0, so EU1 == exp(-ln_sigma)); the grid
+    grows a span-chunk dimension (tables/outputs streamed per R spans,
+    state scratches persistent — see :func:`_inside8a_kernel`)."""
     if aged:
         (SIGL, close_out, ext_out, one_out,
-         CAW, GW1, GW2, GW3, FQ2, EO, mbS, S1SC, TWO8) = rest
+         CAW, GW1, GW2, GW3, FQ2, EO, mbS, S1SC, TWO8, CARRY) = rest
         sig = SIGL[0, pl.ds(0, 1), :]
+        c = pl.program_id(1)
     else:
         (close_out, ext_out, one_out,
          CAW, GW1, GW2, GW3, FQ2, EO, mbS, S1SC) = rest
+        c = 0
+    if R is None:
+        R = N
+    base = c * R
     n_i = SCAL[0, 0, 7].astype(jnp.int32)
     EU1 = VEC[0, pl.ds(0, G), :]
     EBP = VEC[0, pl.ds(G, G), :]
@@ -1120,13 +1304,18 @@ def _turner_inside8_kernel(
     LENI32 = VEC[0, pl.ds(5 * G, G), :]
     LENI23 = VEC[0, pl.ds(6 * G, G), :]
 
-    for buf in (CAW, GW1, GW2, GW3, FQ2, EO, mbS):
-        buf[:] = jnp.zeros_like(buf[:])
-    EO[pl.ds(0, G), :] = jnp.ones((G, N), jnp.float32)
+    def _init():
+        for buf in (CAW, GW1, GW2, GW3, FQ2, EO, mbS, S1SC):
+            buf[:] = jnp.zeros_like(buf[:])
+        EO[pl.ds(0, G), :] = jnp.ones((G, N), jnp.float32)
+
+    if aged:
+        pl.when(c == 0)(_init)
+    else:
+        _init()
     close_out[0] = jnp.zeros_like(close_out[0])
     ext_out[0] = jnp.zeros_like(ext_out[0])
     one_out[0] = jnp.zeros_like(one_out[0])
-    S1SC[:] = jnp.zeros_like(S1SC[:])
 
     G2 = 2 * G
     NG = N * G
@@ -1140,15 +1329,25 @@ def _turner_inside8_kernel(
     wdb = WCOLS[0, pl.ds(W32, W32), pl.ds(0, 1)]
     wc2 = WCOLS[0, pl.ds(2 * W32, W32), pl.ds(0, 1)]
     wd2 = WCOLS[0, pl.ds(3 * W32, W32), pl.ds(0, 1)]
+    if aged:
+        first = c == 0
+        carry0 = (
+            jnp.where(first, 0.0, CARRY[pl.ds(0, G), :]),
+            jnp.where(first, 0.0, CARRY[pl.ds(G, G), :]),
+            jnp.where(first, 1.0, CARRY[pl.ds(2 * G, G), :]),
+        )
+    else:
+        carry0 = (zero_blk, zero_blk, jnp.ones((G, N), jnp.float32))
 
     def span_step(d, carry):
         rm_prev, rmmb_prev, epow_prev = carry
+        dl = d - base
 
         kb_sum = _tree8(CAW[pl.ds(0, W32), :] * wcb)[:, 1:1 + N]
         kb_sum = kb_sum + _skew_extract_sum8(
             CAW[pl.ds(G, W32), :] * wdb, N, 1
         )
-        two = _blk(AUGC, d) * kb_sum
+        two = _blk(AUGC, dl) * kb_sum
         if aged:
             kiw = KI[0, pl.ds(0, 32), pl.ds(0, 32)]
             ki_term = EU1 * _lm_to_blk(
@@ -1158,31 +1357,31 @@ def _turner_inside8_kernel(
             )
         else:
             ki_term = _skew_extract_sum8(_band_mm8(KI, GW1), N, 1)
-        two = two + _blk(TMO1C, d) * ki_term
+        two = two + _blk(TMO1C, dl) * ki_term
         k2_sum = _tree8(GW2[pl.ds(0, W32), :] * wc2)[:, 2:2 + N]
         k2_sum = k2_sum + _skew_extract_sum8(
             GW2[pl.ds(2 * G, W32), :] * wd2, N, 1
         )
-        two = two + _blk(TMO2C, d) * k2_sum
-        two = two + _blk(TMO3C, d) * (
+        two = two + _blk(TMO2C, dl) * k2_sum
+        two = two + _blk(TMO3C, dl) * (
             LENI32 * GW3[pl.ds(6 * G, G), pl.ds(3, N)]
             + LENI23 * GW3[pl.ds(6 * G, G), pl.ds(4, N)]
         )
-        two = two + _blk(SP00, d) * CAW[pl.ds(G, G), pl.ds(1, N)]
-        two = two + _blk(SP01, d) * CAW[pl.ds(2 * G, G), pl.ds(1, N)]
-        two = two + _blk(SP10, d) * CAW[pl.ds(2 * G, G), pl.ds(2, N)]
-        two = two + _blk(SP11, d) * CAW[pl.ds(3 * G, G), pl.ds(2, N)]
-        two = two + _blk(SP12, d) * CAW[pl.ds(4 * G, G), pl.ds(2, N)]
-        two = two + _blk(SP21, d) * CAW[pl.ds(4 * G, G), pl.ds(3, N)]
-        two = two + _blk(SP22, d) * CAW[pl.ds(5 * G, G), pl.ds(3, N)]
+        two = two + _blk(SP00, dl) * CAW[pl.ds(G, G), pl.ds(1, N)]
+        two = two + _blk(SP01, dl) * CAW[pl.ds(2 * G, G), pl.ds(1, N)]
+        two = two + _blk(SP10, dl) * CAW[pl.ds(2 * G, G), pl.ds(2, N)]
+        two = two + _blk(SP11, dl) * CAW[pl.ds(3 * G, G), pl.ds(2, N)]
+        two = two + _blk(SP12, dl) * CAW[pl.ds(4 * G, G), pl.ds(2, N)]
+        two = two + _blk(SP21, dl) * CAW[pl.ds(4 * G, G), pl.ds(3, N)]
+        two = two + _blk(SP22, dl) * CAW[pl.ds(5 * G, G), pl.ds(3, N)]
         mb_in = mbS[pl.ds(G, G), pl.ds(1, N)]
-        mb_term = jnp.where(d >= 2, mb_in * _blk(MBC, d), 0.0)
-        close_new = _blk(H, d) + two + mb_term
+        mb_term = jnp.where(d >= 2, mb_in * _blk(MBC, dl), 0.0)
+        close_new = _blk(H, dl) + two + mb_term
         close_new = jnp.where(
             d + 1 >= MIN_SPAN_HAIRPIN_CLOSE, close_new, 0.0
         )
-        close_out[0, pl.ds(d * G, G), :] = close_new
-        acc_new = close_new * _blk(ACC, d)
+        close_out[0, pl.ds(dl * G, G), :] = close_new
+        acc_new = close_new * _blk(ACC, dl)
 
         rm_new = rm_prev * EU1 + acc_new * EBP
         rmmb_new = rmmb_prev * MBU1 + acc_new * MBBP
@@ -1192,8 +1391,11 @@ def _turner_inside8_kernel(
             h2 = ht * G2
             tb = tb2_full[:h2]
             fam0 = fam0_full[:h2]
-            shifted = FQ2[pl.ds(0, h2 - G2), pl.ds(1, N + 7)]
-            FQ2[pl.ds(G2, h2 - G2), pl.ds(0, N + 7)] = shifted
+            shifted = FQ2[pl.ds(0, h2 - G2), pl.ds(1, N - 1)]
+            FQ2[pl.ds(G2, h2 - G2), pl.ds(0, N - 1)] = shifted
+            FQ2[pl.ds(G2, h2 - G2), pl.ds(N - 1, 1)] = jnp.zeros(
+                (h2 - G2, 1), jnp.float32
+            )
             FQ2[pl.ds(0, G), pl.ds(0, N)] = rm_new
             FQ2[pl.ds(G, G), pl.ds(0, N)] = rmmb_new
 
@@ -1205,7 +1407,7 @@ def _turner_inside8_kernel(
             red = _tree_to(terms, G2)
             ext_new = epow + red[:G]
             s2 = red[G:]
-            ext_out[0, pl.ds(d * G, G), :] = ext_new
+            ext_out[0, pl.ds(dl * G, G), :] = ext_new
 
             # telescoped sum_t rmmb_{d-t} * mbu1^t (flush-safe; see the
             # per-seq kernels): FQ2's fam-1 block at age 1 after this
@@ -1218,7 +1420,7 @@ def _turner_inside8_kernel(
             one_new = rmmb_new + s1v + s2
             mbS[pl.ds(G, G), :] = mbS[pl.ds(0, G), :]
             mbS[pl.ds(0, G), pl.ds(0, N)] = s2
-            one_out[0, pl.ds(d * G, G), :] = one_new
+            one_out[0, pl.ds(dl * G, G), :] = one_new
             EO[pl.ds((d + 1) * G2, G), :] = ext_new
             EO[pl.ds((d + 1) * G2 + G, G), :] = one_new
 
@@ -1228,19 +1430,23 @@ def _turner_inside8_kernel(
             pl.when(cond)(functools.partial(tail, ht))
             prev = ht
 
-        g = close_new * _blk(AUGT, d)
+        g = close_new * _blk(AUGT, dl)
         _shift_insert8(CAW, g)
         if aged:
-            _winl_insert(GW1, g * _blk(TMI1, d), N, sig)
+            _winl_insert(GW1, g * _blk(TMI1, dl), N, sig)
         else:
-            _shift_insert8(GW1, g * _blk(TMI1, d))
-        _shift_insert8(GW2, g * _blk(TMI2, d))
-        _shift_insert8(GW3, g * _blk(TMI3, d))
+            _shift_insert8(GW1, g * _blk(TMI1, dl))
+        _shift_insert8(GW2, g * _blk(TMI2, dl))
+        _shift_insert8(GW3, g * _blk(TMI3, dl))
         return (rm_new, rmmb_new, epow)
 
-    lax.fori_loop(
-        0, n_i, span_step, (zero_blk, zero_blk, jnp.ones((G, N), jnp.float32))
+    rm, rmmb, epow = lax.fori_loop(
+        base, jnp.minimum(base + R, n_i), span_step, carry0
     )
+    if aged:
+        CARRY[pl.ds(0, G), :] = rm
+        CARRY[pl.ds(G, G), :] = rmmb
+        CARRY[pl.ds(2 * G, G), :] = epow
 
 
 def _turner_outside8_kernel(
@@ -1253,7 +1459,7 @@ def _turner_outside8_kernel(
     KI,
     WCOLS,
     *rest,
-    N, min_span, aged=False,
+    N, R=None, min_span, aged=False,
 ):
     """pm|pm2 history rides one 2G-striped buffer RP2 (see
     :func:`_inside8_kernel`); QONE arrives fam-duplicated at 2G striping;
@@ -1266,23 +1472,32 @@ def _turner_outside8_kernel(
         (SIGL, bppo_out,
          OG, GW1, GW2, GW3, XS, RP2, SONEF, REXT, P2SC, QASC, TWO8) = rest
         sig = SIGL[0, pl.ds(0, 1), :]
+        c = pl.program_id(1)
     else:
         (bppo_out,
          OG, GW1, GW2, GW3, XS, RP2, SONEF, REXT, P2SC, QASC) = rest
+        c = 0
+    if R is None:
+        R = N
     n_i = SCAL[0, 0, 7].astype(jnp.int32)
     LOGMBU = VEC[0, pl.ds(0, G), :]
     LENI32 = VEC[0, pl.ds(G, G), :]
     LENI23 = VEC[0, pl.ds(2 * G, G), :]
-
-    for buf in (OG, GW1, GW2, GW3, XS, RP2):
-        buf[:] = jnp.zeros_like(buf[:])
-    bppo_out[0] = jnp.zeros_like(bppo_out[0])
     G2 = 2 * G
     NG = N * G
-    SONEF[pl.ds(0, NG), :] = ONEP[0, pl.ds(0, NG), :]
-    REXT[pl.ds(0, G), :] = EXTR[0, pl.ds(0, G), :]
-    P2SC[:] = jnp.zeros_like(P2SC[:])
-    QASC[:] = jnp.zeros_like(QASC[:])
+    baseo = N - (c + 1) * R
+
+    def _init():
+        for buf in (OG, GW1, GW2, GW3, XS, RP2, P2SC, QASC):
+            buf[:] = jnp.zeros_like(buf[:])
+        SONEF[pl.ds(0, NG), :] = ONEP[0, pl.ds(0, NG), :]
+        REXT[pl.ds(0, G), :] = EXTR[0, pl.ds(0, G), :]
+
+    if aged:
+        pl.when(c == 0)(_init)
+    else:
+        _init()
+    bppo_out[0] = jnp.zeros_like(bppo_out[0])
     MBU1 = jnp.exp(LOGMBU)
 
     sub2 = jax.lax.broadcasted_iota(jnp.int32, (2 * NG, 1), 0)
@@ -1297,21 +1512,22 @@ def _turner_outside8_kernel(
     def span_step(step, carry):
         d = N - 1 - step
         k = step - (N - n_i)
+        dl = d - baseo
         span_ok = (d + 1) >= min_span
 
-        close_blk = _blk(CLOSE, d)
+        close_blk = _blk(CLOSE, dl)
         pos = close_blk > 0.0
         inv_close = jnp.where(
             pos, 1.0 / jnp.where(pos, close_blk, 1.0), 0.0
         )
         rt = REXT[pl.ds(0, G), pl.ds(0, N)]
-        base = close_blk * _blk(ACCB, d) * rt
+        base = close_blk * _blk(ACCB, dl) * rt
 
         kb_sum = _tree8(OG[pl.ds(0, W32), :] * wcb)[:, 31:31 + N]
         kb_sum = kb_sum + _skew_extract_sum8(
             OG[pl.ds(G, W32), :] * wdb, N, 31, descending=True
         )
-        two = _blk(AUGT, d) * kb_sum
+        two = _blk(AUGT, dl) * kb_sum
         if aged:
             kiw = KI[0, pl.ds(0, 32), pl.ds(0, 32)]
             ki_term = MBU1 * _lm_to_blk(
@@ -1323,25 +1539,25 @@ def _turner_outside8_kernel(
             ki_term = _skew_extract_sum8(
                 _band_mm8(KI, GW1), N, 31, descending=True
             )
-        two = two + _blk(TMI1C, d) * ki_term
+        two = two + _blk(TMI1C, dl) * ki_term
         k2_sum = _tree8(GW2[pl.ds(0, W32), :] * wc2)[:, 30:30 + N]
         k2_sum = k2_sum + _skew_extract_sum8(
             GW2[pl.ds(2 * G, W32), :] * wd2, N, 31, descending=True
         )
-        two = two + _blk(TMI2C, d) * k2_sum
-        two = two + _blk(TMI3C, d) * (
+        two = two + _blk(TMI2C, dl) * k2_sum
+        two = two + _blk(TMI3C, dl) * (
             LENI32 * GW3[pl.ds(6 * G, G), pl.ds(29, N)]
             + LENI23 * GW3[pl.ds(6 * G, G), pl.ds(28, N)]
         )
-        two = two + _blk(SP00, d) * OG[pl.ds(G, G), pl.ds(31, N)]
-        two = two + _blk(SP01, d) * OG[pl.ds(2 * G, G), pl.ds(31, N)]
-        two = two + _blk(SP10, d) * OG[pl.ds(2 * G, G), pl.ds(30, N)]
-        two = two + _blk(SP11, d) * OG[pl.ds(3 * G, G), pl.ds(30, N)]
-        two = two + _blk(SP12, d) * OG[pl.ds(4 * G, G), pl.ds(30, N)]
-        two = two + _blk(SP21, d) * OG[pl.ds(4 * G, G), pl.ds(29, N)]
-        two = two + _blk(SP22, d) * OG[pl.ds(5 * G, G), pl.ds(29, N)]
+        two = two + _blk(SP00, dl) * OG[pl.ds(G, G), pl.ds(31, N)]
+        two = two + _blk(SP01, dl) * OG[pl.ds(2 * G, G), pl.ds(31, N)]
+        two = two + _blk(SP10, dl) * OG[pl.ds(2 * G, G), pl.ds(30, N)]
+        two = two + _blk(SP11, dl) * OG[pl.ds(3 * G, G), pl.ds(30, N)]
+        two = two + _blk(SP12, dl) * OG[pl.ds(4 * G, G), pl.ds(30, N)]
+        two = two + _blk(SP21, dl) * OG[pl.ds(4 * G, G), pl.ds(29, N)]
+        two = two + _blk(SP22, dl) * OG[pl.ds(5 * G, G), pl.ds(29, N)]
         two = two * close_blk
-        acc_mb = close_blk * _blk(ACCMB, d)
+        acc_mb = close_blk * _blk(ACCMB, dl)
 
         def tail(ht):
             hg = ht * G
@@ -1383,17 +1599,17 @@ def _turner_outside8_kernel(
 
             bppo_new = base + two + mb_ctx
             bppo_new = jnp.where(pos & span_ok, bppo_new, 0.0)
-            bppo_out[0, pl.ds(d * G, G), :] = bppo_new
+            bppo_out[0, pl.ds(dl * G, G), :] = bppo_new
 
-            g2 = bppo_new * _blk(AUGT, d) * inv_close
+            g2 = bppo_new * _blk(AUGT, dl) * inv_close
             _shift_insert8(OG, g2, lane_off=32)
             if aged:
-                _winl_insert(GW1, g2 * _blk(TMO1, d), N, sig, lane_off=32)
+                _winl_insert(GW1, g2 * _blk(TMO1, dl), N, sig, lane_off=32)
             else:
-                _shift_insert8(GW1, g2 * _blk(TMO1, d), lane_off=32)
-            _shift_insert8(GW2, g2 * _blk(TMO2, d), lane_off=32)
-            _shift_insert8(GW3, g2 * _blk(TMO3, d), lane_off=32)
-            g_row = bppo_new * _blk(MBC, d) * inv_close
+                _shift_insert8(GW1, g2 * _blk(TMO1, dl), lane_off=32)
+            _shift_insert8(GW2, g2 * _blk(TMO2, dl), lane_off=32)
+            _shift_insert8(GW3, g2 * _blk(TMO3, dl), lane_off=32)
+            g_row = bppo_new * _blk(MBC, dl) * inv_close
             shifted = XS[pl.ds(0, hg - G), :]
             XS[pl.ds(G, hg - G), :] = shifted
             XS[pl.ds(0, G), :] = g_row
@@ -1416,7 +1632,9 @@ def _turner_outside8_kernel(
             prev = ht
         return carry
 
-    lax.fori_loop(N - n_i, N, span_step, 0)
+    lax.fori_loop(
+        jnp.maximum(c * R, N - n_i), (c + 1) * R, span_step, 0
+    )
 
 
 def _turner_merge_inside(pmats):
@@ -1517,54 +1735,98 @@ def _turner_prob8_run_body(seqs, ns, tt, ln_sigma, N, interpret):
 
     mi = {k: ilv(v) for k, v in _turner_merge_inside(pmats).items()}
 
-    kernel = functools.partial(_turner_inside8_kernel, N=N, aged=aged)
     out_shape = tuple(
         jax.ShapeDtypeStruct((K, NG, N), jnp.float32) for _ in range(3)
     )
     if aged:
-        ki_spec = pl.BlockSpec(
-            (1, 32, 32), lambda b: (0, 0, 0), memory_space=pltpu.VMEM
+        R = min(32, N)
+        C = N // R
+        kernel = functools.partial(
+            _turner_inside8_kernel, N=N, R=R, aged=True
         )
-        extra_in_specs = [ki_spec, _nn(4 * 32 * G, 8), _nn(1, G * SW)]
-        extra_inputs = (KI8, WCOLS8, SIGL)
-        gw1_scratch = pltpu.VMEM((40, G * SW), jnp.float32)
-        extra_scratch = [pltpu.VMEM((G, N), jnp.float32)]     # TWO8
+
+        def _kc(*shape):
+            return pl.BlockSpec(
+                (1,) + shape, lambda k, c: (k, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+
+        chunk = pl.BlockSpec(
+            (1, R * G, N), lambda k, c: (k, c, 0), memory_space=pltpu.VMEM
+        )
+        smem2 = pl.BlockSpec(
+            (1, 1, 8), lambda k, c: (k, 0, 0), memory_space=pltpu.SMEM
+        )
+        ki_spec = pl.BlockSpec(
+            (1, 32, 32), lambda k, c: (0, 0, 0), memory_space=pltpu.VMEM
+        )
+        close8, ext8, one8 = pl.pallas_call(
+            kernel,
+            grid=(K, C),
+            in_specs=[
+                smem2,
+                _kc(7 * G, N),
+                *(chunk for _ in range(18)),
+                ki_spec,
+                _kc(4 * 32 * G, 8),
+                _kc(1, G * SW),
+            ],
+            out_specs=(chunk, chunk, chunk),
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((WBT, N + LPAD), jnp.float32),       # CAW
+                pltpu.VMEM((40, G * SW), jnp.float32),          # GW1 (aged)
+                pltpu.VMEM((WBT, N + LPAD), jnp.float32),       # GW2
+                pltpu.VMEM((WBT, N + LPAD), jnp.float32),       # GW3
+                pltpu.VMEM((2 * NG, N), jnp.float32),           # FQ2
+                pltpu.VMEM((2 * NG + 2 * G, N), jnp.float32),   # EO
+                pltpu.VMEM((2 * G, N + 8), jnp.float32),        # mbS
+                pltpu.VMEM((G, N + 8), jnp.float32),            # S1SC
+                pltpu.VMEM((G, N), jnp.float32),                # TWO8
+                pltpu.VMEM((3 * G, N), jnp.float32),            # CARRY
+            ],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+        )(
+            scal, vec_i,
+            *(mi[k] for k in _TI_NAMES),
+            KI8, WCOLS8, SIGL,
+        )
     else:
-        extra_in_specs = [_nn(32 * G, 32 * G), _nn(4 * 32 * G, 8)]
-        extra_inputs = (KI8, WCOLS8)
-        gw1_scratch = pltpu.VMEM((WBT, N + LPAD), jnp.float32)
-        extra_scratch = []
-    close8, ext8, one8 = pl.pallas_call(
-        kernel,
-        grid=(K,),
-        in_specs=[
-            _SMEM_SPEC,
-            _nn(7 * G, N),
-            *(_nn(NG, N) for _ in range(18)),
-            *extra_in_specs,
-        ],
-        out_specs=(_nn(NG, N), _nn(NG, N), _nn(NG, N)),
-        out_shape=out_shape,
-        scratch_shapes=[
-            pltpu.VMEM((WBT, N + LPAD), jnp.float32),       # CAW
-            gw1_scratch,                                    # GW1
-            pltpu.VMEM((WBT, N + LPAD), jnp.float32),       # GW2
-            pltpu.VMEM((WBT, N + LPAD), jnp.float32),       # GW3
-            pltpu.VMEM((2 * NG, N + 8), jnp.float32),       # FQ2 (rm|rmmb)
-            pltpu.VMEM((2 * NG + 2 * G, N), jnp.float32),   # EO (ext|one)
-            pltpu.VMEM((2 * G, N + 8), jnp.float32),        # mbS
-            pltpu.VMEM((G, N + 8), jnp.float32),            # S1SC
-            *extra_scratch,
-        ],
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-    )(
-        scal, vec_i,
-        *(mi[k] for k in _TI_NAMES),
-        *extra_inputs,
-    )
+        kernel = functools.partial(_turner_inside8_kernel, N=N, aged=False)
+        close8, ext8, one8 = pl.pallas_call(
+            kernel,
+            grid=(K,),
+            in_specs=[
+                _SMEM_SPEC,
+                _nn(7 * G, N),
+                *(_nn(NG, N) for _ in range(18)),
+                _nn(32 * G, 32 * G),
+                _nn(4 * 32 * G, 8),
+            ],
+            out_specs=(_nn(NG, N), _nn(NG, N), _nn(NG, N)),
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((WBT, N + LPAD), jnp.float32),       # CAW
+                pltpu.VMEM((WBT, N + LPAD), jnp.float32),       # GW1
+                pltpu.VMEM((WBT, N + LPAD), jnp.float32),       # GW2
+                pltpu.VMEM((WBT, N + LPAD), jnp.float32),       # GW3
+                pltpu.VMEM((2 * NG, N + 8), jnp.float32),       # FQ2 (rm|rmmb)
+                pltpu.VMEM((2 * NG + 2 * G, N), jnp.float32),   # EO (ext|one)
+                pltpu.VMEM((2 * G, N + 8), jnp.float32),        # mbS
+                pltpu.VMEM((G, N + 8), jnp.float32),            # S1SC
+            ],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+        )(
+            scal, vec_i,
+            *(mi[k] for k in _TI_NAMES),
+            KI8, WCOLS8,
+        )
 
     close, ext, one = dilv(close8), dilv(ext8), dilv(one8)
     live = jnp.arange(N)[None, :, None] < ns[:, None, None]
@@ -1583,9 +1845,58 @@ def _turner_prob8_run_body(seqs, ns, tt, ln_sigma, N, interpret):
     QONE8 = dup2(ilv(QONE))
     EXTR8 = ilv(extR[:, None, :])
 
+    if aged:
+        kernel_o = functools.partial(
+            _turner_outside8_kernel, N=N, R=R,
+            min_span=MIN_SPAN_HAIRPIN_CLOSE, aged=True,
+        )
+        chunk_desc = pl.BlockSpec(
+            (1, R * G, N), lambda k, c: (k, C - 1 - c, 0),
+            memory_space=pltpu.VMEM,
+        )
+        bppo8 = pl.pallas_call(
+            kernel_o,
+            grid=(K, C),
+            in_specs=[
+                smem2,
+                _kc(3 * G, N),
+                *(chunk_desc for _ in range(18)),
+                _kc(NG, 2 * N),                    # ONEP
+                _kc(2 * NG, N),                    # QONE (fam-duplicated)
+                _kc(G, 2 * N),                     # EXTR
+                ki_spec,
+                _kc(4 * 32 * G, 8),
+                _kc(1, G * SW),
+            ],
+            out_specs=chunk_desc,
+            out_shape=jax.ShapeDtypeStruct((K, NG, N), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((WBT, N + LPAD), jnp.float32),       # OG
+                pltpu.VMEM((40, G * SW), jnp.float32),          # GW1 (aged)
+                pltpu.VMEM((WBT, N + LPAD), jnp.float32),       # GW2
+                pltpu.VMEM((WBT, N + LPAD), jnp.float32),       # GW3
+                pltpu.VMEM((NG, N), jnp.float32),               # XS
+                pltpu.VMEM((2 * NG, N), jnp.float32),           # RP2
+                pltpu.VMEM((NG, 2 * N), jnp.float32),           # SONEF
+                pltpu.VMEM((G, 2 * N), jnp.float32),            # REXT
+                pltpu.VMEM((G, N), jnp.float32),                # P2SC
+                pltpu.VMEM((G, N + 8), jnp.float32),            # QASC
+                pltpu.VMEM((G, N), jnp.float32),                # TWO8
+            ],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+        )(
+            scal, vec_o,
+            *(mo8[k] for k in _TO_NAMES),
+            ONEP8, QONE8, EXTR8,
+            KI8, WCOLS8, SIGL,
+        )
+        return dilv(bppo8), glob
     kernel_o = functools.partial(
         _turner_outside8_kernel, N=N, min_span=MIN_SPAN_HAIRPIN_CLOSE,
-        aged=aged,
+        aged=False,
     )
     bppo8 = pl.pallas_call(
         kernel_o,
@@ -1597,13 +1908,14 @@ def _turner_prob8_run_body(seqs, ns, tt, ln_sigma, N, interpret):
             _nn(NG, 2 * N),                    # ONEP
             _nn(2 * NG, N),                    # QONE (fam-duplicated)
             _nn(G, 2 * N),                     # EXTR
-            *extra_in_specs,
+            _nn(32 * G, 32 * G),
+            _nn(4 * 32 * G, 8),
         ],
         out_specs=_nn(NG, N),
         out_shape=jax.ShapeDtypeStruct((K, NG, N), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((WBT, N + LPAD), jnp.float32),       # OG
-            gw1_scratch,                                    # GW1
+            pltpu.VMEM((WBT, N + LPAD), jnp.float32),       # GW1
             pltpu.VMEM((WBT, N + LPAD), jnp.float32),       # GW2
             pltpu.VMEM((WBT, N + LPAD), jnp.float32),       # GW3
             pltpu.VMEM((NG, N), jnp.float32),               # XS
@@ -1612,7 +1924,6 @@ def _turner_prob8_run_body(seqs, ns, tt, ln_sigma, N, interpret):
             pltpu.VMEM((G, 2 * N), jnp.float32),            # REXT
             pltpu.VMEM((G, N), jnp.float32),                # P2SC
             pltpu.VMEM((G, N + 8), jnp.float32),            # QASC
-            *extra_scratch,
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -1622,7 +1933,7 @@ def _turner_prob8_run_body(seqs, ns, tt, ln_sigma, N, interpret):
         scal, vec_o,
         *(mo8[k] for k in _TO_NAMES),
         ONEP8, QONE8, EXTR8,
-        *extra_inputs,
+        KI8, WCOLS8,
     )
     return dilv(bppo8), glob
 

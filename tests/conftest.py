@@ -41,6 +41,10 @@ import pytest
 _FORCE_CPU = os.environ.get("RNA_ALGOS_TEST_CPU", "1") == "1"
 if _FORCE_CPU:
     os.environ.setdefault("RNA_ALGOS_BACKEND", "xla")
+    # interpret-mode stacked-kernel tests are G-generic (outputs are
+    # exactly G-invariant, pinned by the hardware run at the production
+    # default); G=8 keeps the CPU interpreter batches small
+    os.environ.setdefault("RNA_ALGOS_G", "8")
 
 
 @pytest.fixture(scope="session", autouse=True)

@@ -29,7 +29,7 @@ def _batch(B, N, seed):
 
 
 def test_stacked8_matches_perseq():
-    N, B = 64, 16  # two groups, ragged lengths within each
+    N, B = 64, 2 * P8.G  # two groups, ragged lengths within each
     seqs, ns = _batch(B, N, 5)
     want, ls_w = PP.mccaskill_contra_pallas_prob(
         seqs, ns, CT, N=N, interpret=True
@@ -45,7 +45,7 @@ def test_stacked8_matches_perseq():
 
 def test_turner_stacked8_matches_perseq():
     TT = S.turner_table_pytree()
-    N, B = 64, 8
+    N, B = 64, 2 * P8.G
     seqs, ns = _batch(B, N, 5)
     want, ls_w = PP.mccaskill_turner_pallas_prob(
         seqs, ns, TT, N=N, interpret=True
@@ -59,11 +59,14 @@ def test_turner_stacked8_matches_perseq():
 
 
 def test_stacked8_interleave_roundtrip():
-    x = jnp.arange(16 * 5 * 3, dtype=jnp.float32).reshape(16, 5, 3)
+    Gv = P8.G
+    x = jnp.arange(2 * Gv * 5 * 3, dtype=jnp.float32).reshape(2 * Gv, 5, 3)
     y = P8.ilv(x)
-    assert y.shape == (2, 40, 3)
+    assert y.shape == (2, 5 * Gv, 3)
     # row t of seq k*G+g lands at [k, t*G+g]
-    assert np.array_equal(np.asarray(y[1, 2 * 8 + 3]), np.asarray(x[11, 2]))
+    assert np.array_equal(
+        np.asarray(y[1, 2 * Gv + 3]), np.asarray(x[Gv + 3, 2])
+    )
     assert np.array_equal(np.asarray(P8.dilv(y)), np.asarray(x))
 
 
@@ -71,12 +74,13 @@ def test_stacked8_dispatch_pads_ragged_batch():
     from rna_algos_tpu.models import mccaskill as M
     from rna_algos_tpu import numerics
 
-    N, B = 64, 11  # not a multiple of 8: dispatch must pad and slice
+    N, B = 64, 11  # not a multiple of G: dispatch must pad and slice
     seqs, ns = _batch(B, N, 9)
+    pad = (-B) % P8.G
     want, _ = M.mccaskill_bpp_batch(seqs, ns, CT, N=N, contra=True)
     bppo, _ = P8.mccaskill_contra_pallas_prob8(
-        jnp.concatenate([seqs, jnp.tile(seqs[:1], (5, 1))], axis=0),
-        jnp.concatenate([ns, jnp.tile(ns[:1], (5,))]),
+        jnp.concatenate([seqs, jnp.tile(seqs[:1], (pad, 1))], axis=0),
+        jnp.concatenate([ns, jnp.tile(ns[:1], (pad,))]),
         CT, N=N, interpret=True,
     )
     got = np.asarray(M._prob_finish(bppo[:B], ns, N=N)[0])
