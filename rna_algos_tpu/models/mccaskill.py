@@ -638,7 +638,7 @@ def pallas_available(contra, N):
         # (exact/fast tiers); the parity tier's log kernels stay all-VMEM.
         impl = os.environ.get("RNA_ALGOS_FAST_IMPL", "prob")
         return (
-            N in (512, 1024)
+            N in (512, 1024, 2048)
             and get_mode() in ("fast", "exact")
             and impl.startswith("prob")
         )

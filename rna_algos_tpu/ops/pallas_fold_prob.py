@@ -709,7 +709,7 @@ def _contra_inside_prob_kernel_chunked(
     LEN,                                    # (1, W2, W) [b, a]
     KB,                                     # (1, 32, 32) banded MXU kernel
     close_out, ext_out, one_out,            # (1, R, N) chunk blocks
-    CJW, FQ, FQM, extS, extrS, mbS, oneS, S1SC, CARRY,
+    CJW, FQ, FQM, extrS, mbS, oneS, S1SC, CARRY,
     *, N, R,
 ):
     c = pl.program_id(1)
@@ -726,7 +726,6 @@ def _contra_inside_prob_kernel_chunked(
         FQ[:] = jnp.zeros_like(FQ[:])
         FQM[:] = jnp.zeros_like(FQM[:])
         S1SC[:] = jnp.zeros_like(S1SC[:])
-        extS[:] = jnp.zeros_like(extS[:])
         extrS[:] = jnp.ones_like(extrS[:])   # ext(i, i-1) = empty = 1
         mbS[:] = jnp.zeros_like(mbS[:])
         oneS[:] = jnp.zeros_like(oneS[:])
@@ -798,7 +797,6 @@ def _contra_inside_prob_kernel_chunked(
                 oblk = oneS[pl.ds(s, rows), :]
                 s2 = s2 + jnp.sum(oblk * x, axis=0, keepdims=True)
             ext_new = epow + ext_sum
-            extS[pl.ds(d, 1), :] = ext_new
             extrS[pl.ds(d + 1, 1), :] = ext_new
             ext_out[0, pl.ds(r, 1), :] = ext_new
 
@@ -1046,7 +1044,6 @@ def _inside_call_prob_chunked(pmats, LENp, scal, B, N, R, interpret):
             pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # CJW
             pltpu.VMEM((N, N + 8), jnp.float32),          # FQ
             pltpu.VMEM((N, N + 8), jnp.float32),          # FQM
-            pltpu.VMEM((N, N), jnp.float32),              # extS
             pltpu.VMEM((N + 1, N), jnp.float32),          # extrS
             pltpu.VMEM((2, N + 8), jnp.float32),          # mbS
             pltpu.VMEM((N + 1, N), jnp.float32),          # oneS
@@ -1055,7 +1052,7 @@ def _inside_call_prob_chunked(pmats, LENp, scal, B, N, R, interpret):
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=126 * 1024 * 1024,
         ),
     )(
         scal,
@@ -1101,7 +1098,7 @@ def _outside_call_prob_chunked(
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=126 * 1024 * 1024,
         ),
     )(
         scal_o,
@@ -1134,10 +1131,19 @@ def _prob_run_body(
     LENp = _contra_len_prob(ct, ln_sigma)
     scal = _scal_rows(ct, ln_sigma, ns)
     if N > 256:
-        # span-chunked kernels: DP state resident, tables streamed per chunk
-        R = 128
+        # span-chunked kernels: DP state resident, tables streamed per
+        # chunk.  At N = 2048 the O(N^2) state scratches alone are ~85 MB
+        # of the 128 MB physical VMEM, so the chunks narrow to fit: the
+        # inside kernel fits R = 128 (its dead extS scratch removed); the
+        # outside (SONEF is (N, 2N), QONE resident) measures 131.2M even
+        # at R = 64, so it takes R = 32.  Narrower chunks mean more
+        # live-height ladder marks per span (the SONEF-delivery invariant
+        # ties ladder marks to chunk boundaries) — halving SONEF's width
+        # is the named round-5 lever to widen R_out.
+        R_in = 128
+        R_out = 128 if N <= 1024 else 32
         close, ext, one = _inside_call_prob_chunked(
-            pmats, LENp, scal, B, N, R, interpret
+            pmats, LENp, scal, B, N, R_in, interpret
         )
         ONEP, QONE, extL, extR, glob = PF.contra_outside_aux(
             ns, ext, one, N, neg=0.0, one_val=1.0
@@ -1145,8 +1151,8 @@ def _prob_run_body(
         scal_o = _scal_rows(ct, ln_sigma, ns, glob=glob)
         min_span = 2 if allows_short_hairpins else MIN_SPAN_HAIRPIN_CLOSE
         bppo = _outside_call_prob_chunked(
-            pmats, close, ONEP, QONE, extL, extR, LENp, scal_o, B, N, R,
-            min_span, interpret,
+            pmats, close, ONEP, QONE, extL, extR, LENp, scal_o, B, N,
+            R_out, min_span, interpret,
         )
         return bppo, glob
     close, ext, one = _inside_call_prob(pmats, LENp, scal, B, N, interpret)
@@ -1255,9 +1261,20 @@ def _retrying(run, B, ls0=None, ns=None):
         ls0 = jnp.broadcast_to(ls0.astype(jnp.float32), (B,))
     bppo0, glob0 = run(ls0)
     bh0, bl0 = flags(bppo0, glob0)
+    # 0/inf lanes bisect blind; the representable band is ~+-55/n wide in
+    # ln_sigma, so a fixed 0.9 first step overshoots by ~30x at n ~ 2000
+    # and burns MAX_RETRIES halving back down (measured 10.4 s/seq at
+    # N=2048).  The distance to the band is bounded by the seed error
+    # (prefix-seeded lanes are within a few hundredths), so start the walk
+    # at the band half-width instead.
+    step0 = jnp.full((B,), RETRY_STEP, jnp.float32)
+    if ns is not None:
+        step0 = jnp.minimum(
+            step0, 55.0 / jnp.maximum(ns.astype(jnp.float32), 1.0)
+        )
     state = (
         bppo0, glob0, ls0,
-        jnp.full((B,), RETRY_STEP, jnp.float32),
+        step0,
         jnp.zeros((B,), jnp.float32),
         bh0, bl0, jnp.int32(0),
     )
@@ -1270,7 +1287,14 @@ def _retrying(run, B, ls0=None, ns=None):
         _bppo, glob, ls, step, last_dir, bh, bl, k = st
         bad = bh | bl
         direction = bh.astype(jnp.float32) - bl.astype(jnp.float32)
-        step = jnp.where(direction * last_dir < 0, step * 0.5, step)
+        # halve on a direction flip (bracketed); grow 1.5x while walking
+        # the same direction so distant lanes still converge in log time
+        # from the small n-scaled first step
+        step = jnp.where(
+            direction * last_dir < 0,
+            step * 0.5,
+            jnp.where(last_dir != 0, step * 1.5, step),
+        )
         delta = step * direction
         if ns is not None:
             can_jump = bad & jnp.isfinite(glob) & (glob > 0.0)
@@ -1305,16 +1329,19 @@ def mccaskill_contra_pallas_prob(
     B = seqs.shape[0]
     ls0 = None
     if N > 512:
-        # Seed from a 512-nt-prefix chunked pass: per-base log-Z measured
-        # with the f64 oracle drifts only ~0.013 from n=512 to n=1000
-        # (inside the +-55/n guard band), while a 256 prefix drifts ~0.14
+        # Seed from a prefix chunked pass: per-base log-Z measured with
+        # the f64 oracle drifts only ~0.013 from n=512 to n=1000 (inside
+        # the +-55/n guard band), while a 256 prefix drifts ~0.14
         # (long-range pairs engage between 256 and 512) — so 512 is the
-        # shortest prefix that seeds the n > 512 tier retry-free.
-        ns_small = jnp.minimum(ns, 512)
+        # shortest prefix that seeds the n <= 1024 tier retry-free.  The
+        # N = 2048 tier halves the band again (+-55/n), so it seeds from
+        # a 1024 prefix (1/8 the full-run cost; smaller residual drift).
+        NP = 512 if N <= 1024 else 1024
+        ns_small = jnp.minimum(ns, NP)
 
         def run_small(ls):
             return _prob_run_body(
-                seqs[:, :512], ns_small, ct, ls, 512,
+                seqs[:, :NP], ns_small, ct, ls, NP,
                 allows_short_hairpins, interpret,
             )
 
@@ -1804,7 +1831,7 @@ def _turner_inside_prob_kernel_chunked(
     TMo1, TMo2, TMo3, AUGT, TMi1N, TMi2N, TMi3N,
     LENB, LENI, KI, WCOL,
     close_out, ext_out, one_out,
-    CAW, GW1, GW2, GW3, FQ, FQM, extS, extrS, mbS, oneS, S1SC, CARRY,
+    CAW, GW1, GW2, GW3, FQ, FQM, extrS, mbS, oneS, S1SC, CARRY,
     *, N, R,
 ):
     c = pl.program_id(1)
@@ -1819,7 +1846,6 @@ def _turner_inside_prob_kernel_chunked(
     def _init():
         for buf in (CAW, FQ, FQM, mbS, oneS, GW1, GW2, GW3, S1SC):
             buf[:] = jnp.zeros_like(buf[:])
-        extS[:] = jnp.zeros_like(extS[:])
         extrS[:] = jnp.ones_like(extrS[:])
 
     close_out[0] = jnp.zeros_like(close_out[0])
@@ -1906,7 +1932,6 @@ def _turner_inside_prob_kernel_chunked(
                 oblk = oneS[pl.ds(s, rows), :]
                 s2 = s2 + jnp.sum(oblk * x, axis=0, keepdims=True)
             ext_new = epow + ext_sum
-            extS[pl.ds(d, 1), :] = ext_new
             extrS[pl.ds(d + 1, 1), :] = ext_new
             ext_out[0, pl.ds(r, 1), :] = ext_new
 
@@ -2125,9 +2150,13 @@ def _turner_outside_prob_kernel_chunked(
     lax.fori_loop(lo, (c + 1) * R, span_step, 0)
 
 
-def _turner_prob_run_body_chunked(seqs, ns, tt, ln_sigma, N, R, interpret):
+def _turner_prob_run_body_chunked(seqs, ns, tt, ln_sigma, N, R,
+                                  interpret, R_out=None):
+    if R_out is None:
+        R_out = R
     B = seqs.shape[0]
     C = N // R
+    C_out = N // R_out
     pmats = turner_prob_mats(seqs, ns, tt, ln_sigma, N)
     LENBp, LENIp = _turner_len_prob(tt, ln_sigma)
     KB, K2, KI = _turner_banded_kernels(LENBp, LENIp)
@@ -2157,7 +2186,6 @@ def _turner_prob_run_body_chunked(seqs, ns, tt, ln_sigma, N, R, interpret):
             pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # GW3
             pltpu.VMEM((N, N + 8), jnp.float32),          # FQ
             pltpu.VMEM((N, N + 8), jnp.float32),          # FQM
-            pltpu.VMEM((N, N), jnp.float32),              # extS
             pltpu.VMEM((N + 1, N), jnp.float32),          # extrS
             pltpu.VMEM((2, N + 8), jnp.float32),          # mbS
             pltpu.VMEM((N + 1, N), jnp.float32),          # oneS
@@ -2166,7 +2194,7 @@ def _turner_prob_run_body_chunked(seqs, ns, tt, ln_sigma, N, R, interpret):
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=126 * 1024 * 1024,
         ),
     )(
         scal,
@@ -2183,22 +2211,22 @@ def _turner_prob_run_body_chunked(seqs, ns, tt, ln_sigma, N, R, interpret):
     scal_o = _turner_scal_rows(tt, ln_sigma, ns, glob=glob)
     kernel = functools.partial(
         _turner_outside_prob_kernel_chunked,
-        N=N, R=R, min_span=MIN_SPAN_HAIRPIN_CLOSE,
+        N=N, R=R_out, min_span=MIN_SPAN_HAIRPIN_CLOSE,
     )
     bppo = pl.pallas_call(
         kernel,
-        grid=(B, C),
+        grid=(B, C_out),
         in_specs=[
             _smem_spec2(),
-            *(_chunk_spec(R, N, desc=True, C=C) for _ in range(17)),
-            _chunk_spec(R, 2 * N),               # ONEP (ascending)
+            *(_chunk_spec(R_out, N, desc=True, C=C_out) for _ in range(17)),
+            _chunk_spec(R_out, 2 * N),               # ONEP (ascending)
             _const_spec2(N, N),                  # QONE
             _const_spec2(1, N),                  # EXTL
             _const_spec2(1, 2 * N),              # EXTR
             _const_spec2(W2, W), _const_spec2(W2, W),
             _const_spec2(32, 32), _const_spec2(32, 8),
         ],
-        out_specs=_chunk_spec(R, N, desc=True, C=C),
+        out_specs=_chunk_spec(R_out, N, desc=True, C=C_out),
         out_shape=jax.ShapeDtypeStruct((B, N, N), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((WROWS, N + LPAD), jnp.float32),   # OG
@@ -2215,7 +2243,7 @@ def _turner_prob_run_body_chunked(seqs, ns, tt, ln_sigma, N, R, interpret):
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=126 * 1024 * 1024,
         ),
     )(
         scal_o,
@@ -2238,20 +2266,26 @@ def mccaskill_turner_pallas_prob(seqs, ns, tt, N, interpret=False):
     def run(ls):
         if N > 256:
             # R = 64 keeps the validated N = 512 program; the larger
-            # buckets take bigger chunks (fewer ladder marks / boundaries)
+            # buckets take bigger chunks (fewer ladder marks / boundaries).
+            # At N = 2048 only the OUTSIDE chunk narrows (SONEF is (N, 2N);
+            # see _prob_run_body's VMEM note).
+            Rt = 64 if N <= 512 else 128
             return _turner_prob_run_body_chunked(
-                seqs, ns, tt, ls, N, 64 if N <= 512 else 128, interpret
+                seqs, ns, tt, ls, N, Rt, interpret,
+                R_out=Rt if N <= 1024 else 32,
             )
         return _turner_prob_run_body(seqs, ns, tt, ls, N, interpret)
 
     B = seqs.shape[0]
     if N > 512:
-        # 512-prefix seed; see the CONTRA entry for the drift rationale
-        ns_small = jnp.minimum(ns, 512)
+        # prefix seed; see the CONTRA entry for the drift/band rationale
+        NP = 512 if N <= 1024 else 1024
+        ns_small = jnp.minimum(ns, NP)
 
         def run_small(ls):
             return _turner_prob_run_body_chunked(
-                seqs[:, :512], ns_small, tt, ls, 512, 64, interpret
+                seqs[:, :NP], ns_small, tt, ls, NP,
+                64 if NP == 512 else 128, interpret,
             )
 
         ls_seed = _estimate_ls0(

@@ -30,7 +30,7 @@ def pick_bucket(n):
     for b in BUCKETS:
         if n <= b:
             return b
-    if n > 1024:
+    if n > 2048:
         # Past the last fused tier the only path is the XLA scan
         # (~1 s/seq at N=512 and O(n^3) beyond) — warn instead of
         # silently dispatching to it.
@@ -38,7 +38,7 @@ def pick_bucket(n):
 
         warnings.warn(
             f"sequence length {n} exceeds the fused-kernel tiers "
-            "(N <= 1024); falling back to the XLA wavefront scan, which "
+            "(N <= 2048); falling back to the XLA wavefront scan, which "
             "is orders of magnitude slower at this length",
             RuntimeWarning,
             stacklevel=2,
@@ -101,6 +101,9 @@ class FoldEngine:
             elif (prefer_pow2 and 512 < N <= 1024
                   and M.pallas_available(self.contra, 1024)):
                 N = 1024  # span-chunked fused kernels, second tier
+            elif (prefer_pow2 and 1024 < N <= 2048
+                  and M.pallas_available(self.contra, 2048)):
+                N = 2048  # span-chunked fused kernels, third tier
             by_bucket.setdefault(N, []).append(k)
         for N, idxs in by_bucket.items():
             arr = pad_seqs([seqs[k] for k in idxs], N)
