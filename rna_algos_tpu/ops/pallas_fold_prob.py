@@ -1265,13 +1265,18 @@ def _retrying(run, B, ls0=None, ns=None):
     # ln_sigma, so a fixed 0.9 first step overshoots by ~30x at n ~ 2000
     # and burns MAX_RETRIES halving back down (measured 10.4 s/seq at
     # N=2048).  The distance to the band is bounded by the seed error
-    # (prefix-seeded lanes are within a few hundredths), so start the walk
-    # at the band half-width instead.
+    # (prefix-seeded lanes are within a few hundredths), so prefix-seeded
+    # lanes (past 512 nt) start the walk at the band half-width — measured
+    # A/B at N=1024 B=16: 11.8 seqs/s with the scaled step vs 6.0 with the
+    # round-3 fixed 0.9 on the same batch.  Short lanes keep the fixed
+    # step (their wide bands bracket in 1-2 flips).
     step0 = jnp.full((B,), RETRY_STEP, jnp.float32)
+    grow = jnp.ones((B,), jnp.float32)
     if ns is not None:
-        step0 = jnp.minimum(
-            step0, 55.0 / jnp.maximum(ns.astype(jnp.float32), 1.0)
-        )
+        nf = jnp.maximum(ns.astype(jnp.float32), 1.0)
+        longn = nf > 512.0
+        step0 = jnp.where(longn, jnp.minimum(RETRY_STEP, 55.0 / nf), step0)
+        grow = jnp.where(longn, 1.5, 1.0)
     state = (
         bppo0, glob0, ls0,
         step0,
@@ -1287,13 +1292,13 @@ def _retrying(run, B, ls0=None, ns=None):
         _bppo, glob, ls, step, last_dir, bh, bl, k = st
         bad = bh | bl
         direction = bh.astype(jnp.float32) - bl.astype(jnp.float32)
-        # halve on a direction flip (bracketed); grow 1.5x while walking
-        # the same direction so distant lanes still converge in log time
-        # from the small n-scaled first step
+        # halve on a direction flip (bracketed); long-n lanes grow while
+        # walking the same direction so distant lanes still converge in
+        # log time from the small n-scaled first step
         step = jnp.where(
             direction * last_dir < 0,
             step * 0.5,
-            jnp.where(last_dir != 0, step * 1.5, step),
+            jnp.where(last_dir != 0, step * grow, step),
         )
         delta = step * direction
         if ns is not None:
