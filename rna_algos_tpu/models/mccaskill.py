@@ -440,7 +440,9 @@ def mccaskill_bpp_batch_pallas(seqs, ns, tbl, N, contra=True,
 
     In "exact" (default) and "fast" numerics modes both models run the
     scaled probability-space kernels — sublane-stacked
-    8-seqs-per-grid-step at N <= 128 (ops/pallas_fold_prob8.py),
+    G-seqs-per-grid-step (ops/pallas_fold_prob8.py) at N <= 256 for
+    CONTRA and N <= 128 for Turner (Turner's 18 streamed tables + 4
+    window scratches measure 145 MB vs the 128 MB VMEM at N = 256),
     per-sequence otherwise (ops/pallas_fold_prob.py) — with automatic
     per-sequence rescale retries.  Their sums are exact f32 arithmetic
     (no LSE approximation at all); goldens pin them within the 5e-4
@@ -459,7 +461,7 @@ def mccaskill_bpp_batch_pallas(seqs, ns, tbl, N, contra=True,
         # log-Z in [-4.5, 6.3] — far beyond physical RNA), so no host-side
         # validity check/fallback is needed; everything stays async.
         if contra:
-            if impl == "prob" and N <= 128:
+            if impl == "prob" and N <= 256:
                 # sublane-stacked kernels (8 seqs per grid step; see
                 # ops/pallas_fold_prob8.py); batch padded to a multiple
                 # of 8 (static shapes — the pad is compile-time)

@@ -31,10 +31,11 @@ per-sequence length before the outside auxiliaries — so results equal
 the per-sequence kernels' up to float reassociation of the tree sums.
 
 Reference recurrences: /root/reference/src/mccaskill_algo.rs:380-516
-(inside), :612-723 (outside).  Gated to buckets N <= 128: the VMEM
-working set (tables + scratches) is ~10 MB at N = 128 and would grow 4x
-at 256, past the comfortable Mosaic budget on this part; larger buckets
-keep the per-sequence path.
+(inside), :612-723 (outside).  Gated to buckets N <= 256 since round 4:
+with span-chunked table streaming and the measured 128 MB physical VMEM
+(see CLAUDE.md), the stacked working set fits the Rfam-scale bucket too
+(~60 MB inside / ~98 MB outside at N = 256, G = 32); larger buckets keep
+the per-sequence chunked path.
 """
 
 import functools
@@ -1023,7 +1024,9 @@ def _prob8_run_body(seqs, ns, ct, ln_sigma, N, allows_short_hairpins,
         jax.ShapeDtypeStruct((K, NG, N), jnp.float32) for _ in range(3)
     )
     if aged:
-        R = min(32, N)
+        # R=16 at N=256: the outside working set measures 133 MB at R=32
+        # against the 128 MB physical VMEM (chunk blocks scale with R*G)
+        R = min(32, N) if N <= 128 else 16
         C = N // R
         kernel = functools.partial(_inside8a_kernel, N=N, R=R)
 
@@ -1066,7 +1069,7 @@ def _prob8_run_body(seqs, ns, ct, ln_sigma, N, allows_short_hairpins,
             ],
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024,
+                vmem_limit_bytes=126 * 1024 * 1024,
             ),
         )(
             scal, vec_i,
@@ -1187,7 +1190,7 @@ def _prob8_run_body(seqs, ns, ct, ln_sigma, N, allows_short_hairpins,
             ],
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024,
+                vmem_limit_bytes=126 * 1024 * 1024,
             ),
         )(
             scal, vec_o,
@@ -1739,7 +1742,7 @@ def _turner_prob8_run_body(seqs, ns, tt, ln_sigma, N, interpret):
         jax.ShapeDtypeStruct((K, NG, N), jnp.float32) for _ in range(3)
     )
     if aged:
-        R = min(32, N)
+        R = min(32, N) if N <= 128 else 16   # see _prob8_run_body
         C = N // R
         kernel = functools.partial(
             _turner_inside8_kernel, N=N, R=R, aged=True
@@ -1787,7 +1790,7 @@ def _turner_prob8_run_body(seqs, ns, tt, ln_sigma, N, interpret):
             ],
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024,
+                vmem_limit_bytes=126 * 1024 * 1024,
             ),
         )(
             scal, vec_i,
@@ -1820,7 +1823,7 @@ def _turner_prob8_run_body(seqs, ns, tt, ln_sigma, N, interpret):
             ],
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024,
+                vmem_limit_bytes=126 * 1024 * 1024,
             ),
         )(
             scal, vec_i,
@@ -1885,7 +1888,7 @@ def _turner_prob8_run_body(seqs, ns, tt, ln_sigma, N, interpret):
             ],
             interpret=interpret,
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024,
+                vmem_limit_bytes=126 * 1024 * 1024,
             ),
         )(
             scal, vec_o,
@@ -1927,7 +1930,7 @@ def _turner_prob8_run_body(seqs, ns, tt, ln_sigma, N, interpret):
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=126 * 1024 * 1024,
         ),
     )(
         scal, vec_o,
