@@ -639,8 +639,12 @@ def pallas_available(contra, N):
         # resident, score tables streamed per row-chunk.  Prob-space only
         # (exact/fast tiers); the parity tier's log kernels stay all-VMEM.
         impl = os.environ.get("RNA_ALGOS_FAST_IMPL", "prob")
+        # N=2048 is CONTRA-only for now: the Turner outside kernel's 18
+        # streamed tables + 4 window scratches estimate ~139 MB against
+        # the 128 MB physical VMEM (unproven on hardware); Turner past
+        # 1024 takes the XLA scan until the window-merge redesign lands
         return (
-            N in (512, 1024, 2048)
+            (N in (512, 1024) or (N == 2048 and bool(contra)))
             and get_mode() in ("fast", "exact")
             and impl.startswith("prob")
         )
