@@ -49,10 +49,19 @@ Roofline model (documented so the % is judgeable):
 `BENCH_ROOFLINE=full` additionally measures the exact-numerics tRNA config
 and both numerics at the Rfam-scale bucket (N=256, 150-200 nt) — one
 roofline line each (first run pays remote compiles for any new shapes).
+
+Wedge-proofing (VERDICT round 4): before compiling anything the bench
+health-probes the backend in a subprocess under a bounded timeout, retries
+once after the documented tunnel poison window, and on persistent failure
+emits a single parseable JSON line with an ``error`` field instead of a
+traceback.  Every emitted line is mirrored to ``bench_artifacts/``
+(BENCH_ARTIFACT) so a snapshot-time tunnel failure cannot erase the
+round's evidence.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -63,6 +72,95 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 # Library-default numerics (see module docstring); BENCH_NUMERICS=parity
 # benches the reference-cubic mode, =fast the hardware tier.
 os.environ["RNA_ALGOS_NUMERICS"] = os.environ.get("BENCH_NUMERICS", "exact")
+
+def emit(obj):
+    """Print one JSON line AND mirror it to the in-round artifact file.
+
+    A snapshot-time tunnel failure must never erase the round's perf
+    evidence (VERDICT round 4, weak #1): every line this bench prints is
+    also appended to ``BENCH_ARTIFACT`` (default
+    ``bench_artifacts/last_run.jsonl``), which is committed during the
+    round.
+    """
+    line = json.dumps(obj)
+    print(line, flush=True)
+    path = os.environ.get(
+        "BENCH_ARTIFACT",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "bench_artifacts",
+            "last_run.jsonl",
+        ),
+    )
+    if path:
+        try:
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            with open(path, "a") as f:
+                f.write(line + "\n")
+        except OSError:
+            pass  # artifact mirroring must never fail the bench
+
+
+def _probe_backend(timeout_s):
+    """Check the device backend is healthy, in a SUBPROCESS under a timeout.
+
+    The axon failure modes (VERDICT round 4: ``import jax`` hanging >5 min
+    with the tunnel wedged, or ``RuntimeError: Unable to initialize backend
+    'axon'``) cannot be bounded in-process, so the probe runs a tiny
+    matmul + real value fetch in a child and kills it on timeout.  Returns
+    (ok, message).
+    """
+    code = (
+        "import jax, jax.numpy as jnp, numpy as np;"
+        "x = jnp.ones((8, 8)) @ jnp.ones((8, 8));"
+        "v = float(np.asarray(jax.device_get(x))[0, 0]);"
+        "assert v == 8.0, v;"
+        "print('BACKEND_OK', jax.default_backend())"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return False, f"backend probe timed out after {timeout_s}s"
+    if r.returncode == 0 and "BACKEND_OK" in r.stdout:
+        return True, r.stdout.strip().splitlines()[-1]
+    tail = (r.stderr or r.stdout or "").strip().splitlines()[-3:]
+    return False, f"backend probe rc={r.returncode}: " + " | ".join(tail)
+
+
+def ensure_backend_or_emit_error():
+    """Poll backend health; retry once after the wedge poison window.
+
+    On persistent failure emits a single parseable headline JSON line with
+    an ``error`` field (instead of dying with a traceback) and returns
+    False.  Tunable: BENCH_PROBE_TIMEOUT (s, default 300 — first matmul on
+    a cold tunnel takes ~70 s), BENCH_RETRY_S (default 900 — the documented
+    10-20 min tunnel poison window).
+    """
+    probe_t = float(os.environ.get("BENCH_PROBE_TIMEOUT", "300"))
+    retry_s = float(os.environ.get("BENCH_RETRY_S", "900"))
+    ok, msg = _probe_backend(probe_t)
+    if not ok:
+        print(f"# backend unhealthy ({msg}); retrying in {retry_s:.0f}s",
+              file=sys.stderr, flush=True)
+        time.sleep(retry_s)
+        ok, msg = _probe_backend(probe_t)
+    if not ok:
+        emit(
+            {
+                "metric": "mccaskill_contra_trna_batch_throughput",
+                "value": None,
+                "unit": "seqs/s",
+                "vs_baseline": None,
+                "error": f"device backend unavailable after retry: {msg}",
+            }
+        )
+    return ok
+
 
 def _reference_baseline_seqs_per_s():
     """Measured CPU-reference throughput per model (see module docstring)."""
@@ -187,6 +285,8 @@ def roofline_line(config, batch, N, mode, dt):
 
 def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    if not ensure_backend_or_emit_error():
+        return
     from rna_algos_tpu.models.mccaskill import pallas_available
     from rna_algos_tpu.parallel.runner import pick_bucket
     from rna_algos_tpu.utils import read_fasta
@@ -203,45 +303,51 @@ def main():
         N = 128  # fused-kernel buckets are power-of-two
 
     headline_mode = os.environ.get("BENCH_NUMERICS", "exact")
-    dt = measure(batch, N, headline_mode)
-    seqs_per_s = BATCH / dt
-    print(
-        json.dumps(
+    try:
+        dt = measure(batch, N, headline_mode)
+    except Exception as e:  # emit a parseable failure line, not a traceback
+        emit(
             {
                 "metric": "mccaskill_contra_trna_batch_throughput",
-                "value": round(seqs_per_s, 2),
+                "value": None,
                 "unit": "seqs/s",
-                "vs_baseline": round(seqs_per_s / REFERENCE_EST_SEQS_PER_S, 3),
+                "vs_baseline": None,
+                "error": f"{type(e).__name__}: {e}"[:500],
             }
-        ),
-        flush=True,
+        )
+        raise
+    seqs_per_s = BATCH / dt
+    emit(
+        {
+            "metric": "mccaskill_contra_trna_batch_throughput",
+            "value": round(seqs_per_s, 2),
+            "unit": "seqs/s",
+            "vs_baseline": round(seqs_per_s / REFERENCE_EST_SEQS_PER_S, 3),
+        }
     )
-    print(json.dumps(roofline_line("trna", batch, N, headline_mode, dt)), flush=True)
+    emit(roofline_line("trna", batch, N, headline_mode, dt))
 
     # second headline: the Turner model against its own measured baseline
     # (VERDICT round 3, item 4 — the reference benches both models,
     # /root/reference/benches/benches.rs:28-55)
     dt_t = measure(batch, N, headline_mode, contra=False)
     turner_seqs_per_s = BATCH / dt_t
-    print(
-        json.dumps(
-            {
-                "metric": "mccaskill_turner_trna_batch_throughput",
-                "value": round(turner_seqs_per_s, 2),
-                "unit": "seqs/s",
-                "vs_baseline": round(
-                    turner_seqs_per_s / REFERENCE_EST_TURNER_SEQS_PER_S, 3
-                ),
-            }
-        ),
-        flush=True,
+    emit(
+        {
+            "metric": "mccaskill_turner_trna_batch_throughput",
+            "value": round(turner_seqs_per_s, 2),
+            "unit": "seqs/s",
+            "vs_baseline": round(
+                turner_seqs_per_s / REFERENCE_EST_TURNER_SEQS_PER_S, 3
+            ),
+        }
     )
 
     if os.environ.get("BENCH_ROOFLINE") == "full":
         others = [m for m in ("exact", "parity") if m != headline_mode]
         for mode in others:
             dt2 = measure(batch, N, mode)
-            print(json.dumps(roofline_line("trna", batch, N, mode, dt2)), flush=True)
+            emit(roofline_line("trna", batch, N, mode, dt2))
         # Rfam-scale bucket: deterministic random 150-200 nt sequences.
         rng = np.random.RandomState(0)
         rbatch = [
@@ -250,10 +356,7 @@ def main():
         ]
         for mode in [headline_mode] + others:
             dtr = measure(rbatch, 256, mode)
-            print(
-                json.dumps(roofline_line("rfam_scale", rbatch, 256, mode, dtr)),
-                flush=True,
-            )
+            emit(roofline_line("rfam_scale", rbatch, 256, mode, dtr))
 
 
 if __name__ == "__main__":
