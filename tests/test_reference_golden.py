@@ -168,6 +168,74 @@ def test_c_baseline_socket_selftest(tmp_path, model, flag):
     assert worst <= C_BASELINE_ATOL, worst
 
 
+@pytest.mark.slow
+def test_c_baseline_durbin_socket_selftest(tmp_path):
+    """Durbin socket plumbing against oracle-produced goldens (VERDICT r4,
+    item 7).  Golden: tests/golden/c_baseline/durbin.txt from
+    scripts/gen_c_golden_aux.py (the scalar Durbin oracle — the reference's
+    recurrences + streaming cubic-f32 logsumexp order).  Our CLI runs the
+    parity tier; the bound is cross-implementation cubic reassociation,
+    same budget as the McCaskill self-test."""
+    ref_file = os.path.join(C_BASELINE_DIR, "durbin.txt")
+    assert os.path.exists(ref_file), "run scripts/gen_c_golden_aux.py"
+    from rna_algos_tpu import numerics
+    from rna_algos_tpu.cli import durbin as durbin_cli
+
+    out = tmp_path / "out.txt"
+    prev = numerics.get_mode()
+    try:
+        durbin_cli.main(["-i", FASTA, "-o", str(out), "--numerics", "parity"])
+    finally:
+        numerics.set_mode(prev)
+    with open(ref_file) as f:
+        ref = _parse_triples(f.read())
+    got = _parse_triples(out.read_text())
+    assert set(ref) == set(got)
+    worst = 0.0
+    for rid in ref:
+        assert set(ref[rid]) == set(got[rid]), (
+            rid, sorted(set(ref[rid]) ^ set(got[rid]))[:10],
+        )
+        for key, p in ref[rid].items():
+            worst = max(worst, abs(p - got[rid][key]))
+    assert worst <= C_BASELINE_ATOL, worst
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("model,flag", [("turner", []), ("contra", ["-c"])])
+def test_c_baseline_centroid_socket_selftest(tmp_path, model, flag):
+    """Centroid socket plumbing, byte-for-byte (VERDICT r4, item 7 — the
+    north-star surface: dot-bracket identity).  Golden: C-baseline BPPs
+    through the scalar MEA fill + traceback oracles
+    (scripts/gen_c_golden_aux.py), full gamma grid.  Our CLI computes BPPs
+    under parity numerics; byte identity holds as long as the <= 5e-4 BPP
+    reassociation band never crosses an MEA decision boundary on this
+    fixture (verified at generation time; a knife-edge flip would surface
+    here as a structure diff)."""
+    ref_dir = os.path.join(C_BASELINE_DIR, f"centroid_{model}")
+    assert os.path.isdir(ref_dir), "run scripts/gen_c_golden_aux.py"
+    from rna_algos_tpu import numerics
+    from rna_algos_tpu.cli import centroid_fold as cf_cli
+
+    out_dir = tmp_path / "centroids"
+    prev = numerics.get_mode()
+    try:
+        cf_cli.main(
+            ["-i", FASTA, "-o", str(out_dir), "--numerics", "parity"] + flag
+        )
+    finally:
+        numerics.set_mode(prev)
+    ref_files = sorted(os.listdir(ref_dir))
+    got_files = sorted(os.listdir(str(out_dir)))
+    assert ref_files == got_files
+    for name in ref_files:
+        with open(os.path.join(ref_dir, name), "rb") as f:
+            ref_bytes = f.read()
+        with open(os.path.join(str(out_dir), name), "rb") as f:
+            got_bytes = f.read()
+        assert ref_bytes == got_bytes, name
+
+
 @pytest.mark.parametrize("model,flag", [("turner", []), ("contra", ["-c"])])
 def test_reference_centroid_structures(tmp_path, model, flag):
     ref_dir = os.path.join(REF_DIR, f"centroid_{model}")
