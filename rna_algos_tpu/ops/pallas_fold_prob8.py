@@ -94,6 +94,23 @@ if _WINDOW_MODE not in ("aged", "striped"):
     )
 
 
+# Spans processed per grid step in the aged kernels (round 5, VERDICT item
+# 3: "multi-span grid steps").  The banded window kernels' first three
+# columns are structurally zero (min live r = 3: (a,b)=(2,0) for Turner
+# bulges / the CONTRA band minus its 4 special cells), so span d+1's
+# window contraction never reads the span-d insert and both spans of a
+# pair can contract the SAME window state — span d+1 through a
+# column-shifted kernel (W_{d+1}[r] = sigma * W_d[r-1], so
+# K @ W_{d+1} = sigma * (Kshift @ W_d) with Kshift[a, r] = K[a, r+1]).
+# The pair then shares ONE window-aging copy (x sigma^2) and ONE
+# FQ2-history shift (2 blocks + 2 lanes), halving the per-span copy
+# traffic that dominates the issue-bound span steps.  "1" pins the
+# round-4 single-span kernels.
+_SPANS = int(_os.environ.get("RNA_ALGOS_SPANS", "2"))
+if _SPANS not in (1, 2):
+    raise ValueError(f"RNA_ALGOS_SPANS must be 1 or 2, got {_SPANS}")
+
+
 def _seg(N):
     """Lane-major segment width: N data lanes + 33 pad (skew shifts <= 32
     stay inside the segment; segment pads hold exact zeros)."""
@@ -530,6 +547,239 @@ def _inside8a_kernel(
     CARRY[pl.ds(2 * G, G), :] = epow
 
 
+def _winl_insert2(WINL, ins1, ins0s, N, sig2, lane_off=0, rows=32):
+    """One double-step aging of the lane-major window: rows age TWO spans
+    in a single copy (x sigma^2), then the pair's two inserts land at rows
+    0 (newest, ``ins1``) and 1 (``ins0s`` — already carrying its one
+    sigma^-1 of age)."""
+    SW = _seg(N)
+    WINL[pl.ds(2, rows - 2), :] = WINL[pl.ds(0, rows - 2), :] * sig2
+    for g in range(G):
+        WINL[pl.ds(1, 1), pl.ds(g * SW + lane_off, N)] = ins0s[g : g + 1, :]
+        WINL[pl.ds(0, 1), pl.ds(g * SW + lane_off, N)] = ins1[g : g + 1, :]
+
+
+def _inside8a2_kernel(
+    SCAL,                                    # (1, 1, 8) SMEM: [7] = max n
+    VEC,                                     # (1, 6G, N): eu1 ebp mbu1 mbbp logmbu sig1
+    H, MBC, ACC, JS, STK, I11, B0R, B0L, JB,  # (1, R*G, N) chunk blocks
+    KC12,                                    # (1, 64, 32): [KC; KC column-shifted]
+    SIGL,                                    # (1, 1, G*SW) sigma^-1 lane row
+    close_out, ext_out, one_out,             # (1, R*G, N) chunk blocks
+    CJS, WINL, TWO8, FQ2, EO, mbS, S1SC, CARRY,
+    *, N, R,
+):
+    """Double-span variant of :func:`_inside8a_kernel` (``_SPANS == 2``).
+
+    Each grid-loop iteration processes the span PAIR (d0, d0+1).  Safe
+    because the banded kernel's first three columns are structurally zero
+    (see ``_SPANS``), so span d0+1's window contraction is
+    ``sigma * (KCshift @ W_d0)`` — both spans contract the SAME window
+    state through one stacked (64, 32) matmul.  The pair then shares:
+
+    * ONE window aging copy (30 rows x sigma^2 instead of 2 x 31 rows);
+    * ONE FQ2 history shift (2 blocks down + 2 lanes left instead of two
+      1-block shifts) — span d0's bifurcation reduction reads the
+      PRE-shift state at a (+1 block-offset EO, +1 lane) alignment with
+      its age-0 term taken from registers, span d0+1's reads the
+      post-shift state in the canonical per-span form.
+
+    Results differ from the single-span kernels only by float
+    reassociation (the span-d0 reduction tree pairs ages 1.. instead of
+    0..; sigma is applied to the d0+1 contraction result instead of to
+    the window rows) — gated by the same goldens/oracle budgets.
+    FQ2 is allocated (2NG, N + 8) here: lanes >= N stay zero so the
+    +1/+2-lane offset reads are plain in-bounds slices.
+    """
+    c = pl.program_id(1)
+    base = c * R
+    n_i = SCAL[0, 0, 7].astype(jnp.int32)
+    EU1 = VEC[0, pl.ds(0, G), :]
+    EBP = VEC[0, pl.ds(G, G), :]
+    MBU1 = VEC[0, pl.ds(2 * G, G), :]
+    MBBP = VEC[0, pl.ds(3 * G, G), :]
+    SIG1 = VEC[0, pl.ds(5 * G, G), :]
+    SIG1SQ = SIG1 * SIG1
+
+    @pl.when(c == 0)
+    def _init():
+        for buf in (CJS, WINL, FQ2, EO, mbS, S1SC):
+            buf[:] = jnp.zeros_like(buf[:])
+        EO[pl.ds(0, G), :] = jnp.ones((G, N), jnp.float32)
+
+    close_out[0] = jnp.zeros_like(close_out[0])
+    ext_out[0] = jnp.zeros_like(ext_out[0])
+    one_out[0] = jnp.zeros_like(one_out[0])
+
+    G2 = 2 * G
+    NG = N * G
+    sub2 = jax.lax.broadcasted_iota(jnp.int32, (2 * NG, 1), 0)
+    tb2_full = sub2 // G2
+    fam0_full = (sub2 // G) % 2 == 0
+    kw12 = KC12[0, pl.ds(0, 64), pl.ds(0, 32)]
+    sig = SIGL[0, pl.ds(0, 1), :]
+    sig2 = sig * sig
+    first = c == 0
+    rm0c = jnp.where(first, 0.0, CARRY[pl.ds(0, G), :])
+    rmmb0c = jnp.where(first, 0.0, CARRY[pl.ds(G, G), :])
+    epow0c = jnp.where(first, 1.0, CARRY[pl.ds(2 * G, G), :])
+    lim = jnp.minimum(base + R, n_i)
+
+    def _close_at(dl, two):
+        mb_in = mbS[pl.ds(G, G), pl.ds(1, N)]
+        return two, mb_in
+
+    def pair_step(q, carry):
+        rm_p, rmmb_p, epow_p = carry
+        dl0 = 2 * q
+        dl1 = dl0 + 1
+        d0 = base + dl0
+        d1 = d0 + 1
+        live1 = d1 < lim
+
+        # ---- both spans' window contractions off the SAME window state
+        OUT12 = PP._mm_prec(kw12, WINL[pl.ds(0, 32), :])
+
+        # ---- span d0: close
+        two0 = (_blk(JS, dl0) * SIG1) * _lm_to_blk(
+            TWO8, _skew_lane_asc(OUT12[:32]), N
+        )
+        two0 = two0 + _blk(STK, dl0) * CJS[pl.ds(G, G), pl.ds(1, N)]
+        two0 = two0 + _blk(B0R, dl0) * CJS[pl.ds(2 * G, G), pl.ds(1, N)]
+        two0 = two0 + _blk(B0L, dl0) * CJS[pl.ds(2 * G, G), pl.ds(2, N)]
+        two0 = two0 + _blk(I11, dl0) * CJS[pl.ds(3 * G, G), pl.ds(2, N)]
+        mb_in0 = mbS[pl.ds(G, G), pl.ds(1, N)]          # s2_{d0-2}, aged
+        mb0 = jnp.where(d0 >= 2, mb_in0 * _blk(MBC, dl0), 0.0)
+        close0 = _blk(H, dl0) + two0 + mb0
+        close0 = jnp.where(d0 + 1 >= MIN_SPAN_HAIRPIN_CLOSE, close0, 0.0)
+        close_out[0, pl.ds(dl0 * G, G), :] = close0
+        acc0 = close0 * _blk(ACC, dl0)
+        g0 = close0 * _blk(JB, dl0)
+        _shift_insert8(CJS, g0)                          # d1 reads age 1 = g0
+
+        # ---- span d1: close (sigma residual doubled; mb reads pre-tail mbS)
+        two1 = (_blk(JS, dl1) * SIG1SQ) * _lm_to_blk(
+            TWO8, _skew_lane_asc(OUT12[32:]), N
+        )
+        two1 = two1 + _blk(STK, dl1) * CJS[pl.ds(G, G), pl.ds(1, N)]
+        two1 = two1 + _blk(B0R, dl1) * CJS[pl.ds(2 * G, G), pl.ds(1, N)]
+        two1 = two1 + _blk(B0L, dl1) * CJS[pl.ds(2 * G, G), pl.ds(2, N)]
+        two1 = two1 + _blk(I11, dl1) * CJS[pl.ds(3 * G, G), pl.ds(2, N)]
+        mb_in1 = mbS[pl.ds(0, G), pl.ds(1, N)]           # s2_{d1-2} = s2_{d0-1}
+        mb1 = jnp.where(d1 >= 2, mb_in1 * _blk(MBC, dl1), 0.0)
+        close1 = _blk(H, dl1) + two1 + mb1
+        close1 = jnp.where(
+            (d1 + 1 >= MIN_SPAN_HAIRPIN_CLOSE) & live1, close1, 0.0
+        )
+        close_out[0, pl.ds(dl1 * G, G), :] = close1
+        acc1 = close1 * _blk(ACC, dl1)
+        g1 = close1 * _blk(JB, dl1)
+
+        # ---- external/one-state recurrences for both spans
+        rm0 = rm_p * EU1 + acc0 * EBP
+        rmmb0 = rmmb_p * MBU1 + acc0 * MBBP
+        epow0 = epow_p * EU1
+        rm1 = rm0 * EU1 + acc1 * EBP
+        rmmb1 = rmmb0 * MBU1 + acc1 * MBBP
+        epow1 = epow0 * EU1
+
+        # ---- span d0 tail: reduction from the PRE-shift FQ2 state
+        def tail0(ht):
+            h2 = ht * G2
+            bulk = jnp.where(
+                tb2_full[:h2] <= d0 - 2,
+                FQ2[pl.ds(0, h2), pl.ds(1, N)]
+                * EO[pl.ds(G2, h2), pl.ds(0, N)],
+                0.0,
+            )
+            red = _tree_to(bulk, G2)
+            ext0 = epow0 + red[:G] + rm0 * EO[pl.ds(0, G), :]
+            s2_0 = red[G:]
+            ext_out[0, pl.ds(dl0 * G, G), :] = ext0
+            s1v = MBU1 * (
+                FQ2[pl.ds(G, G), pl.ds(1, N)]
+                + S1SC[pl.ds(0, G), pl.ds(1, N)]
+            )
+            S1SC[pl.ds(0, G), pl.ds(0, N)] = s1v
+            one0 = rmmb0 + s1v + s2_0
+            mbS[pl.ds(G, G), :] = mbS[pl.ds(0, G), :]
+            mbS[pl.ds(0, G), pl.ds(0, N)] = s2_0
+            one_out[0, pl.ds(dl0 * G, G), :] = one0
+            EO[pl.ds((d0 + 1) * G2, G), :] = ext0
+            EO[pl.ds((d0 + 1) * G2 + G, G), :] = one0
+
+        prev = 0
+        for ht in PF._live_heights(N):
+            cond = d0 < ht if prev == 0 else (d0 >= prev) & (d0 < ht)
+            pl.when(cond)(functools.partial(tail0, ht))
+            prev = ht
+
+        # ---- double FQ2 shift + both inserts, then span d1 tail
+        def tail1(ht):
+            h2 = ht * G2
+            FQ2[pl.ds(2 * G2, h2 - 2 * G2), pl.ds(0, N)] = FQ2[
+                pl.ds(0, h2 - 2 * G2), pl.ds(2, N)
+            ]
+            # age-1 inserts: lanes shift LEFT as rows age, so target lane
+            # l holds rm0[l + 1]; lane N-1 is rm0[N] = 0
+            FQ2[pl.ds(G2, G), pl.ds(0, N - 1)] = rm0[:, 1:]
+            FQ2[pl.ds(G2, G), pl.ds(N - 1, 1)] = jnp.zeros(
+                (G, 1), jnp.float32
+            )
+            FQ2[pl.ds(G2 + G, G), pl.ds(0, N - 1)] = rmmb0[:, 1:]
+            FQ2[pl.ds(G2 + G, G), pl.ds(N - 1, 1)] = jnp.zeros(
+                (G, 1), jnp.float32
+            )
+            FQ2[pl.ds(0, G), pl.ds(0, N)] = rm1
+            FQ2[pl.ds(G, G), pl.ds(0, N)] = rmmb1
+
+            tb = tb2_full[:h2]
+            fam0 = fam0_full[:h2]
+            terms = jnp.where(
+                (tb <= d1 - 1) & (fam0 | (tb >= 1)),
+                FQ2[pl.ds(0, h2), pl.ds(0, N)] * EO[pl.ds(0, h2), pl.ds(0, N)],
+                0.0,
+            )
+            red = _tree_to(terms, G2)
+            ext1 = epow1 + red[:G]
+            s2_1 = red[G:]
+            ext_out[0, pl.ds(dl1 * G, G), :] = ext1
+            s1v = MBU1 * (
+                FQ2[pl.ds(3 * G, G), pl.ds(0, N)]
+                + S1SC[pl.ds(0, G), pl.ds(1, N)]
+            )
+            S1SC[pl.ds(0, G), pl.ds(0, N)] = s1v
+            one1 = rmmb1 + s1v + s2_1
+            mbS[pl.ds(G, G), :] = mbS[pl.ds(0, G), :]
+            mbS[pl.ds(0, G), pl.ds(0, N)] = s2_1
+            one_out[0, pl.ds(dl1 * G, G), :] = one1
+            EO[pl.ds((d1 + 1) * G2, G), :] = ext1
+            EO[pl.ds((d1 + 1) * G2 + G, G), :] = one1
+
+        prev = 0
+        for ht in PF._live_heights(N):
+            cond = d1 < ht if prev == 0 else (d1 >= prev) & (d1 < ht)
+            pl.when(cond & live1)(functools.partial(tail1, ht))
+            prev = ht
+
+        # ---- window/mini inserts for the NEXT pair
+        _shift_insert8(CJS, g1)
+        _winl_insert2(WINL, g1, g0 * SIG1, N, sig2)
+
+        rm_o = jnp.where(live1, rm1, rm0)
+        rmmb_o = jnp.where(live1, rmmb1, rmmb0)
+        epow_o = jnp.where(live1, epow1, epow0)
+        return (rm_o, rmmb_o, epow_o)
+
+    npairs = jnp.maximum(0, lim - base + 1) // 2
+    rm, rmmb, epow = lax.fori_loop(
+        0, npairs, pair_step, (rm0c, rmmb0c, epow0c)
+    )
+    CARRY[pl.ds(0, G), :] = rm
+    CARRY[pl.ds(G, G), :] = rmmb
+    CARRY[pl.ds(2 * G, G), :] = epow
+
+
 # ---------------------------------------------------------------------------
 # Outside kernel (stacked)
 # ---------------------------------------------------------------------------
@@ -801,6 +1051,260 @@ def _outside8a_kernel(
     )
 
 
+def _outside8a2_kernel(
+    SCAL,                                    # (1, 1, 8) SMEM: [7] = max n
+    VEC,                                     # (1, 3G, N): logmbu, sig1, b0lo'
+    CLOSE, MBC, ACCB, ACCMB, STKO, I11O, B0RO, JRB, JSN,  # (1, R*G, N)
+    ONEP,                                    # (1, N*8, 2N) pre-rotated (even n)
+    QONE,                                    # (1, N*8 + 4G, N) zero-padded rows
+    EXTR,                                    # (1, 8, 2N) pre-rotated (even n)
+    KC12,                                    # (1, 64, 32): [KC; KC col-shifted]
+    SIGL,                                    # (1, 1, G*SW)
+    bppo_out,                                # (1, R*G, N) chunk blocks
+    OGS, WINL, TWO8, RED2, PMB, XS, RP2, SONEF, REXT, P2SC, QASC,
+    *, N, R, min_span,
+):
+    """Double-span variant of :func:`_outside8a_kernel` (``_SPANS == 2``).
+
+    Spans decrease, so each iteration processes the pair (da, da-1).  The
+    same structural-zero argument as :func:`_inside8a2_kernel` lets both
+    spans contract one window state (stacked [KC; KCshift] matmul); the
+    pair then shares ONE XS shift (2 blocks), ONE RP2 shift (2 blocks + 2
+    lanes) and ONE SONEF lane rotation (by 2) — span da reads the
+    pre-update states at +1 block/lane offsets with its fresh terms taken
+    from registers (the ``tb2 >= 1`` mask already excludes the
+    just-inserted block, so da's bifurcation needs NO register term),
+    span da-1 reads canonically after the batched update.
+
+    Pair alignment: the host pre-rotates ONEP/EXTR for the group length
+    ROUNDED UP TO EVEN and the loop starts at the even step
+    ``N - n_even`` — when n is odd the extra leading span (d = n) executes
+    harmlessly (its close row is identically zero, so every produced
+    value/insert is an exact zero) and performs the one rotation the
+    rounded pre-rotation already accounts for.  The whole pair dispatches
+    at the YOUNGER span's live height (the elder's reductions see extra
+    all-zero blocks — exact identities).
+    """
+    c = pl.program_id(1)
+    n_i = SCAL[0, 0, 7].astype(jnp.int32)
+    n_even = n_i + (n_i % 2)
+    LOGMBU = VEC[0, pl.ds(0, G), :]
+    SIG1 = VEC[0, pl.ds(G, G), :]
+    SIG1SQ = SIG1 * SIG1
+    B0LOv = VEC[0, pl.ds(2 * G, G), :]
+    G2 = 2 * G
+    NG = N * G
+
+    @pl.when(c == 0)
+    def _init():
+        for buf in (OGS, WINL, XS, RP2, P2SC, QASC):
+            buf[:] = jnp.zeros_like(buf[:])
+        SONEF[pl.ds(0, NG), :] = ONEP[0, pl.ds(0, NG), :]
+        SONEF[pl.ds(NG, G), :] = jnp.zeros((G, SONEF.shape[1]), jnp.float32)
+        REXT[pl.ds(0, G), :] = EXTR[0, pl.ds(0, G), :]
+
+    bppo_out[0] = jnp.zeros_like(bppo_out[0])
+    MBU1 = jnp.exp(LOGMBU)
+    baseo = N - (c + 1) * R
+
+    sub2 = jax.lax.broadcasted_iota(jnp.int32, (2 * NG, 1), 0)
+    tb2_full = sub2 // G2
+    C2 = SONEF.shape[1]
+    kw12 = KC12[0, pl.ds(0, 64), pl.ds(0, 32)]
+    sig = SIGL[0, pl.ds(0, 1), :]
+    sig2 = sig * sig
+
+    def pair_step(p, carry):
+        s0 = c * R + 2 * p
+        da = N - 1 - s0
+        db = da - 1
+        ka = s0 - (N - n_even)
+        kb = ka + 1
+        dla = da - baseo
+        dlb = db - baseo
+        ok_a = (da + 1) >= min_span
+        ok_b = (db + 1) >= min_span
+
+        OUT12 = PP._mm_prec(kw12, WINL[pl.ds(0, 32), :])
+        E_a = _skew_lane_desc(OUT12[:32])
+        E_b = _skew_lane_desc(OUT12[32:])
+
+        def pair_body(ht):
+            hg = ht * G
+            h2 = ht * G2
+
+            # ================= span da =================
+            close_a = _blk(CLOSE, dla)
+            pos_a = close_a > 0.0
+            inv_a = jnp.where(pos_a, 1.0 / jnp.where(pos_a, close_a, 1.0), 0.0)
+            rt_a = REXT[pl.ds(0, G), pl.ds(0, N)]
+            base_a = close_a * _blk(ACCB, dla) * rt_a
+            jrb_a = _blk(JRB, dla)
+            two_a = (jrb_a * SIG1) * _lm_to_blk(TWO8, E_a, N)
+            two_a = two_a + _blk(STKO, dla) * OGS[pl.ds(G, G), pl.ds(31, N)]
+            two_a = two_a + _blk(B0RO, dla) * OGS[pl.ds(2 * G, G), pl.ds(31, N)]
+            two_a = two_a + jrb_a * B0LOv * OGS[pl.ds(2 * G, G), pl.ds(30, N)]
+            two_a = two_a + _blk(I11O, dla) * OGS[pl.ds(3 * G, G), pl.ds(30, N)]
+            two_a = two_a * close_a
+            acc_mb_a = close_a * _blk(ACCMB, dla)
+
+            pm_a = jnp.where(
+                ok_a,
+                _tree8(
+                    XS[pl.ds(0, hg), :] * SONEF[pl.ds(0, hg), pl.ds(0, N)]
+                ),
+                0.0,
+            )
+            pm2_raw = (
+                XS[pl.ds(0, G), pl.ds(0, N)]
+                + MBU1 * P2SC[pl.ds(0, G), pl.ds(0, N)]
+            )
+            P2SC[pl.ds(0, G), pl.ds(0, N)] = pm2_raw
+            pm2_a = jnp.where(ok_a, pm2_raw, 0.0)
+
+            # bifurcation terms: canonical state would be the single-shifted
+            # RP2 with [pm_a; pm2_a] at block 0 — which the tb2 >= 1 mask
+            # EXCLUDES, so the whole sum reads the pre-shift state:
+            # RP2_post[t, l] = RP2_pre[t-1, l-1]
+            bulk_a = (
+                RP2[pl.ds(0, h2), pl.ds(0, N - 1)]
+                * QONE[0, pl.ds(G2, h2), pl.ds(1, N - 1)]
+            )
+            red_a = _tree_to(bulk_a, G2)                 # lanes 1..N-1
+            RED2[pl.ds(0, G2), pl.ds(1, N - 1)] = red_a
+            RED2[pl.ds(0, G2), pl.ds(0, 1)] = jnp.zeros((G2, 1), jnp.float32)
+            redf_a = RED2[pl.ds(0, G2), pl.ds(0, N)]
+            # qa: canonical reads post-shift block 1 pm-fam = RP2_pre[0:G, l-1]
+            PMB[pl.ds(0, G), pl.ds(1, N - 1)] = RP2[pl.ds(0, G), pl.ds(0, N - 1)]
+            PMB[pl.ds(0, G), pl.ds(0, 1)] = jnp.zeros((G, 1), jnp.float32)
+            qa_a = PMB[pl.ds(0, G), pl.ds(0, N)] + MBU1 * QASC[
+                pl.ds(0, G), pl.ds(0, N)
+            ]
+            QASC[pl.ds(0, G), pl.ds(1, N)] = qa_a
+            mb_ctx_a = acc_mb_a * (redf_a[G:] + redf_a[:G] + qa_a)
+
+            bppo_a = base_a + two_a + mb_ctx_a
+            bppo_a = jnp.where(pos_a & ok_a, bppo_a, 0.0)
+            bppo_out[0, pl.ds(dla * G, G), :] = bppo_a
+            g2_a = bppo_a * _blk(JSN, dla) * inv_a
+            _shift_insert8(OGS, g2_a, lane_off=32)
+            g_row_a = bppo_a * _blk(MBC, dla) * inv_a
+            PF._rotate_right(REXT, G)
+
+            # ================= span db =================
+            close_b = _blk(CLOSE, dlb)
+            pos_b = close_b > 0.0
+            inv_b = jnp.where(pos_b, 1.0 / jnp.where(pos_b, close_b, 1.0), 0.0)
+            rt_b = REXT[pl.ds(0, G), pl.ds(0, N)]
+            base_b = close_b * _blk(ACCB, dlb) * rt_b
+            jrb_b = _blk(JRB, dlb)
+            two_b = (jrb_b * SIG1SQ) * _lm_to_blk(TWO8, E_b, N)
+            two_b = two_b + _blk(STKO, dlb) * OGS[pl.ds(G, G), pl.ds(31, N)]
+            two_b = two_b + _blk(B0RO, dlb) * OGS[pl.ds(2 * G, G), pl.ds(31, N)]
+            two_b = two_b + jrb_b * B0LOv * OGS[pl.ds(2 * G, G), pl.ds(30, N)]
+            two_b = two_b + _blk(I11O, dlb) * OGS[pl.ds(3 * G, G), pl.ds(30, N)]
+            two_b = two_b * close_b
+            acc_mb_b = close_b * _blk(ACCMB, dlb)
+
+            # pm_b over XS' = [g_row_a; XS..] and SONEF' = rotate1(SONEF):
+            # lanes >= 1 from body slices, lane 0 from the rotation wrap
+            pm_body = _tree8(
+                XS[pl.ds(0, hg), pl.ds(1, N - 1)]
+                * SONEF[pl.ds(G, hg), pl.ds(0, N - 1)]
+            ) + g_row_a[:, 1:] * SONEF[pl.ds(0, G), pl.ds(0, N - 1)]
+            pm_l0 = _tree8(
+                XS[pl.ds(0, hg), pl.ds(0, 1)]
+                * SONEF[pl.ds(G, hg), pl.ds(C2 - 1, 1)]
+            ) + g_row_a[:, :1] * SONEF[pl.ds(0, G), pl.ds(C2 - 1, 1)]
+            PMB[pl.ds(0, G), pl.ds(1, N - 1)] = pm_body
+            PMB[pl.ds(0, G), pl.ds(0, 1)] = pm_l0
+            pm_b = jnp.where(ok_b, PMB[pl.ds(0, G), pl.ds(0, N)], 0.0)
+            pm2_raw_b = g_row_a + MBU1 * P2SC[pl.ds(0, G), pl.ds(0, N)]
+            P2SC[pl.ds(0, G), pl.ds(0, N)] = pm2_raw_b
+            pm2_b = jnp.where(ok_b, pm2_raw_b, 0.0)
+
+            # bifurcation: canonical post-DOUBLE-shift state; block 1 holds
+            # [pm_a; pm2_a] (registers), blocks >= 2 the pre state at
+            # (+2 block, +2 lane)
+            bulk_b = (
+                RP2[pl.ds(0, h2), pl.ds(0, N - 2)]
+                * QONE[0, pl.ds(2 * G2, h2), pl.ds(2, N - 2)]
+            )
+            red_b = _tree_to(bulk_b, G2)                 # lanes 2..N-1
+            RED2[pl.ds(0, G2), pl.ds(2, N - 2)] = red_b
+            RED2[pl.ds(0, G2), pl.ds(0, 2)] = jnp.zeros((G2, 2), jnp.float32)
+            RED2[pl.ds(0, G), pl.ds(1, N - 1)] = (
+                RED2[pl.ds(0, G), pl.ds(1, N - 1)]
+                + pm_a[:, : N - 1] * QONE[0, pl.ds(G2, G), pl.ds(1, N - 1)]
+            )
+            RED2[pl.ds(G, G), pl.ds(1, N - 1)] = (
+                RED2[pl.ds(G, G), pl.ds(1, N - 1)]
+                + pm2_a[:, : N - 1] * QONE[0, pl.ds(G2 + G, G), pl.ds(1, N - 1)]
+            )
+            redf_b = RED2[pl.ds(0, G2), pl.ds(0, N)]
+            PMB[pl.ds(0, G), pl.ds(1, N - 1)] = pm_a[:, : N - 1]
+            PMB[pl.ds(0, G), pl.ds(0, 1)] = jnp.zeros((G, 1), jnp.float32)
+            qa_b = PMB[pl.ds(0, G), pl.ds(0, N)] + MBU1 * QASC[
+                pl.ds(0, G), pl.ds(0, N)
+            ]
+            QASC[pl.ds(0, G), pl.ds(1, N)] = qa_b
+            mb_ctx_b = acc_mb_b * (redf_b[G:] + redf_b[:G] + qa_b)
+
+            bppo_b = base_b + two_b + mb_ctx_b
+            bppo_b = jnp.where(pos_b & ok_b, bppo_b, 0.0)
+            bppo_out[0, pl.ds(dlb * G, G), :] = bppo_b
+            g2_b = bppo_b * _blk(JSN, dlb) * inv_b
+            _shift_insert8(OGS, g2_b, lane_off=32)
+            g_row_b = bppo_b * _blk(MBC, dlb) * inv_b
+            PF._rotate_right(REXT, G)
+
+            # ================= batched pair updates =================
+            XS[pl.ds(2 * G, hg - 2 * G), :] = XS[pl.ds(0, hg - 2 * G), :]
+            XS[pl.ds(G, G), :] = g_row_a
+            XS[pl.ds(0, G), :] = g_row_b
+
+            RP2[pl.ds(2 * G2, h2 - 2 * G2), pl.ds(2, N - 2)] = RP2[
+                pl.ds(0, h2 - 2 * G2), pl.ds(0, N - 2)
+            ]
+            RP2[pl.ds(2 * G2, h2 - 2 * G2), pl.ds(0, 2)] = jnp.zeros(
+                (h2 - 2 * G2, 2), jnp.float32
+            )
+            RP2[pl.ds(G2, G), pl.ds(1, N - 1)] = pm_a[:, : N - 1]
+            RP2[pl.ds(G2, G), pl.ds(0, 1)] = jnp.zeros((G, 1), jnp.float32)
+            RP2[pl.ds(G2 + G, G), pl.ds(1, N - 1)] = pm2_a[:, : N - 1]
+            RP2[pl.ds(G2 + G, G), pl.ds(0, 1)] = jnp.zeros(
+                (G, 1), jnp.float32
+            )
+            RP2[pl.ds(0, G), pl.ds(0, N)] = pm_b
+            RP2[pl.ds(G, G), pl.ds(0, N)] = pm2_b
+
+            wrap = SONEF[pl.ds(0, hg), pl.ds(C2 - 2, 2)]
+            body = SONEF[pl.ds(0, hg), pl.ds(0, C2 - 2)]
+            SONEF[pl.ds(0, hg), pl.ds(2, C2 - 2)] = body
+            SONEF[pl.ds(0, hg), pl.ds(0, 2)] = wrap
+
+            _winl_insert2(WINL, g2_b, g2_a * SIG1, N, sig2, lane_off=32)
+
+        prev = 0
+        for ht in PF._live_heights(N):
+            if prev:
+                def bulk(lo=prev, hi=ht):
+                    rows = (hi - lo) * G
+                    wrapb = SONEF[pl.ds(lo * G, rows), pl.ds(C2 - lo, lo)]
+                    bodyb = SONEF[pl.ds(lo * G, rows), pl.ds(0, C2 - lo)]
+                    SONEF[pl.ds(lo * G, rows), pl.ds(lo, C2 - lo)] = bodyb
+                    SONEF[pl.ds(lo * G, rows), pl.ds(0, lo)] = wrapb
+
+                pl.when(ka == prev)(bulk)
+            cond = kb < ht if prev == 0 else (kb >= prev) & (kb < ht)
+            pl.when(cond)(functools.partial(pair_body, ht))
+            prev = ht
+        return carry
+
+    p0 = jnp.maximum(0, (N - n_even) - c * R) // 2
+    lax.fori_loop(p0, R // 2, pair_step, 0)
+
+
 # ---------------------------------------------------------------------------
 # Host-side table merging + call wrappers
 # ---------------------------------------------------------------------------
@@ -1028,7 +1532,27 @@ def _prob8_run_body(seqs, ns, ct, ln_sigma, N, allows_short_hairpins,
         # against the 128 MB physical VMEM (chunk blocks scale with R*G)
         R = min(32, N) if N <= 128 else 16
         C = N // R
-        kernel = functools.partial(_inside8a_kernel, N=N, R=R)
+        two_span = _SPANS == 2
+        if two_span:
+            kernel = functools.partial(_inside8a2_kernel, N=N, R=R)
+            # stacked [KC; KC column-shifted] kernel for the span pair
+            KIN = jnp.concatenate(
+                [
+                    KBIG,
+                    jnp.concatenate(
+                        [KBIG[:, :, 1:], jnp.zeros_like(KBIG[:, :, :1])],
+                        axis=2,
+                    ),
+                ],
+                axis=1,
+            )
+            ki_rows = 64
+            fq2_scratch = pltpu.VMEM((2 * NG, N + 8), jnp.float32)
+        else:
+            kernel = functools.partial(_inside8a_kernel, N=N, R=R)
+            KIN = KBIG
+            ki_rows = 32
+            fq2_scratch = pltpu.VMEM((2 * NG, N), jnp.float32)
 
         def _kc(*shape):
             return pl.BlockSpec(
@@ -1050,7 +1574,7 @@ def _prob8_run_body(seqs, ns, ct, ln_sigma, N, allows_short_hairpins,
                 _kc(6 * G, N),
                 *(chunk for _ in range(9)),
                 pl.BlockSpec(
-                    (1, 32, 32), lambda k, c: (0, 0, 0),
+                    (1, ki_rows, 32), lambda k, c: (0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 _kc(1, G * SW),
@@ -1061,7 +1585,7 @@ def _prob8_run_body(seqs, ns, ct, ln_sigma, N, allows_short_hairpins,
                 pltpu.VMEM((4 * G, N + LPAD), jnp.float32),     # CJS (mini)
                 pltpu.VMEM((40, G * SW), jnp.float32),          # WINL
                 pltpu.VMEM((G, N), jnp.float32),                # TWO8
-                pltpu.VMEM((2 * NG, N), jnp.float32),           # FQ2
+                fq2_scratch,                                    # FQ2
                 pltpu.VMEM((2 * NG + 2 * G, N), jnp.float32),   # EO
                 pltpu.VMEM((2 * G, N + 8), jnp.float32),        # mbS
                 pltpu.VMEM((G, N + 8), jnp.float32),            # S1SC
@@ -1074,7 +1598,7 @@ def _prob8_run_body(seqs, ns, ct, ln_sigma, N, allows_short_hairpins,
         )(
             scal, vec_i,
             mi["H"], mi["MBC"], mi["ACC"], mi["JS"], mi["STK"],
-            mi["I11"], mi["B0R"], mi["B0L"], mi["JB"], KBIG, SIGL,
+            mi["I11"], mi["B0R"], mi["B0L"], mi["JB"], KIN, SIGL,
         )
     else:
         kernel = functools.partial(_inside8_kernel, N=N)
@@ -1113,9 +1637,15 @@ def _prob8_run_body(seqs, ns, ct, ln_sigma, N, allows_short_hairpins,
     ext = jnp.where(live, ext, 0.0)
     one = jnp.where(live, one, 0.0)
 
+    n_rot_g = n_max.astype(jnp.int32)
+    if aged and _SPANS == 2:
+        # the double-span outside pairs steps from an even-aligned start;
+        # the rounded pre-rotation absorbs the (harmless, all-zero) extra
+        # leading span executed when the group length is odd
+        n_rot_g = n_rot_g + (n_rot_g % 2)
     ONEP, QONE, extL, extR, glob = PF.contra_outside_aux(
         ns, ext, one, N, neg=0.0, one_val=1.0,
-        n_rot=jnp.repeat(n_max.astype(jnp.int32), G),
+        n_rot=jnp.repeat(n_rot_g, G),
     )
     if upto == "aux":
         return ONEP, QONE, extL, extR, glob
@@ -1149,13 +1679,35 @@ def _prob8_run_body(seqs, ns, ct, ln_sigma, N, allows_short_hairpins,
 
     min_span = 2 if allows_short_hairpins else MIN_SPAN_HAIRPIN_CLOSE
     if aged:
-        kernel_o = functools.partial(
-            _outside8a_kernel, N=N, R=R, min_span=min_span
-        )
         chunk_desc = pl.BlockSpec(
             (1, R * G, N), lambda k, c: (k, C - 1 - c, 0),
             memory_space=pltpu.VMEM,
         )
+        if two_span:
+            kernel_o = functools.partial(
+                _outside8a2_kernel, N=N, R=R, min_span=min_span
+            )
+            # pair-offset bulk reads index QONE rows up to h2 + 2*G2
+            QONE8 = jnp.concatenate(
+                [
+                    QONE8,
+                    jnp.zeros((K, 4 * G, N), jnp.float32),
+                ],
+                axis=1,
+            )
+            qone_rows = 2 * NG + 4 * G
+            extra_scr = [
+                pltpu.VMEM((2 * G, N), jnp.float32),            # RED2
+                pltpu.VMEM((G, N), jnp.float32),                # PMB
+            ]
+            sonef_scr = pltpu.VMEM((NG + G, 2 * N), jnp.float32)
+        else:
+            kernel_o = functools.partial(
+                _outside8a_kernel, N=N, R=R, min_span=min_span
+            )
+            qone_rows = 2 * NG
+            extra_scr = []
+            sonef_scr = pltpu.VMEM((NG, 2 * N), jnp.float32)
         bppo8 = pl.pallas_call(
             kernel_o,
             grid=(K, C),
@@ -1167,10 +1719,10 @@ def _prob8_run_body(seqs, ns, ct, ln_sigma, N, allows_short_hairpins,
                 _kc(3 * G, N),
                 *(chunk_desc for _ in range(9)),
                 _kc(NG, 2 * N),                    # ONEP
-                _kc(2 * NG, N),                    # QONE (fam-duplicated)
+                _kc(qone_rows, N),                 # QONE (fam-duplicated)
                 _kc(G, 2 * N),                     # EXTR
                 pl.BlockSpec(
-                    (1, 32, 32), lambda k, c: (0, 0, 0),
+                    (1, ki_rows, 32), lambda k, c: (0, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
                 _kc(1, G * SW),
@@ -1181,9 +1733,10 @@ def _prob8_run_body(seqs, ns, ct, ln_sigma, N, allows_short_hairpins,
                 pltpu.VMEM((4 * G, N + LPAD), jnp.float32),     # OGS (mini)
                 pltpu.VMEM((40, G * SW), jnp.float32),          # WINL
                 pltpu.VMEM((G, N), jnp.float32),                # TWO8
+                *extra_scr,                                     # RED2, PMB
                 pltpu.VMEM((NG, N), jnp.float32),               # XS
                 pltpu.VMEM((2 * NG, N), jnp.float32),           # RP2
-                pltpu.VMEM((NG, 2 * N), jnp.float32),           # SONEF
+                sonef_scr,                                      # SONEF
                 pltpu.VMEM((G, 2 * N), jnp.float32),            # REXT
                 pltpu.VMEM((G, N), jnp.float32),                # P2SC
                 pltpu.VMEM((G, N + 8), jnp.float32),            # QASC
@@ -1196,7 +1749,7 @@ def _prob8_run_body(seqs, ns, ct, ln_sigma, N, allows_short_hairpins,
             scal, vec_o,
             mo8["CLOSE"], mo8["MBC"], mo8["ACCB"], mo8["ACCMB"], mo8["STKO"],
             mo8["I11O"], mo8["B0RO"], mo8["JRB"], mo8["JSN"],
-            ONEP8, QONE8, EXTR8, KBIG, SIGL,
+            ONEP8, QONE8, EXTR8, KIN, SIGL,
         )
         return dilv(bppo8), glob
     kernel_o = functools.partial(_outside8_kernel, N=N, min_span=min_span)
@@ -1452,6 +2005,257 @@ def _turner_inside8_kernel(
         CARRY[pl.ds(2 * G, G), :] = epow
 
 
+def _turner_inside8m_kernel(
+    SCAL,                                    # (1, 1, 8) SMEM: [7] = max n
+    VEC,                                     # (1, 56, N)
+    H, MBC, ACC, AUGC, TMO1C, TMO2C, TMO3C,  # (1, R*G, N) chunk blocks
+    SP00, SP01, SP10, SP11, SP12, SP21, SP22,
+    AUGT, TMI1, TMI2, TMI3,
+    KT12,                                    # (1, 192, 96): [KT; KT col-shifted]
+    SIGL,                                    # (1, 1, G*SW)
+    close_out, ext_out, one_out,
+    MINI, WM, TWO8, FQ2, EO, mbS, S1SC, CARRY,
+    *, N, R,
+):
+    """Merged-family + double-span Turner inside kernel (round 5: VERDICT
+    items 1 and 3 together).
+
+    The round-4 aged kernel kept three SUBLANE window families (CAW raw
+    close*aug for the bulge arms + specials, GW2 for the 2x3-edge arms,
+    GW3 for the two TM3 cells), each shifted (33*G, N) rows per span —
+    the G-scaled shift traffic that kept Turner from gaining with G.
+    Here ALL three banded families live in ONE aged lane-major scratch
+    ``WM`` (96 rows: ages 0..31 of g*TMI1 / g / g*TMI2), contracted by a
+    block-diagonal COMMON (96, 96) kernel diag(KI, KB, K2) built from the
+    sigma-free exp tables (the window aging supplies sigma^-r exactly as
+    the round-4 KI path did; the bulge/2x3 column+diagonal VPU arms are
+    the a=0 / r=a+1 rows of their bands, so the matmul subsumes them).
+    The 7 small-loop specials (close*aug ages 1..5) and the two TM3 cells
+    (g*TMI3 age 6) read ``MINI``, a single 13-block sublane shift
+    register ([g ages 0..5 | g*TMI3 ages 0..6] — one (12*G, N) shift per
+    span; the age-5 g row falling into the TMI3 region is overwritten by
+    its insert).
+
+    Double-span pairing works exactly as :func:`_inside8a2_kernel` (all
+    three bands have structurally-zero first three kernel columns; KT12
+    stacks the pair kernel [KT; KTshift] so one (192, 96) matmul serves
+    both spans), sharing one window aging (x sigma^2) and one FQ2 shift
+    per pair.  Reference recurrences:
+    /root/reference/src/mccaskill_algo.rs:380-516."""
+    c = pl.program_id(1)
+    base = c * R
+    n_i = SCAL[0, 0, 7].astype(jnp.int32)
+    EU1 = VEC[0, pl.ds(0, G), :]
+    EBP = VEC[0, pl.ds(G, G), :]
+    MBU1 = VEC[0, pl.ds(2 * G, G), :]
+    MBBP = VEC[0, pl.ds(3 * G, G), :]
+    LENI32 = VEC[0, pl.ds(5 * G, G), :]
+    LENI23 = VEC[0, pl.ds(6 * G, G), :]
+    EU1SQ = EU1 * EU1
+
+    @pl.when(c == 0)
+    def _init():
+        for buf in (MINI, WM, FQ2, EO, mbS, S1SC):
+            buf[:] = jnp.zeros_like(buf[:])
+        EO[pl.ds(0, G), :] = jnp.ones((G, N), jnp.float32)
+
+    close_out[0] = jnp.zeros_like(close_out[0])
+    ext_out[0] = jnp.zeros_like(ext_out[0])
+    one_out[0] = jnp.zeros_like(one_out[0])
+
+    G2 = 2 * G
+    NG = N * G
+    sub2 = jax.lax.broadcasted_iota(jnp.int32, (2 * NG, 1), 0)
+    tb2_full = sub2 // G2
+    fam0_full = (sub2 // G) % 2 == 0
+    kt12 = KT12[0, pl.ds(0, 192), pl.ds(0, 96)]
+    sig = SIGL[0, pl.ds(0, 1), :]
+    sig2 = sig * sig
+    first = c == 0
+    rm0c = jnp.where(first, 0.0, CARRY[pl.ds(0, G), :])
+    rmmb0c = jnp.where(first, 0.0, CARRY[pl.ds(G, G), :])
+    epow0c = jnp.where(first, 1.0, CARRY[pl.ds(2 * G, G), :])
+    lim = jnp.minimum(base + R, n_i)
+    M3 = 6 * G   # MINI row offset of the g*TMI3 region
+
+    def _two_at(dl, out_rows, resid):
+        """Banded-window + specials + TM3 sum for one span (out_rows =
+        that span's 96 matmul output rows; resid = EU1 or EU1^2)."""
+        e1 = _lm_to_blk(TWO8, _skew_lane_asc(out_rows[:32]), N)
+        two = _blk(TMO1C, dl) * (resid * e1)
+        ec = _lm_to_blk(TWO8, _skew_lane_asc(out_rows[32:64]), N)
+        two = two + _blk(AUGC, dl) * (resid * ec)
+        e2 = _lm_to_blk(TWO8, _skew_lane_asc(out_rows[64:]), N)
+        two = two + _blk(TMO2C, dl) * (resid * e2)
+        two = two + _blk(TMO3C, dl) * (
+            LENI32 * MINI[pl.ds(M3 + 6 * G, G), pl.ds(3, N)]
+            + LENI23 * MINI[pl.ds(M3 + 6 * G, G), pl.ds(4, N)]
+        )
+        two = two + _blk(SP00, dl) * MINI[pl.ds(G, G), pl.ds(1, N)]
+        two = two + _blk(SP01, dl) * MINI[pl.ds(2 * G, G), pl.ds(1, N)]
+        two = two + _blk(SP10, dl) * MINI[pl.ds(2 * G, G), pl.ds(2, N)]
+        two = two + _blk(SP11, dl) * MINI[pl.ds(3 * G, G), pl.ds(2, N)]
+        two = two + _blk(SP12, dl) * MINI[pl.ds(4 * G, G), pl.ds(2, N)]
+        two = two + _blk(SP21, dl) * MINI[pl.ds(4 * G, G), pl.ds(3, N)]
+        two = two + _blk(SP22, dl) * MINI[pl.ds(5 * G, G), pl.ds(3, N)]
+        return two
+
+    def _mini_insert(g, gt3):
+        """One-block shift of the merged mini register + both inserts."""
+        MINI[pl.ds(G, 12 * G), :] = MINI[pl.ds(0, 12 * G), :]
+        MINI[pl.ds(0, G), pl.ds(0, N)] = g
+        MINI[pl.ds(M3, G), pl.ds(0, N)] = gt3
+
+    def pair_step(q, carry):
+        rm_p, rmmb_p, epow_p = carry
+        dl0 = 2 * q
+        dl1 = dl0 + 1
+        d0 = base + dl0
+        d1 = d0 + 1
+        live1 = d1 < lim
+
+        OUT12 = PP._mm_prec(kt12, WM[pl.ds(0, 96), :])
+
+        # ---- span d0
+        two0 = _two_at(dl0, OUT12[:96], EU1)
+        mb_in0 = mbS[pl.ds(G, G), pl.ds(1, N)]
+        mb0 = jnp.where(d0 >= 2, mb_in0 * _blk(MBC, dl0), 0.0)
+        close0 = _blk(H, dl0) + two0 + mb0
+        close0 = jnp.where(d0 + 1 >= MIN_SPAN_HAIRPIN_CLOSE, close0, 0.0)
+        close_out[0, pl.ds(dl0 * G, G), :] = close0
+        acc0 = close0 * _blk(ACC, dl0)
+        g0 = close0 * _blk(AUGT, dl0)
+        _mini_insert(g0, g0 * _blk(TMI3, dl0))
+
+        # ---- span d1
+        two1 = _two_at(dl1, OUT12[96:], EU1SQ)
+        mb_in1 = mbS[pl.ds(0, G), pl.ds(1, N)]
+        mb1 = jnp.where(d1 >= 2, mb_in1 * _blk(MBC, dl1), 0.0)
+        close1 = _blk(H, dl1) + two1 + mb1
+        close1 = jnp.where(
+            (d1 + 1 >= MIN_SPAN_HAIRPIN_CLOSE) & live1, close1, 0.0
+        )
+        close_out[0, pl.ds(dl1 * G, G), :] = close1
+        acc1 = close1 * _blk(ACC, dl1)
+        g1 = close1 * _blk(AUGT, dl1)
+
+        # ---- ext/one-state recurrences
+        rm0 = rm_p * EU1 + acc0 * EBP
+        rmmb0 = rmmb_p * MBU1 + acc0 * MBBP
+        epow0 = epow_p * EU1
+        rm1 = rm0 * EU1 + acc1 * EBP
+        rmmb1 = rmmb0 * MBU1 + acc1 * MBBP
+        epow1 = epow0 * EU1
+
+        # ---- tails (identical structure to _inside8a2_kernel)
+        def tail0(ht):
+            h2 = ht * G2
+            bulk = jnp.where(
+                tb2_full[:h2] <= d0 - 2,
+                FQ2[pl.ds(0, h2), pl.ds(1, N)]
+                * EO[pl.ds(G2, h2), pl.ds(0, N)],
+                0.0,
+            )
+            red = _tree_to(bulk, G2)
+            ext0 = epow0 + red[:G] + rm0 * EO[pl.ds(0, G), :]
+            s2_0 = red[G:]
+            ext_out[0, pl.ds(dl0 * G, G), :] = ext0
+            s1v = MBU1 * (
+                FQ2[pl.ds(G, G), pl.ds(1, N)]
+                + S1SC[pl.ds(0, G), pl.ds(1, N)]
+            )
+            S1SC[pl.ds(0, G), pl.ds(0, N)] = s1v
+            one0 = rmmb0 + s1v + s2_0
+            mbS[pl.ds(G, G), :] = mbS[pl.ds(0, G), :]
+            mbS[pl.ds(0, G), pl.ds(0, N)] = s2_0
+            one_out[0, pl.ds(dl0 * G, G), :] = one0
+            EO[pl.ds((d0 + 1) * G2, G), :] = ext0
+            EO[pl.ds((d0 + 1) * G2 + G, G), :] = one0
+
+        prev = 0
+        for ht in PF._live_heights(N):
+            cond = d0 < ht if prev == 0 else (d0 >= prev) & (d0 < ht)
+            pl.when(cond)(functools.partial(tail0, ht))
+            prev = ht
+
+        def tail1(ht):
+            h2 = ht * G2
+            FQ2[pl.ds(2 * G2, h2 - 2 * G2), pl.ds(0, N)] = FQ2[
+                pl.ds(0, h2 - 2 * G2), pl.ds(2, N)
+            ]
+            FQ2[pl.ds(G2, G), pl.ds(0, N - 1)] = rm0[:, 1:]
+            FQ2[pl.ds(G2, G), pl.ds(N - 1, 1)] = jnp.zeros(
+                (G, 1), jnp.float32
+            )
+            FQ2[pl.ds(G2 + G, G), pl.ds(0, N - 1)] = rmmb0[:, 1:]
+            FQ2[pl.ds(G2 + G, G), pl.ds(N - 1, 1)] = jnp.zeros(
+                (G, 1), jnp.float32
+            )
+            FQ2[pl.ds(0, G), pl.ds(0, N)] = rm1
+            FQ2[pl.ds(G, G), pl.ds(0, N)] = rmmb1
+
+            tb = tb2_full[:h2]
+            fam0 = fam0_full[:h2]
+            terms = jnp.where(
+                (tb <= d1 - 1) & (fam0 | (tb >= 1)),
+                FQ2[pl.ds(0, h2), pl.ds(0, N)] * EO[pl.ds(0, h2), pl.ds(0, N)],
+                0.0,
+            )
+            red = _tree_to(terms, G2)
+            ext1 = epow1 + red[:G]
+            s2_1 = red[G:]
+            ext_out[0, pl.ds(dl1 * G, G), :] = ext1
+            s1v = MBU1 * (
+                FQ2[pl.ds(3 * G, G), pl.ds(0, N)]
+                + S1SC[pl.ds(0, G), pl.ds(1, N)]
+            )
+            S1SC[pl.ds(0, G), pl.ds(0, N)] = s1v
+            one1 = rmmb1 + s1v + s2_1
+            mbS[pl.ds(G, G), :] = mbS[pl.ds(0, G), :]
+            mbS[pl.ds(0, G), pl.ds(0, N)] = s2_1
+            one_out[0, pl.ds(dl1 * G, G), :] = one1
+            EO[pl.ds((d1 + 1) * G2, G), :] = ext1
+            EO[pl.ds((d1 + 1) * G2 + G, G), :] = one1
+
+        prev = 0
+        for ht in PF._live_heights(N):
+            cond = d1 < ht if prev == 0 else (d1 >= prev) & (d1 < ht)
+            pl.when(cond & live1)(functools.partial(tail1, ht))
+            prev = ht
+
+        # ---- window/mini inserts for the next pair
+        _mini_insert(g1, g1 * _blk(TMI3, dl1))
+        # merged lane-major aging (one copy; fam-boundary overflow rows
+        # are overwritten by the inserts below) + 6 insert row-writes
+        WM[pl.ds(2, 94), :] = WM[pl.ds(0, 94), :] * sig2
+        ins = (
+            (0, g1 * _blk(TMI1, dl1), g0 * _blk(TMI1, dl0)),
+            (32, g1, g0),
+            (64, g1 * _blk(TMI2, dl1), g0 * _blk(TMI2, dl0)),
+        )
+        SW = _seg(N)
+        for off, new0, new1s in ins:
+            new1aged = new1s * EU1
+            for g in range(G):
+                WM[pl.ds(off + 1, 1), pl.ds(g * SW, N)] = new1aged[
+                    g : g + 1, :
+                ]
+                WM[pl.ds(off, 1), pl.ds(g * SW, N)] = new0[g : g + 1, :]
+
+        rm_o = jnp.where(live1, rm1, rm0)
+        rmmb_o = jnp.where(live1, rmmb1, rmmb0)
+        epow_o = jnp.where(live1, epow1, epow0)
+        return (rm_o, rmmb_o, epow_o)
+
+    npairs = jnp.maximum(0, lim - base + 1) // 2
+    rm, rmmb, epow = lax.fori_loop(
+        0, npairs, pair_step, (rm0c, rmmb0c, epow0c)
+    )
+    CARRY[pl.ds(0, G), :] = rm
+    CARRY[pl.ds(G, G), :] = rmmb
+    CARRY[pl.ds(2 * G, G), :] = epow
+
+
 def _turner_outside8_kernel(
     SCAL,
     VEC,                                     # (1, 8, N): logmbu
@@ -1640,6 +2444,266 @@ def _turner_outside8_kernel(
     )
 
 
+def _turner_outside8m_kernel(
+    SCAL,
+    VEC,                                     # (1, 3G, N): logmbu leni32 leni23
+    CLOSE, MBC, ACCB, ACCMB, AUGT, TMI1C, TMI2C, TMI3C,
+    SP00, SP01, SP10, SP11, SP12, SP21, SP22,
+    TMO1, TMO2, TMO3,
+    ONEP,                                    # (1, N*8, 2N) pre-rotated (even n)
+    QONE,                                    # (1, N*8 + 4G, N) zero-padded rows
+    EXTR,                                    # (1, 8, 2N) pre-rotated (even n)
+    KT12,                                    # (1, 192, 96)
+    SIGL,
+    bppo_out,
+    MINI, WM, TWO8, RED2, PMB, XS, RP2, SONEF, REXT, P2SC, QASC,
+    *, N, R, min_span,
+):
+    """Merged-family + double-span Turner OUTSIDE kernel: the descending
+    counterpart of :func:`_turner_inside8m_kernel`, with the batched
+    XS/RP2/SONEF pair updates of :func:`_outside8a2_kernel` (see both for
+    the derivations).  Window fams [g2*TMO1 | g2 | g2*TMO2] under the same
+    block-diagonal KT12; MINI = [g2 ages 0..5 | g2*TMO3 ages 0..6] at the
+    outside +32 lane offset; residual sigma^-1 = MBU1 (Turner
+    multibranch_unpair = 0)."""
+    c = pl.program_id(1)
+    n_i = SCAL[0, 0, 7].astype(jnp.int32)
+    n_even = n_i + (n_i % 2)
+    LOGMBU = VEC[0, pl.ds(0, G), :]
+    LENI32 = VEC[0, pl.ds(G, G), :]
+    LENI23 = VEC[0, pl.ds(2 * G, G), :]
+    G2 = 2 * G
+    NG = N * G
+    M3 = 6 * G
+
+    @pl.when(c == 0)
+    def _init():
+        for buf in (MINI, WM, XS, RP2, P2SC, QASC):
+            buf[:] = jnp.zeros_like(buf[:])
+        SONEF[pl.ds(0, NG), :] = ONEP[0, pl.ds(0, NG), :]
+        SONEF[pl.ds(NG, G), :] = jnp.zeros((G, SONEF.shape[1]), jnp.float32)
+        REXT[pl.ds(0, G), :] = EXTR[0, pl.ds(0, G), :]
+
+    bppo_out[0] = jnp.zeros_like(bppo_out[0])
+    MBU1 = jnp.exp(LOGMBU)
+    MBU1SQ = MBU1 * MBU1
+    baseo = N - (c + 1) * R
+
+    sub2 = jax.lax.broadcasted_iota(jnp.int32, (2 * NG, 1), 0)
+    tb2_full = sub2 // G2
+    C2 = SONEF.shape[1]
+    kt12 = KT12[0, pl.ds(0, 192), pl.ds(0, 96)]
+    sig = SIGL[0, pl.ds(0, 1), :]
+    sig2 = sig * sig
+    SW = _seg(N)
+
+    def _two_at(dl, out_rows, resid):
+        e1 = _lm_to_blk(TWO8, _skew_lane_desc(out_rows[:32]), N)
+        two = _blk(TMI1C, dl) * (resid * e1)
+        ec = _lm_to_blk(TWO8, _skew_lane_desc(out_rows[32:64]), N)
+        two = two + _blk(AUGT, dl) * (resid * ec)
+        e2 = _lm_to_blk(TWO8, _skew_lane_desc(out_rows[64:]), N)
+        two = two + _blk(TMI2C, dl) * (resid * e2)
+        two = two + _blk(TMI3C, dl) * (
+            LENI32 * MINI[pl.ds(M3 + 6 * G, G), pl.ds(29, N)]
+            + LENI23 * MINI[pl.ds(M3 + 6 * G, G), pl.ds(28, N)]
+        )
+        two = two + _blk(SP00, dl) * MINI[pl.ds(G, G), pl.ds(31, N)]
+        two = two + _blk(SP01, dl) * MINI[pl.ds(2 * G, G), pl.ds(31, N)]
+        two = two + _blk(SP10, dl) * MINI[pl.ds(2 * G, G), pl.ds(30, N)]
+        two = two + _blk(SP11, dl) * MINI[pl.ds(3 * G, G), pl.ds(30, N)]
+        two = two + _blk(SP12, dl) * MINI[pl.ds(4 * G, G), pl.ds(30, N)]
+        two = two + _blk(SP21, dl) * MINI[pl.ds(4 * G, G), pl.ds(29, N)]
+        two = two + _blk(SP22, dl) * MINI[pl.ds(5 * G, G), pl.ds(29, N)]
+        return two
+
+    def _mini_insert(g, gt3):
+        MINI[pl.ds(G, 12 * G), :] = MINI[pl.ds(0, 12 * G), :]
+        MINI[pl.ds(0, G), pl.ds(32, N)] = g
+        MINI[pl.ds(M3, G), pl.ds(32, N)] = gt3
+
+    def pair_step(p, carry):
+        s0 = c * R + 2 * p
+        da = N - 1 - s0
+        db = da - 1
+        ka = s0 - (N - n_even)
+        kb = ka + 1
+        dla = da - baseo
+        dlb = db - baseo
+        ok_a = (da + 1) >= min_span
+        ok_b = (db + 1) >= min_span
+
+        OUT12 = PP._mm_prec(kt12, WM[pl.ds(0, 96), :])
+
+        def pair_body(ht):
+            hg = ht * G
+            h2 = ht * G2
+
+            # ================= span da =================
+            close_a = _blk(CLOSE, dla)
+            pos_a = close_a > 0.0
+            inv_a = jnp.where(pos_a, 1.0 / jnp.where(pos_a, close_a, 1.0), 0.0)
+            rt_a = REXT[pl.ds(0, G), pl.ds(0, N)]
+            base_a = close_a * _blk(ACCB, dla) * rt_a
+            two_a = _two_at(dla, OUT12[:96], MBU1) * close_a
+            acc_mb_a = close_a * _blk(ACCMB, dla)
+
+            pm_a = jnp.where(
+                ok_a,
+                _tree8(
+                    XS[pl.ds(0, hg), :] * SONEF[pl.ds(0, hg), pl.ds(0, N)]
+                ),
+                0.0,
+            )
+            pm2_raw = (
+                XS[pl.ds(0, G), pl.ds(0, N)]
+                + MBU1 * P2SC[pl.ds(0, G), pl.ds(0, N)]
+            )
+            P2SC[pl.ds(0, G), pl.ds(0, N)] = pm2_raw
+            pm2_a = jnp.where(ok_a, pm2_raw, 0.0)
+
+            bulk_a = (
+                RP2[pl.ds(0, h2), pl.ds(0, N - 1)]
+                * QONE[0, pl.ds(G2, h2), pl.ds(1, N - 1)]
+            )
+            red_a = _tree_to(bulk_a, G2)
+            RED2[pl.ds(0, G2), pl.ds(1, N - 1)] = red_a
+            RED2[pl.ds(0, G2), pl.ds(0, 1)] = jnp.zeros((G2, 1), jnp.float32)
+            redf_a = RED2[pl.ds(0, G2), pl.ds(0, N)]
+            PMB[pl.ds(0, G), pl.ds(1, N - 1)] = RP2[pl.ds(0, G), pl.ds(0, N - 1)]
+            PMB[pl.ds(0, G), pl.ds(0, 1)] = jnp.zeros((G, 1), jnp.float32)
+            qa_a = PMB[pl.ds(0, G), pl.ds(0, N)] + MBU1 * QASC[
+                pl.ds(0, G), pl.ds(0, N)
+            ]
+            QASC[pl.ds(0, G), pl.ds(1, N)] = qa_a
+            mb_ctx_a = acc_mb_a * (redf_a[G:] + redf_a[:G] + qa_a)
+
+            bppo_a = base_a + two_a + mb_ctx_a
+            bppo_a = jnp.where(pos_a & ok_a, bppo_a, 0.0)
+            bppo_out[0, pl.ds(dla * G, G), :] = bppo_a
+            g2_a = bppo_a * _blk(AUGT, dla) * inv_a
+            _mini_insert(g2_a, g2_a * _blk(TMO3, dla))
+            g_row_a = bppo_a * _blk(MBC, dla) * inv_a
+            PF._rotate_right(REXT, G)
+
+            # ================= span db =================
+            close_b = _blk(CLOSE, dlb)
+            pos_b = close_b > 0.0
+            inv_b = jnp.where(pos_b, 1.0 / jnp.where(pos_b, close_b, 1.0), 0.0)
+            rt_b = REXT[pl.ds(0, G), pl.ds(0, N)]
+            base_b = close_b * _blk(ACCB, dlb) * rt_b
+            two_b = _two_at(dlb, OUT12[96:], MBU1SQ) * close_b
+            acc_mb_b = close_b * _blk(ACCMB, dlb)
+
+            pm_body = _tree8(
+                XS[pl.ds(0, hg), pl.ds(1, N - 1)]
+                * SONEF[pl.ds(G, hg), pl.ds(0, N - 1)]
+            ) + g_row_a[:, 1:] * SONEF[pl.ds(0, G), pl.ds(0, N - 1)]
+            pm_l0 = _tree8(
+                XS[pl.ds(0, hg), pl.ds(0, 1)]
+                * SONEF[pl.ds(G, hg), pl.ds(C2 - 1, 1)]
+            ) + g_row_a[:, :1] * SONEF[pl.ds(0, G), pl.ds(C2 - 1, 1)]
+            PMB[pl.ds(0, G), pl.ds(1, N - 1)] = pm_body
+            PMB[pl.ds(0, G), pl.ds(0, 1)] = pm_l0
+            pm_b = jnp.where(ok_b, PMB[pl.ds(0, G), pl.ds(0, N)], 0.0)
+            pm2_raw_b = g_row_a + MBU1 * P2SC[pl.ds(0, G), pl.ds(0, N)]
+            P2SC[pl.ds(0, G), pl.ds(0, N)] = pm2_raw_b
+            pm2_b = jnp.where(ok_b, pm2_raw_b, 0.0)
+
+            bulk_b = (
+                RP2[pl.ds(0, h2), pl.ds(0, N - 2)]
+                * QONE[0, pl.ds(2 * G2, h2), pl.ds(2, N - 2)]
+            )
+            red_b = _tree_to(bulk_b, G2)
+            RED2[pl.ds(0, G2), pl.ds(2, N - 2)] = red_b
+            RED2[pl.ds(0, G2), pl.ds(0, 2)] = jnp.zeros((G2, 2), jnp.float32)
+            RED2[pl.ds(0, G), pl.ds(1, N - 1)] = (
+                RED2[pl.ds(0, G), pl.ds(1, N - 1)]
+                + pm_a[:, : N - 1] * QONE[0, pl.ds(G2, G), pl.ds(1, N - 1)]
+            )
+            RED2[pl.ds(G, G), pl.ds(1, N - 1)] = (
+                RED2[pl.ds(G, G), pl.ds(1, N - 1)]
+                + pm2_a[:, : N - 1] * QONE[0, pl.ds(G2 + G, G), pl.ds(1, N - 1)]
+            )
+            redf_b = RED2[pl.ds(0, G2), pl.ds(0, N)]
+            PMB[pl.ds(0, G), pl.ds(1, N - 1)] = pm_a[:, : N - 1]
+            PMB[pl.ds(0, G), pl.ds(0, 1)] = jnp.zeros((G, 1), jnp.float32)
+            qa_b = PMB[pl.ds(0, G), pl.ds(0, N)] + MBU1 * QASC[
+                pl.ds(0, G), pl.ds(0, N)
+            ]
+            QASC[pl.ds(0, G), pl.ds(1, N)] = qa_b
+            mb_ctx_b = acc_mb_b * (redf_b[G:] + redf_b[:G] + qa_b)
+
+            bppo_b = base_b + two_b + mb_ctx_b
+            bppo_b = jnp.where(pos_b & ok_b, bppo_b, 0.0)
+            bppo_out[0, pl.ds(dlb * G, G), :] = bppo_b
+            g2_b = bppo_b * _blk(AUGT, dlb) * inv_b
+            _mini_insert(g2_b, g2_b * _blk(TMO3, dlb))
+            g_row_b = bppo_b * _blk(MBC, dlb) * inv_b
+            PF._rotate_right(REXT, G)
+
+            # ================= batched pair updates =================
+            XS[pl.ds(2 * G, hg - 2 * G), :] = XS[pl.ds(0, hg - 2 * G), :]
+            XS[pl.ds(G, G), :] = g_row_a
+            XS[pl.ds(0, G), :] = g_row_b
+
+            RP2[pl.ds(2 * G2, h2 - 2 * G2), pl.ds(2, N - 2)] = RP2[
+                pl.ds(0, h2 - 2 * G2), pl.ds(0, N - 2)
+            ]
+            RP2[pl.ds(2 * G2, h2 - 2 * G2), pl.ds(0, 2)] = jnp.zeros(
+                (h2 - 2 * G2, 2), jnp.float32
+            )
+            RP2[pl.ds(G2, G), pl.ds(1, N - 1)] = pm_a[:, : N - 1]
+            RP2[pl.ds(G2, G), pl.ds(0, 1)] = jnp.zeros((G, 1), jnp.float32)
+            RP2[pl.ds(G2 + G, G), pl.ds(1, N - 1)] = pm2_a[:, : N - 1]
+            RP2[pl.ds(G2 + G, G), pl.ds(0, 1)] = jnp.zeros(
+                (G, 1), jnp.float32
+            )
+            RP2[pl.ds(0, G), pl.ds(0, N)] = pm_b
+            RP2[pl.ds(G, G), pl.ds(0, N)] = pm2_b
+
+            wrap = SONEF[pl.ds(0, hg), pl.ds(C2 - 2, 2)]
+            body = SONEF[pl.ds(0, hg), pl.ds(0, C2 - 2)]
+            SONEF[pl.ds(0, hg), pl.ds(2, C2 - 2)] = body
+            SONEF[pl.ds(0, hg), pl.ds(0, 2)] = wrap
+
+            # merged window aging + 6 inserts (outside +32 lane offset)
+            WM[pl.ds(2, 94), :] = WM[pl.ds(0, 94), :] * sig2
+            ins = (
+                (0, g2_b * _blk(TMO1, dlb), g2_a * _blk(TMO1, dla)),
+                (32, g2_b, g2_a),
+                (64, g2_b * _blk(TMO2, dlb), g2_a * _blk(TMO2, dla)),
+            )
+            for off, new0, new1s in ins:
+                new1aged = new1s * MBU1
+                for g in range(G):
+                    WM[pl.ds(off + 1, 1), pl.ds(g * SW + 32, N)] = new1aged[
+                        g : g + 1, :
+                    ]
+                    WM[pl.ds(off, 1), pl.ds(g * SW + 32, N)] = new0[
+                        g : g + 1, :
+                    ]
+
+        prev = 0
+        for ht in PF._live_heights(N):
+            if prev:
+                def bulk(lo=prev, hi=ht):
+                    rows = (hi - lo) * G
+                    wrapb = SONEF[pl.ds(lo * G, rows), pl.ds(C2 - lo, lo)]
+                    bodyb = SONEF[pl.ds(lo * G, rows), pl.ds(0, C2 - lo)]
+                    SONEF[pl.ds(lo * G, rows), pl.ds(lo, C2 - lo)] = bodyb
+                    SONEF[pl.ds(lo * G, rows), pl.ds(0, lo)] = wrapb
+
+                pl.when(ka == prev)(bulk)
+            cond = kb < ht if prev == 0 else (kb >= prev) & (kb < ht)
+            pl.when(cond)(functools.partial(pair_body, ht))
+            prev = ht
+        return carry
+
+    p0 = jnp.maximum(0, (N - n_even) - c * R) // 2
+    lax.fori_loop(p0, R // 2, pair_step, 0)
+
+
 def _turner_merge_inside(pmats):
     """Fold CANON and the outer-terminal-mismatch * aug products into the
     [d, i] tables (see the per-seq Turner kernel's span body)."""
@@ -1717,12 +2781,22 @@ def _turner_prob8_run_body(seqs, ns, tt, ln_sigma, N, interpret):
     if aged:
         SW = _seg(N)
         LENB_log, LENI_log = PF._turner_len_di(tt)
-        _, _, KI8 = PP._turner_banded_kernels(
+        KBc, K2c, KI8 = PP._turner_banded_kernels(
             jnp.exp(LENB_log)[None], jnp.exp(LENI_log)[None]
         )
         SIGL = jnp.broadcast_to(
             jnp.exp(-ln_sigma).reshape(K, G, 1), (K, G, SW)
         ).reshape(K, 1, G * SW)
+        if _SPANS == 2:
+            # merged block-diagonal pair kernel (see _turner_inside8m_kernel)
+            KT = jnp.zeros((1, 96, 96), jnp.float32)
+            KT = KT.at[:, 0:32, 0:32].set(KI8)
+            KT = KT.at[:, 32:64, 32:64].set(KBc)
+            KT = KT.at[:, 64:96, 64:96].set(K2c)
+            KTs = jnp.concatenate(
+                [KT[:, :, 1:], jnp.zeros_like(KT[:, :, :1])], axis=2
+            )
+            KT12 = jnp.concatenate([KT, KTs], axis=1)    # (1, 192, 96)
     else:
         KI8 = _kbig(KIb)
     WCOLS8 = _wcols8(KBb, K2b)
@@ -1744,9 +2818,6 @@ def _turner_prob8_run_body(seqs, ns, tt, ln_sigma, N, interpret):
     if aged:
         R = min(32, N) if N <= 128 else 16   # see _prob8_run_body
         C = N // R
-        kernel = functools.partial(
-            _turner_inside8_kernel, N=N, R=R, aged=True
-        )
 
         def _kc(*shape):
             return pl.BlockSpec(
@@ -1763,40 +2834,81 @@ def _turner_prob8_run_body(seqs, ns, tt, ln_sigma, N, interpret):
         ki_spec = pl.BlockSpec(
             (1, 32, 32), lambda k, c: (0, 0, 0), memory_space=pltpu.VMEM
         )
-        close8, ext8, one8 = pl.pallas_call(
-            kernel,
-            grid=(K, C),
-            in_specs=[
-                smem2,
-                _kc(7 * G, N),
-                *(chunk for _ in range(18)),
-                ki_spec,
-                _kc(4 * 32 * G, 8),
-                _kc(1, G * SW),
-            ],
-            out_specs=(chunk, chunk, chunk),
-            out_shape=out_shape,
-            scratch_shapes=[
-                pltpu.VMEM((WBT, N + LPAD), jnp.float32),       # CAW
-                pltpu.VMEM((40, G * SW), jnp.float32),          # GW1 (aged)
-                pltpu.VMEM((WBT, N + LPAD), jnp.float32),       # GW2
-                pltpu.VMEM((WBT, N + LPAD), jnp.float32),       # GW3
-                pltpu.VMEM((2 * NG, N), jnp.float32),           # FQ2
-                pltpu.VMEM((2 * NG + 2 * G, N), jnp.float32),   # EO
-                pltpu.VMEM((2 * G, N + 8), jnp.float32),        # mbS
-                pltpu.VMEM((G, N + 8), jnp.float32),            # S1SC
-                pltpu.VMEM((G, N), jnp.float32),                # TWO8
-                pltpu.VMEM((3 * G, N), jnp.float32),            # CARRY
-            ],
-            interpret=interpret,
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=126 * 1024 * 1024,
-            ),
-        )(
-            scal, vec_i,
-            *(mi[k] for k in _TI_NAMES),
-            KI8, WCOLS8, SIGL,
-        )
+        if _SPANS == 2:
+            kernel = functools.partial(_turner_inside8m_kernel, N=N, R=R)
+            kt_spec = pl.BlockSpec(
+                (1, 192, 96), lambda k, c: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+            close8, ext8, one8 = pl.pallas_call(
+                kernel,
+                grid=(K, C),
+                in_specs=[
+                    smem2,
+                    _kc(7 * G, N),
+                    *(chunk for _ in range(18)),
+                    kt_spec,
+                    _kc(1, G * SW),
+                ],
+                out_specs=(chunk, chunk, chunk),
+                out_shape=out_shape,
+                scratch_shapes=[
+                    pltpu.VMEM((13 * G, N + LPAD), jnp.float32),    # MINI
+                    pltpu.VMEM((96, G * SW), jnp.float32),          # WM
+                    pltpu.VMEM((G, N), jnp.float32),                # TWO8
+                    pltpu.VMEM((2 * NG, N + 8), jnp.float32),       # FQ2
+                    pltpu.VMEM((2 * NG + 2 * G, N), jnp.float32),   # EO
+                    pltpu.VMEM((2 * G, N + 8), jnp.float32),        # mbS
+                    pltpu.VMEM((G, N + 8), jnp.float32),            # S1SC
+                    pltpu.VMEM((3 * G, N), jnp.float32),            # CARRY
+                ],
+                interpret=interpret,
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=126 * 1024 * 1024,
+                ),
+            )(
+                scal, vec_i,
+                *(mi[k] for k in _TI_NAMES),
+                KT12, SIGL,
+            )
+        else:
+            kernel = functools.partial(
+                _turner_inside8_kernel, N=N, R=R, aged=True
+            )
+            close8, ext8, one8 = pl.pallas_call(
+                kernel,
+                grid=(K, C),
+                in_specs=[
+                    smem2,
+                    _kc(7 * G, N),
+                    *(chunk for _ in range(18)),
+                    ki_spec,
+                    _kc(4 * 32 * G, 8),
+                    _kc(1, G * SW),
+                ],
+                out_specs=(chunk, chunk, chunk),
+                out_shape=out_shape,
+                scratch_shapes=[
+                    pltpu.VMEM((WBT, N + LPAD), jnp.float32),       # CAW
+                    pltpu.VMEM((40, G * SW), jnp.float32),          # GW1 (aged)
+                    pltpu.VMEM((WBT, N + LPAD), jnp.float32),       # GW2
+                    pltpu.VMEM((WBT, N + LPAD), jnp.float32),       # GW3
+                    pltpu.VMEM((2 * NG, N), jnp.float32),           # FQ2
+                    pltpu.VMEM((2 * NG + 2 * G, N), jnp.float32),   # EO
+                    pltpu.VMEM((2 * G, N + 8), jnp.float32),        # mbS
+                    pltpu.VMEM((G, N + 8), jnp.float32),            # S1SC
+                    pltpu.VMEM((G, N), jnp.float32),                # TWO8
+                    pltpu.VMEM((3 * G, N), jnp.float32),            # CARRY
+                ],
+                interpret=interpret,
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=126 * 1024 * 1024,
+                ),
+            )(
+                scal, vec_i,
+                *(mi[k] for k in _TI_NAMES),
+                KI8, WCOLS8, SIGL,
+            )
     else:
         kernel = functools.partial(_turner_inside8_kernel, N=N, aged=False)
         close8, ext8, one8 = pl.pallas_call(
@@ -1836,9 +2948,12 @@ def _turner_prob8_run_body(seqs, ns, tt, ln_sigma, N, interpret):
     ext = jnp.where(live, ext, 0.0)
     one = jnp.where(live, one, 0.0)
 
+    n_rot_g = n_max.astype(jnp.int32)
+    if aged and _SPANS == 2:
+        n_rot_g = n_rot_g + (n_rot_g % 2)   # even-aligned pair start
     ONEP, QONE, extL, extR, glob = PF.contra_outside_aux(
         ns, ext, one, N, neg=0.0, one_val=1.0,
-        n_rot=jnp.repeat(n_max.astype(jnp.int32), G),
+        n_rot=jnp.repeat(n_rot_g, G),
     )
 
     mo = _turner_merge_outside(close, pmats, extL, glob, coeffp)
@@ -1849,13 +2964,60 @@ def _turner_prob8_run_body(seqs, ns, tt, ln_sigma, N, interpret):
     EXTR8 = ilv(extR[:, None, :])
 
     if aged:
-        kernel_o = functools.partial(
-            _turner_outside8_kernel, N=N, R=R,
-            min_span=MIN_SPAN_HAIRPIN_CLOSE, aged=True,
-        )
         chunk_desc = pl.BlockSpec(
             (1, R * G, N), lambda k, c: (k, C - 1 - c, 0),
             memory_space=pltpu.VMEM,
+        )
+        if _SPANS == 2:
+            kernel_o = functools.partial(
+                _turner_outside8m_kernel, N=N, R=R,
+                min_span=MIN_SPAN_HAIRPIN_CLOSE,
+            )
+            QONE8 = jnp.concatenate(
+                [QONE8, jnp.zeros((K, 4 * G, N), jnp.float32)], axis=1
+            )
+            bppo8 = pl.pallas_call(
+                kernel_o,
+                grid=(K, C),
+                in_specs=[
+                    smem2,
+                    _kc(3 * G, N),
+                    *(chunk_desc for _ in range(18)),
+                    _kc(NG, 2 * N),                    # ONEP
+                    _kc(2 * NG + 4 * G, N),            # QONE (padded)
+                    _kc(G, 2 * N),                     # EXTR
+                    kt_spec,
+                    _kc(1, G * SW),
+                ],
+                out_specs=chunk_desc,
+                out_shape=jax.ShapeDtypeStruct((K, NG, N), jnp.float32),
+                scratch_shapes=[
+                    pltpu.VMEM((13 * G, N + LPAD), jnp.float32),    # MINI
+                    pltpu.VMEM((96, G * SW), jnp.float32),          # WM
+                    pltpu.VMEM((G, N), jnp.float32),                # TWO8
+                    pltpu.VMEM((2 * G, N), jnp.float32),            # RED2
+                    pltpu.VMEM((G, N), jnp.float32),                # PMB
+                    pltpu.VMEM((NG, N), jnp.float32),               # XS
+                    pltpu.VMEM((2 * NG, N), jnp.float32),           # RP2
+                    pltpu.VMEM((NG + G, 2 * N), jnp.float32),       # SONEF
+                    pltpu.VMEM((G, 2 * N), jnp.float32),            # REXT
+                    pltpu.VMEM((G, N), jnp.float32),                # P2SC
+                    pltpu.VMEM((G, N + 8), jnp.float32),            # QASC
+                ],
+                interpret=interpret,
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=126 * 1024 * 1024,
+                ),
+            )(
+                scal, vec_o,
+                *(mo8[k] for k in _TO_NAMES),
+                ONEP8, QONE8, EXTR8,
+                KT12, SIGL,
+            )
+            return dilv(bppo8), glob
+        kernel_o = functools.partial(
+            _turner_outside8_kernel, N=N, R=R,
+            min_span=MIN_SPAN_HAIRPIN_CLOSE, aged=True,
         )
         bppo8 = pl.pallas_call(
             kernel_o,
