@@ -68,10 +68,17 @@ def sep_lookup(table, i_parts, j_parts, perm=None):
         cj[:, None] == jnp.arange(Kj, dtype=cj.dtype)[None, :]
     ).astype(table.dtype)
     T = table.reshape(Ki, Kj)
-    # HIGHEST: the MXU's default bf16 passes would round the f32 table
-    # entries; the 3-way bf16 split reconstructs the selected entry exactly
-    # (the one-hot operand splits as 1.0 + 0 + 0).
-    hi = jax.lax.Precision.HIGHEST
+    # HIGH (3-pass hi/lo bf16 split) is BIT-EXACT for these dots, because
+    # one operand of each is a 0/1 one-hot whose lo-split is identically
+    # zero: hi@hi + hi@lo + lo@hi with E_lo = 0 reduces to
+    # E@(T_hi + T_lo) = E@T exactly (the f32 accumulator adds each selected
+    # entry's exact hi+lo decomposition; the dropped lo@lo term is E_lo@...
+    # = 0).  The second dot's left operand is general f32, but its RIGHT
+    # operand is the one-hot, so the same argument applies transposed.
+    # HIGHEST (6 passes) was measured at ~2x the MXU work for identical
+    # bits — pq-table assembly was the largest precompute stage
+    # (1.65 ms of the 8.5 ms CONTRA batch at B=192, round 5).
+    hi = jax.lax.Precision.HIGH
     return jnp.dot(
         jnp.dot(Ei, T, preferred_element_type=table.dtype, precision=hi),
         Ej.T,

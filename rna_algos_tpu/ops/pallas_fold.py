@@ -694,9 +694,19 @@ def contra_outside_aux(ns, ext_di, one_di, N, neg=NEG_INF, one_val=0.0,
         # proportional work), and their per-span rotation count becomes a
         # static function of the step index (enabling the pow-2 lazy block
         # rotation of the live region)
-        sh = 2 * N - nr.astype(jnp.int32)
-        ONEP = jnp.roll(ONEP, sh, axis=-1)
-        extR_pad = jnp.roll(extR_pad, sh)
+        # roll right by (2N - nr) == dynamic_slice of the doubled buffer at
+        # start nr: a traced-shift jnp.roll lowers to a full gather on TPU
+        # (measured as the bulk of the 1 ms aux stage at B=192); the
+        # concat + DynamicSlice pair streams instead
+        nr32 = nr.astype(jnp.int32)
+        ONEP = jax.lax.dynamic_slice(
+            jnp.concatenate([ONEP, ONEP], axis=-1),
+            (jnp.int32(0), nr32),
+            (N, 2 * N),
+        )
+        extR_pad = jax.lax.dynamic_slice(
+            jnp.concatenate([extR_pad, extR_pad]), (nr32,), (2 * N,)
+        )
         return ONEP, _skew_qone(one_d, N, neg), extL_sh, extR_pad, extR[0]
 
     if n_rot is None:
