@@ -1532,7 +1532,13 @@ def _prob8_run_body(seqs, ns, ct, ln_sigma, N, allows_short_hairpins,
         # against the 128 MB physical VMEM (chunk blocks scale with R*G)
         R = min(32, N) if N <= 128 else 16
         C = N // R
-        two_span = _SPANS == 2
+        # two-span pairing is validated (Mosaic + goldens) at N <= 128;
+        # at N = 256 the outside pair kernel crashes the remote Mosaic
+        # compiler (tpu_compile_helper exit 1, no diagnostic — suspected
+        # trigger: the ht=256 ladder's (16384, N-2)-shaped odd-width
+        # pair-offset operands), so the 256 bucket stays on the
+        # single-span kernels
+        two_span = _SPANS == 2 and N <= 128
         if two_span:
             kernel = functools.partial(_inside8a2_kernel, N=N, R=R)
             # stacked [KC; KC column-shifted] kernel for the span pair
@@ -1638,10 +1644,12 @@ def _prob8_run_body(seqs, ns, ct, ln_sigma, N, allows_short_hairpins,
     one = jnp.where(live, one, 0.0)
 
     n_rot_g = n_max.astype(jnp.int32)
-    if aged and _SPANS == 2:
+    if aged and _SPANS == 2 and N <= 128:
         # the double-span outside pairs steps from an even-aligned start;
         # the rounded pre-rotation absorbs the (harmless, all-zero) extra
-        # leading span executed when the group length is odd
+        # leading span executed when the group length is odd.  N > 128
+        # stays on the single-span outside kernel (see two_span above),
+        # which needs the UNROUNDED alignment.
         n_rot_g = n_rot_g + (n_rot_g % 2)
     ONEP, QONE, extL, extR, glob = PF.contra_outside_aux(
         ns, ext, one, N, neg=0.0, one_val=1.0,
@@ -2015,10 +2023,13 @@ def _turner_inside8m_kernel(
     SIGL,                                    # (1, 1, G*SW)
     close_out, ext_out, one_out,
     MINI, WM, TWO8, FQ2, EO, mbS, S1SC, CARRY,
-    *, N, R,
+    *, N, R, spans=2,
 ):
     """Merged-family + double-span Turner inside kernel (round 5: VERDICT
-    items 1 and 3 together).
+    items 1 and 3 together).  ``spans=1`` keeps the merged window/matmul
+    design but processes one span per iteration (canonical single-span
+    tail and aging; KT12 then carries only the 96-row base kernel) — used
+    at N = 256, where the pair kernels crash the remote Mosaic compiler.
 
     The round-4 aged kernel kept three SUBLANE window families (CAW raw
     close*aug for the bulge arms + specials, GW2 for the 2x3-edge arms,
@@ -2068,7 +2079,8 @@ def _turner_inside8m_kernel(
     sub2 = jax.lax.broadcasted_iota(jnp.int32, (2 * NG, 1), 0)
     tb2_full = sub2 // G2
     fam0_full = (sub2 // G) % 2 == 0
-    kt12 = KT12[0, pl.ds(0, 192), pl.ds(0, 96)]
+    if spans == 2:
+        kt12 = KT12[0, pl.ds(0, 192), pl.ds(0, 96)]
     sig = SIGL[0, pl.ds(0, 1), :]
     sig2 = sig * sig
     first = c == 0
@@ -2105,6 +2117,84 @@ def _turner_inside8m_kernel(
         MINI[pl.ds(G, 12 * G), :] = MINI[pl.ds(0, 12 * G), :]
         MINI[pl.ds(0, G), pl.ds(0, N)] = g
         MINI[pl.ds(M3, G), pl.ds(0, N)] = gt3
+
+    if spans == 1:
+        kt = KT12[0, pl.ds(0, 96), pl.ds(0, 96)]
+        SW1 = _seg(N)
+
+        def span_step(d, carry):
+            rm_p, rmmb_p, epow_p = carry
+            dl = d - base
+            OUT = PP._mm_prec(kt, WM[pl.ds(0, 96), :])
+            two = _two_at(dl, OUT, EU1)
+            mb_in = mbS[pl.ds(G, G), pl.ds(1, N)]
+            mb = jnp.where(d >= 2, mb_in * _blk(MBC, dl), 0.0)
+            close = _blk(H, dl) + two + mb
+            close = jnp.where(d + 1 >= MIN_SPAN_HAIRPIN_CLOSE, close, 0.0)
+            close_out[0, pl.ds(dl * G, G), :] = close
+            acc = close * _blk(ACC, dl)
+            g0 = close * _blk(AUGT, dl)
+            rm = rm_p * EU1 + acc * EBP
+            rmmb = rmmb_p * MBU1 + acc * MBBP
+            epow = epow_p * EU1
+
+            def tail(ht):
+                h2 = ht * G2
+                # lanes >= N of FQ2 stay zero, so the 1-lane-left shift's
+                # zero fill rides the same store
+                FQ2[pl.ds(G2, h2 - G2), pl.ds(0, N)] = FQ2[
+                    pl.ds(0, h2 - G2), pl.ds(1, N)
+                ]
+                FQ2[pl.ds(0, G), pl.ds(0, N)] = rm
+                FQ2[pl.ds(G, G), pl.ds(0, N)] = rmmb
+                tb = tb2_full[:h2]
+                fam0 = fam0_full[:h2]
+                terms = jnp.where(
+                    (tb <= d - 1) & (fam0 | (tb >= 1)),
+                    FQ2[pl.ds(0, h2), pl.ds(0, N)]
+                    * EO[pl.ds(0, h2), pl.ds(0, N)],
+                    0.0,
+                )
+                red = _tree_to(terms, G2)
+                ext = epow + red[:G]
+                s2 = red[G:]
+                ext_out[0, pl.ds(dl * G, G), :] = ext
+                s1v = MBU1 * (
+                    FQ2[pl.ds(3 * G, G), pl.ds(0, N)]
+                    + S1SC[pl.ds(0, G), pl.ds(1, N)]
+                )
+                S1SC[pl.ds(0, G), pl.ds(0, N)] = s1v
+                one = rmmb + s1v + s2
+                mbS[pl.ds(G, G), :] = mbS[pl.ds(0, G), :]
+                mbS[pl.ds(0, G), pl.ds(0, N)] = s2
+                one_out[0, pl.ds(dl * G, G), :] = one
+                EO[pl.ds((d + 1) * G2, G), :] = ext
+                EO[pl.ds((d + 1) * G2 + G, G), :] = one
+
+            prev = 0
+            for ht in PF._live_heights(N):
+                cond = d < ht if prev == 0 else (d >= prev) & (d < ht)
+                pl.when(cond)(functools.partial(tail, ht))
+                prev = ht
+
+            _mini_insert(g0, g0 * _blk(TMI3, dl))
+            WM[pl.ds(1, 95), :] = WM[pl.ds(0, 95), :] * sig
+            for off, new in (
+                (0, g0 * _blk(TMI1, dl)),
+                (32, g0),
+                (64, g0 * _blk(TMI2, dl)),
+            ):
+                for g in range(G):
+                    WM[pl.ds(off, 1), pl.ds(g * SW1, N)] = new[g : g + 1, :]
+            return (rm, rmmb, epow)
+
+        rm, rmmb, epow = lax.fori_loop(
+            base, lim, span_step, (rm0c, rmmb0c, epow0c)
+        )
+        CARRY[pl.ds(0, G), :] = rm
+        CARRY[pl.ds(G, G), :] = rmmb
+        CARRY[pl.ds(2 * G, G), :] = epow
+        return
 
     def pair_step(q, carry):
         rm_p, rmmb_p, epow_p = carry
@@ -2457,7 +2547,7 @@ def _turner_outside8m_kernel(
     SIGL,
     bppo_out,
     MINI, WM, TWO8, RED2, PMB, XS, RP2, SONEF, REXT, P2SC, QASC,
-    *, N, R, min_span,
+    *, N, R, min_span, spans=2,
 ):
     """Merged-family + double-span Turner OUTSIDE kernel: the descending
     counterpart of :func:`_turner_inside8m_kernel`, with the batched
@@ -2465,10 +2555,13 @@ def _turner_outside8m_kernel(
     the derivations).  Window fams [g2*TMO1 | g2 | g2*TMO2] under the same
     block-diagonal KT12; MINI = [g2 ages 0..5 | g2*TMO3 ages 0..6] at the
     outside +32 lane offset; residual sigma^-1 = MBU1 (Turner
-    multibranch_unpair = 0)."""
+    multibranch_unpair = 0).  ``spans=1``: merged windows with the
+    canonical per-span tail/rotations (N = 256 — see
+    :func:`_turner_inside8m_kernel`); ONEP/EXTR then arrive with the
+    UNROUNDED per-group pre-rotation."""
     c = pl.program_id(1)
     n_i = SCAL[0, 0, 7].astype(jnp.int32)
-    n_even = n_i + (n_i % 2)
+    n_even = n_i + (n_i % 2) if spans == 2 else n_i
     LOGMBU = VEC[0, pl.ds(0, G), :]
     LENI32 = VEC[0, pl.ds(G, G), :]
     LENI23 = VEC[0, pl.ds(2 * G, G), :]
@@ -2481,7 +2574,10 @@ def _turner_outside8m_kernel(
         for buf in (MINI, WM, XS, RP2, P2SC, QASC):
             buf[:] = jnp.zeros_like(buf[:])
         SONEF[pl.ds(0, NG), :] = ONEP[0, pl.ds(0, NG), :]
-        SONEF[pl.ds(NG, G), :] = jnp.zeros((G, SONEF.shape[1]), jnp.float32)
+        if spans == 2:
+            SONEF[pl.ds(NG, G), :] = jnp.zeros(
+                (G, SONEF.shape[1]), jnp.float32
+            )
         REXT[pl.ds(0, G), :] = EXTR[0, pl.ds(0, G), :]
 
     bppo_out[0] = jnp.zeros_like(bppo_out[0])
@@ -2492,7 +2588,8 @@ def _turner_outside8m_kernel(
     sub2 = jax.lax.broadcasted_iota(jnp.int32, (2 * NG, 1), 0)
     tb2_full = sub2 // G2
     C2 = SONEF.shape[1]
-    kt12 = KT12[0, pl.ds(0, 192), pl.ds(0, 96)]
+    if spans == 2:
+        kt12 = KT12[0, pl.ds(0, 192), pl.ds(0, 96)]
     sig = SIGL[0, pl.ds(0, 1), :]
     sig2 = sig * sig
     SW = _seg(N)
@@ -2521,6 +2618,111 @@ def _turner_outside8m_kernel(
         MINI[pl.ds(G, 12 * G), :] = MINI[pl.ds(0, 12 * G), :]
         MINI[pl.ds(0, G), pl.ds(32, N)] = g
         MINI[pl.ds(M3, G), pl.ds(32, N)] = gt3
+
+    if spans == 1:
+        kt = KT12[0, pl.ds(0, 96), pl.ds(0, 96)]
+
+        def span_step(step, carry):
+            d = N - 1 - step
+            k = step - (N - n_i)
+            dl = d - baseo
+            ok = (d + 1) >= min_span
+
+            close_v = _blk(CLOSE, dl)
+            pos = close_v > 0.0
+            inv_v = jnp.where(pos, 1.0 / jnp.where(pos, close_v, 1.0), 0.0)
+            rt = REXT[pl.ds(0, G), pl.ds(0, N)]
+            base_v = close_v * _blk(ACCB, dl) * rt
+            OUT = PP._mm_prec(kt, WM[pl.ds(0, 96), :])
+            two = _two_at(dl, OUT, MBU1) * close_v
+            acc_mb = close_v * _blk(ACCMB, dl)
+
+            def tail(ht):
+                hg = ht * G
+                h2 = ht * G2
+                pm = jnp.where(
+                    ok,
+                    _tree8(
+                        XS[pl.ds(0, hg), :]
+                        * SONEF[pl.ds(0, hg), pl.ds(0, N)]
+                    ),
+                    0.0,
+                )
+                pm2_raw = (
+                    XS[pl.ds(0, G), pl.ds(0, N)]
+                    + MBU1 * P2SC[pl.ds(0, G), pl.ds(0, N)]
+                )
+                P2SC[pl.ds(0, G), pl.ds(0, N)] = pm2_raw
+                pm2 = jnp.where(ok, pm2_raw, 0.0)
+                RP2[pl.ds(G2, h2 - G2), pl.ds(1, N - 1)] = RP2[
+                    pl.ds(0, h2 - G2), pl.ds(0, N - 1)
+                ]
+                RP2[pl.ds(G2, h2 - G2), pl.ds(0, 1)] = jnp.zeros(
+                    (h2 - G2, 1), jnp.float32
+                )
+                RP2[pl.ds(0, G), pl.ds(0, N)] = pm
+                RP2[pl.ds(G, G), pl.ds(0, N)] = pm2
+
+                qa_raw = (
+                    RP2[pl.ds(G2, G), pl.ds(0, N)]
+                    + MBU1 * QASC[pl.ds(0, G), pl.ds(0, N)]
+                )
+                QASC[pl.ds(0, G), pl.ds(1, N)] = qa_raw
+                terms2 = jnp.where(
+                    tb2_full[:h2] >= 1,
+                    RP2[pl.ds(0, h2), pl.ds(0, N)]
+                    * QONE[0, pl.ds(0, h2), :],
+                    0.0,
+                )
+                red2 = _tree_to(terms2, G2)
+                mb_ctx = acc_mb * (red2[G:] + red2[:G] + qa_raw)
+
+                bppo_new = base_v + two + mb_ctx
+                bppo_new = jnp.where(pos & ok, bppo_new, 0.0)
+                bppo_out[0, pl.ds(dl * G, G), :] = bppo_new
+
+                g2v = bppo_new * _blk(AUGT, dl) * inv_v
+                _mini_insert(g2v, g2v * _blk(TMO3, dl))
+                WM[pl.ds(1, 95), :] = WM[pl.ds(0, 95), :] * sig
+                for off, new in (
+                    (0, g2v * _blk(TMO1, dl)),
+                    (32, g2v),
+                    (64, g2v * _blk(TMO2, dl)),
+                ):
+                    for g in range(G):
+                        WM[pl.ds(off, 1), pl.ds(g * SW + 32, N)] = new[
+                            g : g + 1, :
+                        ]
+                g_row = bppo_new * _blk(MBC, dl) * inv_v
+                XS[pl.ds(G, hg - G), :] = XS[pl.ds(0, hg - G), :]
+                XS[pl.ds(0, G), :] = g_row
+                PF._rotate_right(SONEF, hg)
+                PF._rotate_right(REXT, G)
+
+            prev = 0
+            for ht in PF._live_heights(N):
+                if prev:
+                    def bulk1(lo=prev, hi=ht):
+                        rows = (hi - lo) * G
+                        wrapb = SONEF[
+                            pl.ds(lo * G, rows), pl.ds(C2 - lo, lo)
+                        ]
+                        bodyb = SONEF[
+                            pl.ds(lo * G, rows), pl.ds(0, C2 - lo)
+                        ]
+                        SONEF[pl.ds(lo * G, rows), pl.ds(lo, C2 - lo)] = bodyb
+                        SONEF[pl.ds(lo * G, rows), pl.ds(0, lo)] = wrapb
+
+                    pl.when(k == prev)(bulk1)
+                cond = k < ht if prev == 0 else (k >= prev) & (k < ht)
+                pl.when(cond)(functools.partial(tail, ht))
+                prev = ht
+            return carry
+
+        lax.fori_loop(
+            jnp.maximum(c * R, N - n_i), (c + 1) * R, span_step, 0
+        )
+        return
 
     def pair_step(p, carry):
         s0 = c * R + 2 * p
@@ -2770,7 +2972,7 @@ _TO_NAMES = (
 )
 
 
-def _turner_prob8_run_body(seqs, ns, tt, ln_sigma, N, interpret):
+def _turner_prob8_run_body(seqs, ns, tt, ln_sigma, N, interpret, upto=None):
     B = seqs.shape[0]
     K = B // G
     NG = N * G
@@ -2788,15 +2990,26 @@ def _turner_prob8_run_body(seqs, ns, tt, ln_sigma, N, interpret):
             jnp.exp(-ln_sigma).reshape(K, G, 1), (K, G, SW)
         ).reshape(K, 1, G * SW)
         if _SPANS == 2:
-            # merged block-diagonal pair kernel (see _turner_inside8m_kernel)
+            # merged block-diagonal kernel (see _turner_inside8m_kernel);
+            # the pair variant is gated to N <= 128 (the N = 256 pair
+            # kernels crash the remote Mosaic compiler — see
+            # _prob8_run_body), N = 256 runs the merged kernels single-span
+            t_spans = 2 if N <= 128 else 1
+            _ov = _os.environ.get("RNA_ALGOS_TSPANS")   # debug override
+            if _ov:
+                t_spans = int(_ov)
             KT = jnp.zeros((1, 96, 96), jnp.float32)
             KT = KT.at[:, 0:32, 0:32].set(KI8)
             KT = KT.at[:, 32:64, 32:64].set(KBc)
             KT = KT.at[:, 64:96, 64:96].set(K2c)
-            KTs = jnp.concatenate(
-                [KT[:, :, 1:], jnp.zeros_like(KT[:, :, :1])], axis=2
-            )
-            KT12 = jnp.concatenate([KT, KTs], axis=1)    # (1, 192, 96)
+            if t_spans == 2:
+                KTs = jnp.concatenate(
+                    [KT[:, :, 1:], jnp.zeros_like(KT[:, :, :1])], axis=2
+                )
+                KT12 = jnp.concatenate([KT, KTs], axis=1)  # (1, 192, 96)
+            else:
+                KT12 = KT
+            kt_rows = KT12.shape[1]
     else:
         KI8 = _kbig(KIb)
     WCOLS8 = _wcols8(KBb, K2b)
@@ -2835,9 +3048,11 @@ def _turner_prob8_run_body(seqs, ns, tt, ln_sigma, N, interpret):
             (1, 32, 32), lambda k, c: (0, 0, 0), memory_space=pltpu.VMEM
         )
         if _SPANS == 2:
-            kernel = functools.partial(_turner_inside8m_kernel, N=N, R=R)
+            kernel = functools.partial(
+                _turner_inside8m_kernel, N=N, R=R, spans=t_spans
+            )
             kt_spec = pl.BlockSpec(
-                (1, 192, 96), lambda k, c: (0, 0, 0),
+                (1, kt_rows, 96), lambda k, c: (0, 0, 0),
                 memory_space=pltpu.VMEM,
             )
             close8, ext8, one8 = pl.pallas_call(
@@ -2943,13 +3158,15 @@ def _turner_prob8_run_body(seqs, ns, tt, ln_sigma, N, interpret):
             KI8, WCOLS8,
         )
 
+    if upto == "inside":
+        return close8, ext8, one8
     close, ext, one = dilv(close8), dilv(ext8), dilv(one8)
     live = jnp.arange(N)[None, :, None] < ns[:, None, None]
     ext = jnp.where(live, ext, 0.0)
     one = jnp.where(live, one, 0.0)
 
     n_rot_g = n_max.astype(jnp.int32)
-    if aged and _SPANS == 2:
+    if aged and _SPANS == 2 and t_spans == 2:
         n_rot_g = n_rot_g + (n_rot_g % 2)   # even-aligned pair start
     ONEP, QONE, extL, extR, glob = PF.contra_outside_aux(
         ns, ext, one, N, neg=0.0, one_val=1.0,
@@ -2971,11 +3188,14 @@ def _turner_prob8_run_body(seqs, ns, tt, ln_sigma, N, interpret):
         if _SPANS == 2:
             kernel_o = functools.partial(
                 _turner_outside8m_kernel, N=N, R=R,
-                min_span=MIN_SPAN_HAIRPIN_CLOSE,
+                min_span=MIN_SPAN_HAIRPIN_CLOSE, spans=t_spans,
             )
-            QONE8 = jnp.concatenate(
-                [QONE8, jnp.zeros((K, 4 * G, N), jnp.float32)], axis=1
-            )
+            if t_spans == 2:
+                # pair-offset bulk reads index QONE rows up to h2 + 2*G2
+                QONE8 = jnp.concatenate(
+                    [QONE8, jnp.zeros((K, 4 * G, N), jnp.float32)], axis=1
+                )
+            qone_rows_t = QONE8.shape[1]
             bppo8 = pl.pallas_call(
                 kernel_o,
                 grid=(K, C),
@@ -2984,7 +3204,7 @@ def _turner_prob8_run_body(seqs, ns, tt, ln_sigma, N, interpret):
                     _kc(3 * G, N),
                     *(chunk_desc for _ in range(18)),
                     _kc(NG, 2 * N),                    # ONEP
-                    _kc(2 * NG + 4 * G, N),            # QONE (padded)
+                    _kc(qone_rows_t, N),               # QONE
                     _kc(G, 2 * N),                     # EXTR
                     kt_spec,
                     _kc(1, G * SW),
@@ -2999,7 +3219,10 @@ def _turner_prob8_run_body(seqs, ns, tt, ln_sigma, N, interpret):
                     pltpu.VMEM((G, N), jnp.float32),                # PMB
                     pltpu.VMEM((NG, N), jnp.float32),               # XS
                     pltpu.VMEM((2 * NG, N), jnp.float32),           # RP2
-                    pltpu.VMEM((NG + G, 2 * N), jnp.float32),       # SONEF
+                    pltpu.VMEM(
+                        (NG + (G if t_spans == 2 else 0), 2 * N),
+                        jnp.float32,
+                    ),                                              # SONEF
                     pltpu.VMEM((G, 2 * N), jnp.float32),            # REXT
                     pltpu.VMEM((G, N), jnp.float32),                # P2SC
                     pltpu.VMEM((G, N + 8), jnp.float32),            # QASC

@@ -81,7 +81,10 @@ if __name__ == "__main__":
     @partial(jax.jit, static_argnames=("upto",))
     def prefix(ls, upto):
         if upto == "pmats":
-            return PP.contra_prob_mats(arr, ns, ct, ls, N)
+            # the AGED path's real precompute (round 5: the round-4
+            # profiler timed the UNUSED old per-seq builder here, which
+            # misattributed the precompute cost)
+            return P8.contra_prob_mats_merged(arr, ns, ct, ls, N)[0]
         return P8._prob8_run_body(
             arr, ns, ct, ls, N, False, False,
             upto=None if upto == "full" else upto,
