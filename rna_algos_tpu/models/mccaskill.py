@@ -441,10 +441,11 @@ def mccaskill_bpp_batch_pallas(seqs, ns, tbl, N, contra=True,
     In "exact" (default) and "fast" numerics modes both models run the
     scaled probability-space kernels — sublane-stacked
     G-seqs-per-grid-step (ops/pallas_fold_prob8.py) at N <= 256 for
-    CONTRA and N <= 128 for Turner (Turner's 18 streamed tables + 4
-    window scratches measure 145 MB vs the 128 MB VMEM at N = 256),
-    per-sequence otherwise (ops/pallas_fold_prob.py) — with automatic
-    per-sequence rescale retries.  Their sums are exact f32 arithmetic
+    BOTH models since round 5 (the merged-family Turner kernels fit the
+    VMEM budget that the round-4 three-sublane-window design exceeded;
+    measured +47% over per-seq at the Rfam bucket), per-sequence
+    otherwise (ops/pallas_fold_prob.py) — with automatic per-sequence
+    rescale retries.  Their sums are exact f32 arithmetic
     (no LSE approximation at all); goldens pin them within the 5e-4
     budget of the parity tier.  "parity" mode pins the reference's
     piecewise-cubic log-space kernels (ops/pallas_fold.py) instead.
@@ -487,9 +488,17 @@ def mccaskill_bpp_batch_pallas(seqs, ns, tbl, N, contra=True,
                     allows_short_hairpins=allows_short_hairpins,
                 )
         else:
-            if impl == "prob" and N <= 128:
-                from ..ops import pallas_fold_prob8 as P8
+            from ..ops import pallas_fold_prob8 as P8
 
+            # stacked Turner opened to N=256 in round 5: the merged-family
+            # kernels (one aged lane-major window + block-diagonal common
+            # kernel, _turner_inside8m/_turner_outside8m) fit the VMEM
+            # budget that the round-4 three-sublane-window design exceeded
+            # (145 MB measured); N=256 runs single-span, one K=1 grid per
+            # G-group (see _turner_prob8_run_body).  Requires the merged
+            # path (_SPANS == 2 module default).
+            stacked_cap = 256 if P8._SPANS == 2 else 128
+            if impl == "prob" and N <= stacked_cap:
                 B = seqs.shape[0]
                 pad = (-B) % P8.G
                 if pad:

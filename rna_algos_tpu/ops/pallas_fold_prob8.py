@@ -2975,6 +2975,32 @@ _TO_NAMES = (
 def _turner_prob8_run_body(seqs, ns, tt, ln_sigma, N, interpret, upto=None):
     B = seqs.shape[0]
     K = B // G
+    if (
+        _WINDOW_MODE == "aged" and _SPANS == 2 and N > 128 and B > G
+        and upto is None
+    ):
+        # the merged Turner N=256 programs compile (and run) only at a
+        # K=1 grid — at K >= 2 the remote Mosaic compile helper crashes
+        # (suspected: cross-group double-buffering of the 16.8 MB
+        # ONEP/QONE inputs pushing past the VMEM budget with no graceful
+        # error).  Sequentially map the single-group program instead;
+        # same total work, one extra dispatch per group.
+        def one(args):
+            s, n, l = args
+            return _turner_prob8_run_body(s, n, tt, l, N, interpret)
+
+        bppo_g, glob_g = lax.map(
+            one,
+            (
+                seqs.reshape(K, G, -1),
+                ns.reshape(K, G),
+                ln_sigma.reshape(K, G),
+            ),
+        )
+        return (
+            bppo_g.reshape((B,) + bppo_g.shape[2:]),
+            glob_g.reshape(B),
+        )
     NG = N * G
     aged = _WINDOW_MODE == "aged"
     pmats = PP.turner_prob_mats(seqs, ns, tt, ln_sigma, N)
