@@ -95,6 +95,15 @@ def main():
         "bench_artifacts", "longn_cert.json",
     )
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    # merge with any prior runs (different N sizes accumulate)
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as f:
+                prev = json.load(f)
+            prev.get("results", {}).update(report["results"])
+            report["results"] = prev.get("results", report["results"])
+        except (OSError, ValueError):
+            pass
     with open(out_path, "w") as f:
         json.dump(report, f, indent=2)
     print("wrote", out_path, file=sys.stderr)
