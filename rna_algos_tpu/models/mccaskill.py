@@ -534,14 +534,18 @@ def mccaskill_bpp_batch_pallas(seqs, ns, tbl, N, contra=True,
 
 @partial(jax.jit, static_argnames=("N",))
 def _prob_finish(bppo, ns, N):
-    """[d, i] probability table -> (square bpp, presence) per sequence."""
+    """[d, i] probability table -> (square bpp, presence) per sequence.
+
+    The [i, d] -> square permutation runs through the fused Pallas unskew
+    (ops/pallas_skew.py inv=True) — as an XLA ``take_along_axis`` it was
+    a full gather pass over the (B, N, N) output (round 5)."""
+    from ..ops.pallas_skew import skew_pq_batch
+
     bppo_left = jnp.swapaxes(bppo, 1, 2)
-
-    def finish(P, n):
-        bpp = _square_from_left(P, n, N, 0.0)
-        return bpp, bpp > 0.0
-
-    return jax.vmap(finish)(bppo_left, ns)
+    sq = skew_pq_batch([bppo_left], inv=True)[0]
+    j = jnp.arange(N)[None, None, :]
+    bpp = jnp.where(j < ns[:, None, None], sq, 0.0)
+    return bpp, bpp > 0.0
 
 
 def mccaskill_twoloop_memo(seq, n, tbl, N, contra=False):

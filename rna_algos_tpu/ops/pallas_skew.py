@@ -33,7 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _skew_kernel(*refs, T, N, RS):
+def _skew_kernel(*refs, T, N, RS, inv=False):
     ins = refs[:T]
     outs = refs[T : 2 * T]
     S = refs[2 * T]
@@ -45,12 +45,17 @@ def _skew_kernel(*refs, T, N, RS):
         # within each 8-row group, so one static two-slice copy per group.
         # The shift base c*RS is grid-dependent; slice sizes must be
         # static, so each chunk's copies live under a static pl.when.
+        # ``inv`` reverses the direction (rows shift RIGHT — the unskew
+        # square[i, j] = P[i, j - i]).
         def stage1(cc):
             for b in range(RS // 8):
                 sh = cc * RS + 8 * b
                 rows = pl.ds(8 * b, 8)
                 if sh == 0:
                     Y[0, rows, :] = X[0, rows, :]
+                elif inv:
+                    Y[0, rows, pl.ds(sh, N - sh)] = X[0, rows, pl.ds(0, N - sh)]
+                    Y[0, rows, pl.ds(0, sh)] = jnp.zeros((8, sh), jnp.float32)
                 else:
                     Y[0, rows, pl.ds(0, N - sh)] = X[0, rows, pl.ds(sh, N - sh)]
                     Y[0, rows, pl.ds(N - sh, sh)] = jnp.zeros(
@@ -66,8 +71,18 @@ def _skew_kernel(*refs, T, N, RS):
         # the residual (p & 7) pattern repeats every 8 rows, so the local
         # row iota selects correctly in every chunk
         for k in (1, 2, 4):
-            S[pl.ds(0, RS), pl.ds(0, N - k)] = Y[0, pl.ds(0, RS), pl.ds(k, N - k)]
-            S[pl.ds(0, RS), pl.ds(N - k, k)] = jnp.zeros((RS, k), jnp.float32)
+            if inv:
+                S[pl.ds(0, RS), pl.ds(k, N - k)] = Y[
+                    0, pl.ds(0, RS), pl.ds(0, N - k)
+                ]
+                S[pl.ds(0, RS), pl.ds(0, k)] = jnp.zeros((RS, k), jnp.float32)
+            else:
+                S[pl.ds(0, RS), pl.ds(0, N - k)] = Y[
+                    0, pl.ds(0, RS), pl.ds(k, N - k)
+                ]
+                S[pl.ds(0, RS), pl.ds(N - k, k)] = jnp.zeros(
+                    (RS, k), jnp.float32
+                )
             Y[0] = jnp.where((riota & k) != 0, S[pl.ds(0, RS), :], Y[0])
 
 
@@ -77,12 +92,15 @@ def _nn(RS, N):
     )
 
 
-def skew_pq_batch(mats, interpret=False):
+def skew_pq_batch(mats, interpret=False, inv=False):
     """Skew a list of (B, N, N) [p, q] tables to [p, d] (fill 0.0).
 
     Returns the skewed tables in input order; callers transpose to the
     [d, i] layout (XLA fuses the transpose into the consumer).  Falls back
-    to diag.skew_pq off-TPU.
+    to diag.skew_pq off-TPU.  ``inv=True`` applies the INVERSE permutation
+    (rows shift right: out[i, j] = in[i, j - i] for j >= i, 0 below the
+    diagonal) — the [i, d] -> square conversion of the final BPPs, which
+    as an XLA take_along_axis is a full gather pass.
     """
     from . import diag
 
@@ -95,13 +113,12 @@ def skew_pq_batch(mats, interpret=False):
     # (C = N // RS floors: a stray remainder would leave the last rows
     # unvisited — silent garbage, not a crash).
     if not (on_tpu or interpret) or N % 8 or (N > 512 and N % 128):
-        return [
-            jax.vmap(lambda m: diag.skew_pq(m, 0.0))(m) for m in mats
-        ]
+        fn = diag.unskew_pq if inv else diag.skew_pq
+        return [jax.vmap(lambda m: fn(m, 0.0))(m) for m in mats]
     T = len(mats)
     RS = N if N <= 512 else 128   # row-chunk past the all-VMEM budget
     C = N // RS
-    kernel = functools.partial(_skew_kernel, T=T, N=N, RS=RS)
+    kernel = functools.partial(_skew_kernel, T=T, N=N, RS=RS, inv=inv)
     outs = pl.pallas_call(
         kernel,
         grid=(B,) if C == 1 else (B, C),
