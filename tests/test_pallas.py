@@ -74,3 +74,27 @@ def test_skew_pq_batch_matches_diag_skew():
     for m, o in zip(mats, outs):
         want = np.asarray(jax.vmap(lambda x: diag.skew_pq(x, 0.0))(m))
         assert np.array_equal(np.asarray(o), want)
+
+
+def test_unskew_pq_batch_matches_diag_unskew():
+    """inv=True (the [i, d] -> square BPP conversion) is the exact inverse
+    permutation with zero fill below the diagonal (round 5)."""
+    from rna_algos_tpu.ops import diag
+    from rna_algos_tpu.ops.pallas_skew import skew_pq_batch
+
+    rng = np.random.default_rng(10)
+    B, N = 3, 64
+    m = jnp.asarray(rng.normal(size=(B, N, N)).astype(np.float32))
+    (o,) = skew_pq_batch([m], interpret=True, inv=True)
+    want = np.asarray(jax.vmap(lambda x: diag.unskew_pq(x, 0.0))(m))
+    assert np.array_equal(np.asarray(o), want)
+    # and it inverts the forward skew on the upper triangle
+    (fwd,) = skew_pq_batch([m], interpret=True)
+    (round_trip,) = skew_pq_batch([fwd], interpret=True, inv=True)
+    i = np.arange(N)[:, None]
+    j = np.arange(N)[None, :]
+    upper = (j >= i)[None]
+    assert np.array_equal(
+        np.where(upper, np.asarray(round_trip), 0.0),
+        np.where(upper, np.asarray(m), 0.0),
+    )
